@@ -2,44 +2,42 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators._
 
 /** Registry of driver-checked queries.
   *
-  * Each entry maps a SURVEY.md §2 operator onto the driver's synthetic
-  * tables. The Spark form and the DuckDB oracle form must agree on column
-  * names, row order (explicit ORDER BY both sides) and float bits
-  * (DECIMAL-exact aggregation, see [[Dec]]).
+  * Each entry maps a SURVEY.md §2 operator (or an LLM-pipeline component)
+  * onto the driver's synthetic tables. The Spark form and the DuckDB
+  * oracle form must agree on column names and value bits — see
+  * [[graft.functions.Fns]] for the determinism discipline.
+  *
+  * Families live in graft.operators: AggOps (A1–A13), JoinOps (J1–J10),
+  * WindowOps (W1–W7), SetOps (X1–X5 + P-family), MergeOps (K3/K5),
+  * DedupOps (exact/MinHash/SimHash/Jaccard), SimilarityOps (ANN),
+  * TextOps (lang-id/quality/tokens/fingerprint), MultimodalOps (binary).
   */
 object Queries {
 
-  /** Exact-decimal aggregate helper: sum of doubles is order-dependent in
-    * IEEE754; casting to DECIMAL first makes the sum exact and therefore
-    * identical between Spark and DuckDB regardless of partitioning.
-    * Scale 6: far above double representation noise (~1e-13 relative, so
-    * both engines round identically), far below the data's 2-4 decimal
-    * digits of true precision.
-    */
-  private def decSum(c: Column): Column =
-    sum(c.cast("decimal(30,6)"))
+  import graft.functions.Fns.decSumD
 
   import Tables.load
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- A-family: aggregations -------------------------------------
-    // TPC-H Q1 shape: scan+filter+groupBy+agg (SURVEY A8/A12 analog).
-    "q1_pricing_summary" -> ((s, dir) => {
-      val li = load(s, dir, "lineitem")
-      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          decSum(col("l_quantity")).cast("double").as("sum_qty"),
-          decSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
-          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
-  )
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      // TPC-H Q1 shape: scan+filter+groupBy+agg (SURVEY A8/A12 analog).
+      "q1_pricing_summary" -> ((s, dir) => {
+        val li = load(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            decSumD(col("l_quantity")).as("sum_qty"),
+            decSumD(col("l_extendedprice")).as("sum_base_price"),
+            decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      })
+    ) ++ AggOps.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -52,5 +50,5 @@ object Queries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ AggOps.oracle
 }

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column helpers used across operator modules.
+  *
+  * Determinism discipline (the driver hash-compares values against a
+  * DuckDB oracle after stringifying):
+  *  - float aggregates go through an exact DECIMAL(30,6) cast so the sum
+  *    is order-independent and bit-identical between engines;
+  *  - ordering keys built from doubles are converted to exact integers
+  *    (the data has 2-decimal values) so min_by/max_by/arg_min ties are
+  *    impossible;
+  *  - epoch seconds are floored (Spark `unix_timestamp` truncates; the
+  *    oracle uses `floor(epoch(ts))` to match);
+  *  - dates are emitted as strings (pandas renders Spark date32 and
+  *    DuckDB DATE differently otherwise).
+  */
+object Fns {
+
+  /** Order-independent exact sum of a double column (DECIMAL path). */
+  def decSum(c: Column): Column = sum(c.cast("decimal(30,6)"))
+
+  /** decSum cast back to double — bit-identical across engines. */
+  def decSumD(c: Column): Column = decSum(c).cast("double")
+
+  /** Exact average: decimal sum / count, division done in double on
+    * identical inputs → identical bits. */
+  def decAvgD(c: Column): Column =
+    (decSum(c).cast("double") / count(lit(1))).cast("double")
+
+  /** Epoch seconds, truncated (matches DuckDB floor(epoch(ts))). */
+  def epochSec(c: Column): Column = unix_timestamp(c)
+
+  /** Seconds since midnight of a timestamp (UTC session). */
+  def secOfDay(c: Column): Column = epochSec(c) % 86400
+
+  /** Unique bigint ordering key from a 2-decimal double plus a unique id:
+    * round(value*100) is exact; id < 100000 disambiguates ties. */
+  def uniqKey(value: Column, id: Column): Column =
+    round(value * 100).cast("long") * 100000L + id
+
+  /** Ceil(seconds/60) minutes via integer arithmetic (no float div). */
+  def ceilMinutes(seconds: Column): Column =
+    ((seconds + 59L) / 60L).cast("long")
+
+  /** Stable 60-bit hash of a string: first 15 hex chars of md5, parsed
+    * base-16. DuckDB mirror: ('0x' || substr(md5(s),1,15))::BIGINT. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.functions.Fns._
+
+/** Aggregation family — SURVEY.md §2.5 (A1–A13), re-expressed over the
+  * driver's synthetic tables.
+  *
+  * Reference shapes (cited per query): duplicate-group maintenance
+  * (Cenir_DB.py:453,271,215), per-group stats (Cenir_DB.py:506-534),
+  * duration scalar-subquery min/max (Cenir_DB.py:839-868) incl. the
+  * midnight wrap (Exam_info.py:224-225), year histogram
+  * (Exam_info.py:104-114), exam splitting by date (Exam_info.py:1380-1459),
+  * first/last instance (Exam_info.py:1316-1378), stack grouping
+  * (Exam_info.py:881-922), file-size sum (Exam_info.py:895,914), and the
+  * first-row-per-group `seqname` view (cenir_view.sql:20).
+  *
+  * Scale notes: every query is a single partial+final hash aggregate (one
+  * shuffle on the group key); HAVING>1 filters ride on the aggregate, so
+  * nothing is collected to the driver. The window in a13 shuffles once on
+  * the partition key. All group keys are low-cardinality relative to rows,
+  * so map-side combine does the heavy lifting at 100 TB.
+  */
+object AggOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — duplicate groups by truncated timestamp (Cenir_DB.py:453).
+    // Hour-truncation (substr 1,13) plays the reference's substr(ts,1,19):
+    // same string-prefix bucketing, density tuned to the synthetic data.
+    "a1_dup_exam_groups" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(
+          substring(col("ts").cast("string"), 1, 13).as("ttime"),
+          col("event_type"))
+        .agg(count(lit(1)).as("doublon"))
+        .filter(col("doublon") > 1)
+        .orderBy(col("ttime"), col("event_type"))
+    }),
+
+    // A2 — duplicate groups on a composite key (Cenir_DB.py:271).
+    "a2_dup_composite_groups" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("doublon"))
+        .filter(col("doublon") > 1)
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    }),
+
+    // A3 — dup groups + per-group case analysis (Cenir_DB.py:215,223-252):
+    // are all members "the same" (distinct partkeys == members)?
+    "a3_dup_case_analysis" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("nb"),
+          countDistinct(col("l_partkey")).as("nb_distinct"))
+        .filter(col("nb") > 1)
+        .withColumn("all_distinct", col("nb_distinct") === col("nb"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A4 — per-exam series stats: count + sum (Cenir_DB.py:506-534), one
+    // pass over all groups instead of the reference's per-key re-query.
+    "a4_group_stats" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("nbs"),
+          decSumD(col("l_quantity")).as("nbd"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A5 — DISTINCT (Cenir_DB.py:550-562).
+    "a5_distinct_types" -> ((s, dir) => {
+      load(s, dir, "events").select(col("event_type")).distinct()
+        .orderBy(col("event_type"))
+    }),
+
+    // A6 — duration from first/last member (Cenir_DB.py:839-868): the
+    // reference runs min/max scalar subqueries per exam; one grouped
+    // aggregate computes every exam at once.
+    "a6_duration_minmax" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .withColumn("duration_min",
+          ceilMinutes(epochSec(col("last_ts")) - epochSec(col("first_ts"))))
+        .orderBy(col("user_id"))
+    }),
+
+    // A7 — duration with midnight wrap (Exam_info.py:224-225): start/end
+    // are seconds-of-day of the min-/max-key member; if end < start the
+    // span crossed midnight → +86400.
+    "a7_duration_midnight_wrap" -> ((s, dir) => {
+      val k = uniqKey(col("value"), col("event_id"))
+      load(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+        .agg(
+          secOfDay(min_by(col("ts"), k)).as("s1"),
+          secOfDay(max_by(col("ts"), k)).as("s2"))
+        .withColumn("dur_sec",
+          col("s2") - col("s1") + when(col("s2") < col("s1"), 86400L).otherwise(0L))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // A8 — year histogram (Exam_info.py:104-114): count + hours sum.
+    "a8_year_histogram" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decSumD(col("o_totalprice")).as("total_price"))
+        .orderBy(col("yr"))
+    }),
+
+    // A9 — split by acquisition date + intra-day bounds
+    // (Exam_info.py:1441-1456): one group per (day, type) with first/last.
+    "a9_split_by_date" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // A10 — first/last instance per stack + corrupt flag
+    // (Exam_info.py:1316-1378): min_by/max_by instead of a linear scan;
+    // flag when max instance number ≠ member count (gap detected).
+    // Ordering key is (linenumber, partkey, suppkey) packed into one
+    // bigint — linenumber alone is not unique in the synthetic data, and
+    // min_by ties are engine-nondeterministic.
+    "a10_first_last_instance" -> ((s, dir) => {
+      val k = col("l_linenumber").cast("long") * 10000000000L +
+        col("l_partkey") * 10000L + col("l_suppkey")
+      load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          min_by(col("l_partkey"), k).as("first_part"),
+          max_by(col("l_partkey"), k).as("last_part"),
+          max(col("l_linenumber")).as("max_inum"),
+          count(lit(1)).as("n_files"))
+        .withColumn("corrupt",
+          when(col("max_inum") =!= col("n_files"), lit("GAP")).otherwise(lit("")))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A11 — stack grouping by composite key → group count as dim4
+    // (Exam_info.py:881-922, dim4 :754-755).
+    "a11_stack_grouping" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("event_type"), year(col("ts")).as("yr"))
+        .agg(
+          countDistinct(col("user_id")).as("dim4"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("yr"))
+    }),
+
+    // A12 — file-size sum per container (Exam_info.py:895,914).
+    "a12_size_sum" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_chars")).as("total_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // A13 — first-row-per-group `seqname` view (cenir_view.sql:20):
+    // MySQL's implicit first row, made explicit with row_number.
+    "a13_first_row_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_dup_exam_groups" ->
+      """SELECT substr(CAST(ts AS VARCHAR),1,13) AS ttime, event_type,
+        |       COUNT(*) AS doublon
+        |FROM events GROUP BY 1,2 HAVING COUNT(*) > 1
+        |ORDER BY ttime, event_type""".stripMargin,
+
+    "a2_dup_composite_groups" ->
+      """SELECT l_partkey, l_suppkey, COUNT(*) AS doublon
+        |FROM lineitem GROUP BY 1,2 HAVING COUNT(*) > 1
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "a3_dup_case_analysis" ->
+      """SELECT l_orderkey, COUNT(*) AS nb,
+        |       COUNT(DISTINCT l_partkey) AS nb_distinct,
+        |       COUNT(DISTINCT l_partkey) = COUNT(*) AS all_distinct
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "a4_group_stats" ->
+      """SELECT l_orderkey, COUNT(*) AS nbs,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS nbd
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+
+    "a5_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "a6_duration_minmax" ->
+      """SELECT user_id,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |   - CAST(floor(epoch(MIN(ts))) AS BIGINT) + 59) // 60 AS duration_min
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "a7_duration_midnight_wrap" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(epoch(arg_min(ts, CAST(round(value*100) AS BIGINT)*100000 + event_id))) AS BIGINT) % 86400 AS s1,
+        |    CAST(floor(epoch(arg_max(ts, CAST(round(value*100) AS BIGINT)*100000 + event_id))) AS BIGINT) % 86400 AS s2
+        |  FROM events GROUP BY 1,2)
+        |SELECT user_id, day, s1, s2,
+        |       s2 - s1 + CASE WHEN s2 < s1 THEN 86400 ELSE 0 END AS dur_sec
+        |FROM g ORDER BY user_id, day""".stripMargin,
+
+    "a8_year_histogram" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "a9_split_by_date" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |       COUNT(*) AS n,
+        |       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1,2 ORDER BY day, event_type""".stripMargin,
+
+    "a10_first_last_instance" ->
+      """SELECT l_orderkey,
+        |       arg_min(l_partkey, CAST(l_linenumber AS BIGINT)*10000000000 + l_partkey*10000 + l_suppkey) AS first_part,
+        |       arg_max(l_partkey, CAST(l_linenumber AS BIGINT)*10000000000 + l_partkey*10000 + l_suppkey) AS last_part,
+        |       MAX(l_linenumber) AS max_inum, COUNT(*) AS n_files,
+        |       CASE WHEN MAX(l_linenumber) <> COUNT(*) THEN 'GAP' ELSE '' END AS corrupt
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+
+    "a11_stack_grouping" ->
+      """SELECT event_type, CAST(date_part('year', ts) AS INT) AS yr,
+        |       COUNT(DISTINCT user_id) AS dim4, COUNT(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY event_type, yr""".stripMargin,
+
+    "a12_size_sum" ->
+      """SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "a13_first_row_per_group" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY lang""".stripMargin
+  )
+}
