@@ -37,7 +37,8 @@ object Queries {
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       })
-    ) ++ AggOps.queries
+    ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
+      SetOps.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -50,5 +51,6 @@ object Queries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ AggOps.oracle
+  ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
+    SetOps.oracle
 }

@@ -19,11 +19,12 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's most load-bearing shape (Cenir_DB.py:453): duplicate
-    * groups by truncated timestamp — here over the events table.
+    * groups by truncated timestamp over the events table — 121 groups at
+    * sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    queries("q1_pricing_summary")(spark, dir)
+    queries("a1_dup_exam_groups")(spark, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.Fns._
+
+/** Join family — SURVEY.md §2.4 (J1–J10).
+  *
+  * Reference shapes: the ExamSeries view join (cenir_view.sql:8), orphan
+  * anti-join (Cenir_DB.py:596-601), the ±300 s same-day near-duplicate
+  * range self-join (do_dicom.py:61), upsert semi-probes
+  * (Cenir_DB.py:742-788), double-exam self-join (Exam_info.py:1515-1542),
+  * recup-vs-primary full-outer diff (do_dicom_compare_recup_to.py:149-260),
+  * QC resume anti-join (qcview.py:209-231), xls-review semi-join
+  * (do_dicom.py:652-676), one-pass window rewrite of the reference's N+1
+  * duplicate-group re-query (Cenir_DB.py:224,284,473), and the positional
+  * zip join (common.py:496-505).
+  *
+  * Scale notes: dimension sides (orders vs lineitem, customer manifests)
+  * are broadcast when small; the band self-join (j3) equi-prefilters on
+  * (day, type) so the range residual only runs within buckets — never a
+  * cartesian. Anti/semi joins stay hash joins on their keys; nothing is
+  * collected to the driver.
+  */
+object JoinOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — ExamSeries inner equi-join (cenir_view.sql:8). exam ≪ serie →
+    // broadcast the exam side, no shuffle of the fact table.
+    "j1_examseries_join" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderdate"), col("l_partkey"), col("l_quantity"))
+    }),
+
+    // J2 — orphan anti-join (Cenir_DB.py:596-601): rows with no match in
+    // the child table (here: customers with no URGENT order).
+    "j2_orphan_anti_join" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3 — near-duplicate band self-join (do_dicom.py:61): same day, same
+    // type, |Δt| < 300 s, distinct ids. Equi keys (day, type) keep the
+    // join hash-based; the range predicate is a residual filter.
+    "j3_band_self_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          to_date(col("ts")).as("day"), epochSec(col("ts")).as("sec"))
+      val e1 = ev.select(col("event_id").as("id_a"), col("day"),
+        col("event_type"), col("sec").as("sec_a"))
+      val e2 = ev.select(col("event_id").as("id_b"), col("day"),
+        col("event_type"), col("sec").as("sec_b"))
+      e1.join(e2, Seq("day", "event_type"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("sec_a") - col("sec_b")) < 300)
+        .select(col("id_a"), col("id_b"), col("event_type"),
+          (col("sec_b") - col("sec_a")).as("dsec"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // J4 — upsert existence probe as a semi-join (Cenir_DB.py:742-788):
+    // incoming rows that already exist in the identity set.
+    "j4_semi_probe" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J5 — double-exam self-join on (AcquisitionTime, MachineName)
+    // (Exam_info.py:1515-1542): equi self-join, pairs ordered by key.
+    "j5_double_exam_pairs" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val o1 = o.select(col("o_orderkey").as("ok_a"), col("o_custkey"),
+        col("o_orderdate"))
+      val o2 = o.select(col("o_orderkey").as("ok_b"), col("o_custkey"),
+        col("o_orderdate"))
+      o1.join(o2, Seq("o_custkey", "o_orderdate"))
+        .filter(col("ok_a") < col("ok_b"))
+        .select(col("o_custkey"), col("o_orderdate"), col("ok_a"), col("ok_b"))
+        .orderBy(col("o_custkey"), col("ok_a"), col("ok_b"))
+    }),
+
+    // J6/X4 — recup-vs-primary full-outer diff
+    // (do_dicom_compare_recup_to.py:149-260): two manifests, both-sides
+    // branches via when(isnull(...)).
+    "j6_full_outer_diff" -> ((s, dir) => {
+      val m1 = load(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k1"))
+      val m2 = load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k2")).distinct()
+      m1.join(m2, col("k1") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k1"), col("k2")).as("custkey"),
+          when(col("k1").isNull, lit("right_only"))
+            .when(col("k2").isNull, lit("left_only"))
+            .otherwise(lit("both")).as("status"))
+        .orderBy(col("custkey"))
+    }),
+
+    // J7 — QC resume anti-join (qcview.py:209-231): drop rows whose id is
+    // already in the done-set.
+    "j7_resume_anti_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val done = ev.filter(col("event_type") === "error" && col("value") > 95)
+        .select(col("user_id")).distinct()
+      ev.join(broadcast(done), Seq("user_id"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J8 — review semi-join (do_dicom.py:652-676): keep rows matched by
+    // the review sheet.
+    "j8_review_semi_join" -> ((s, dir) => {
+      val p = load(s, dir, "part")
+      val hi = load(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      p.join(hi, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J9 — duplicate-group members in one pass (replaces the reference's
+    // N+1 re-query per group, Cenir_DB.py:224): window count over the
+    // dup key, keep members of groups with count > 1.
+    "j9_dup_group_members" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = load(s, dir, "events")
+        .withColumn("ttime", substring(col("ts").cast("string"), 1, 13))
+      val w = Window.partitionBy(col("ttime"), col("event_type"))
+      keyed.withColumn("grp_n", count(lit(1)).over(w))
+        .filter(col("grp_n") > 1)
+        .select(col("event_id"), col("ttime"), col("event_type"), col("grp_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J10 — positional zip join (common.py:496-505): row_number both
+    // sides, inner join on index.
+    "j10_positional_zip" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = load(s, dir, "region")
+        .withColumn("idx", row_number().over(Window.orderBy(col("r_name"))))
+        .select(col("idx"), col("r_name"))
+      val n = load(s, dir, "nation")
+        .withColumn("idx", row_number().over(Window.orderBy(col("n_name"))))
+        .select(col("idx"), col("n_name"))
+      r.join(n, Seq("idx"))
+        .select(col("idx"), col("r_name"), col("n_name"))
+        .orderBy(col("idx"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j1_examseries_join" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, o_orderdate,
+        |       l_partkey, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "j2_orphan_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j3_band_self_join" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, a.event_type,
+        |       b.sec - a.sec AS dsec
+        |FROM e a JOIN e b
+        |  ON a.day = b.day AND a.event_type = b.event_type
+        | AND a.event_id < b.event_id AND abs(a.sec - b.sec) < 300
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "j4_semi_probe" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j5_double_exam_pairs" ->
+      """SELECT a.o_custkey, a.o_orderdate,
+        |       a.o_orderkey AS ok_a, b.o_orderkey AS ok_b
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderdate = b.o_orderdate
+        | AND a.o_orderkey < b.o_orderkey
+        |ORDER BY a.o_custkey, ok_a, ok_b""".stripMargin,
+
+    "j6_full_outer_diff" ->
+      """WITH m1 AS (SELECT c_custkey AS k1 FROM customer WHERE c_acctbal < 0),
+        |     m2 AS (SELECT DISTINCT o_custkey AS k2 FROM orders
+        |            WHERE o_orderpriority = '1-URGENT')
+        |SELECT COALESCE(k1, k2) AS custkey,
+        |       CASE WHEN k1 IS NULL THEN 'right_only'
+        |            WHEN k2 IS NULL THEN 'left_only'
+        |            ELSE 'both' END AS status
+        |FROM m1 FULL OUTER JOIN m2 ON k1 = k2
+        |ORDER BY custkey""".stripMargin,
+
+    "j7_resume_anti_join" ->
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events d
+        |  WHERE d.event_type = 'error' AND d.value > 95
+        |    AND d.user_id = e.user_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "j8_review_semi_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j9_dup_group_members" ->
+      """SELECT event_id, ttime, event_type, grp_n FROM (
+        |  SELECT event_id, substr(CAST(ts AS VARCHAR),1,13) AS ttime,
+        |         event_type,
+        |         COUNT(*) OVER (PARTITION BY substr(CAST(ts AS VARCHAR),1,13),
+        |                        event_type) AS grp_n
+        |  FROM events) t
+        |WHERE grp_n > 1 ORDER BY event_id""".stripMargin,
+
+    "j10_positional_zip" ->
+      """WITH r AS (SELECT row_number() OVER (ORDER BY r_name) AS idx, r_name
+        |           FROM region),
+        |     n AS (SELECT row_number() OVER (ORDER BY n_name) AS idx, n_name
+        |           FROM nation)
+        |SELECT r.idx AS idx, r_name, n_name FROM r JOIN n ON r.idx = n.idx
+        |ORDER BY idx""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Set-operation family (SURVEY.md §2.7 X1–X5) and projection/filter
+  * family (§2.3 P1–P9).
+  *
+  * Reference shapes: union of scan roots (Exam_info.py:50,97), DB-vs-disk
+  * anti-join reconciliation (Cenir_DB.py:171-206), QC intersect-guard
+  * (qcview.py:209-231), the WHERE-predicate surface (Cenir_DB.py:224,284;
+  * do_results_DB.py:91), and the year filter (do_dicom.py:61,
+  * Cenir_DB.py:421).
+  */
+object SetOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 — union of scan roots (Exam_info.py:50,97): two filtered scans
+    // unioned then aggregated; Catalyst collapses to one scan per branch.
+    "x1_union_roots" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("event_type"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("event_type"))
+      a.union(b)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // X2 — DB-vs-disk anti-join (Cenir_DB.py:171-187): catalog rows whose
+    // counterpart is absent from the "disk" manifest.
+    "x2_db_disk_anti" -> ((s, dir) => {
+      val p = load(s, dir, "part")
+      val disk = load(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      p.join(disk, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // X5 — intersect guard (qcview.py:209-231): ids present in BOTH sets.
+    "x5_intersect_guard" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val a = ev.filter(col("event_type") === "signup" && col("value") > 95)
+        .select(col("user_id")).distinct()
+      val b = ev.filter(col("event_type") === "error" && col("value") > 95)
+        .select(col("user_id")).distinct()
+      a.intersect(b).orderBy(col("user_id"))
+    }),
+
+    // P3/P1 — predicate + projection surface (Cenir_DB.py:224,284): LIKE,
+    // BETWEEN, regexp extraction from a semi-structured text column.
+    "p3_predicate_filters" -> ((s, dir) => {
+      load(s, dir, "events")
+        .filter(col("event_type").like("c%") &&
+          col("value").between(10, 90) &&
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int") > 50)
+        .select(col("event_id"), col("event_type"), col("value"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P8 — year filter (do_dicom.py:61): substr-year predicate.
+    "p8_year_filter" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_union_roots" ->
+      """SELECT event_type, COUNT(*) AS n FROM (
+        |  SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events WHERE event_type = 'error') t
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "x2_db_disk_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "x5_intersect_guard" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'signup' AND value > 95
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'error' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+
+    "p3_predicate_filters" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k
+        |FROM events
+        |WHERE event_type LIKE 'c%' AND value BETWEEN 10 AND 90
+        |  AND CAST(regexp_extract(props, '(\d+)', 1) AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "p8_year_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE date_part('year', o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  )
+}

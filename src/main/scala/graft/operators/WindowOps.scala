@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.functions.Fns._
+
+/** Window family — SURVEY.md §2.6 (W1–W7).
+  *
+  * Reference shapes: keep-latest-by-mtime dedup (Cenir_DB.py:300-301,
+  * 502-503), alphabetical first/last file (Exam_info.py:1222-1240),
+  * paired-rows iteration made explicit with lead() (do_dicom.py:66-84),
+  * and the early-exit max-instance scan replaced by max_by
+  * (Exam_info.py:1269-1282).
+  *
+  * Scale notes: each window partitions by a real key (user_id,
+  * event_type) so the sort is per-partition after one hash shuffle —
+  * no global sort, no driver collect.
+  */
+object WindowOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 — keep latest row per key (Cenir_DB.py:300-301): row_number
+    // descending over (ts, event_id), keeper = rn 1.
+    "w1_keep_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W4 — alphabetical first/last member per group (Exam_info.py:1222).
+    "w4_minmax_alpha" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("props")).as("first_prop"),
+          max(col("props")).as("last_prop"))
+        .orderBy(col("event_type"))
+    }),
+
+    // W6 — paired rows via lead() (do_dicom.py:66-84): successor gap per
+    // user; the reference's fragile rows[k],rows[k+1] loop made explicit.
+    "w6_lead_pairs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .withColumn("next_sec", lead(epochSec(col("ts")), 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("next_id"),
+          (col("next_sec") - epochSec(col("ts"))).as("gap_sec"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W7 — max-instance scan via max_by (Exam_info.py:1269-1282); the
+    // unique packed key makes the argmax deterministic under value ties.
+    "w7_max_by_scan" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("event_id"),
+          uniqKey(col("value"), col("event_id"))).as("max_value_event"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_keep_latest" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w4_minmax_alpha" ->
+      """SELECT event_type, MIN(props) AS first_prop, MAX(props) AS last_prop
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "w6_lead_pairs" ->
+      """SELECT event_id, user_id, next_id, next_sec - sec AS gap_sec FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+        |  FROM events) t
+        |WHERE next_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "w7_max_by_scan" ->
+      """SELECT event_type,
+        |  arg_max(event_id, CAST(round(value*100) AS BIGINT)*100000 + event_id)
+        |    AS max_value_event
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}
