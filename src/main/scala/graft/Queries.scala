@@ -38,7 +38,8 @@ object Queries {
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       })
     ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
-      SetOps.queries
+      SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ MultimodalOps.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -52,5 +53,6 @@ object Queries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
-    SetOps.oracle
+    SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
+    TextOps.oracle ++ MultimodalOps.oracle
 }

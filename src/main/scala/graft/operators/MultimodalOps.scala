@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The real decode step (image/audio libs) is STUBBED — this container
+  * ships no codecs — but the Spark-side plumbing is real: BinaryType
+  * columns, per-payload metadata extraction (byte length, content hash,
+  * deterministic fake "header decode"), and a base64 frame-sample. The
+  * reference's analog is the DICOM byte-sniff + header-only read
+  * (Exam_info.py:1673-1679, stop_before_pixels Exam_info.py:130).
+  *
+  * At 100 TB the payload column never moves through a shuffle here:
+  * everything is a projection over the scan, and only the small derived
+  * metadata survives into downstream plans.
+  */
+object MultimodalOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary metadata extraction over a BinaryType payload column.
+    // "width"/"height" are the deterministic fake decode: two bytes of
+    // the payload interpreted as dimensions (stands in for an image
+    // header parse; see the STUB note above).
+    "m1_binary_meta" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_hash"),
+          expr("ascii(substring(text, 1, 1)) % 64 + 1").as("fake_width"),
+          expr("ascii(substring(text, 2, 1)) % 64 + 1").as("fake_height"),
+          base64(substring(col("text"), 1, 12).cast("binary"))
+            .as("head_b64"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  ord(substr(text, 1, 1)) % 64 + 1 AS fake_width,
+        |  ord(substr(text, 2, 1)) % 64 + 1 AS fake_height,
+        |  to_base64(encode(substr(text, 1, 12))) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

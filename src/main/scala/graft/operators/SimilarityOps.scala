@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * v1 is the exact baseline: brute-force cosine top-k for a query set,
+  * computed with higher-order expressions (zip_with dot product, strict
+  * left-fold accumulation so the float result is deterministic).
+  * v2 is the scale path: sign-bucket LSH (axis hyperplanes on the first
+  * 4 dims → 16 buckets); candidates are co-bucketed only, so the join
+  * shuffles on the bucket key instead of building a cross product.
+  *
+  * Determinism: similarities are computed in double and rounded to 6
+  * decimals before ranking, with vec_id as tiebreak — engine-level
+  * float-accumulation differences (≪1e-9) cannot reorder ranks.
+  */
+object SimilarityOps {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+
+  private val simExpr =
+    "round(aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (a,x) -> a+x) / (nrm_a * nrm_b), 6)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 for query vectors vec_id < 20. The query
+    // side is broadcast; the corpus side streams — at 100 TB this is the
+    // "small query batch vs big corpus" shape.
+    "v1_ann_bruteforce" -> ((s, dir) => {
+      val e = withNorm(load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("va"),
+          col("nrm").as("nrm_a"))
+      val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"),
+        col("nrm").as("nrm_b"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("r", expr(simExpr))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // Sign-bucket LSH: bucket = sign bits of dims 1-4; top-3 within the
+    // query's bucket. The equi-join on bucket replaces the cross join —
+    // this is the partition-local candidate generation that survives
+    // scale-up (IVF-style, with buckets as the shuffle key).
+    "v2_ann_bucketed" -> ((s, dir) => {
+      val bucketExpr =
+        """(if(element_at(embedding,1) > 0F, 8, 0) +
+          | if(element_at(embedding,2) > 0F, 4, 0) +
+          | if(element_at(embedding,3) > 0F, 2, 0) +
+          | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
+      val e = withNorm(load(s, dir, "embeddings"))
+        .withColumn("bucket", expr(bucketExpr))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("bucket"),
+          col("v").as("va"), col("nrm").as("nrm_a"))
+      val c = e.select(col("vec_id").as("n_id"), col("bucket"),
+        col("v").as("vb"), col("nrm").as("nrm_b"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("r", expr(simExpr))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+        |        round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
+        |              / (q.nrm * t.nrm), 6) AS r
+        |      FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+        |SELECT q_id, rk, n_id, r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY r DESC, n_id) AS rk FROM p) s
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "v2_ann_bucketed" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v,
+        |             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |              + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |              + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |              + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)
+        |               AS bucket
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, bucket, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+        |        round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
+        |              / (q.nrm * t.nrm), 6) AS r
+        |      FROM n q JOIN n t ON q.bucket = t.bucket
+        |      WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+        |SELECT q_id, rk, n_id, r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY r DESC, n_id) AS rk FROM p) s
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Text-analysis suite over `documents`: corpus stats, token counting,
+  * a lang-ID n-gram/stopword heuristic, quality scoring, and document
+  * fingerprinting. Generalizes the reference's string-derivation layer
+  * (sanitizers do_common.py:238-329, SeqType classifier when-chains
+  * Exam_info.py:293-344) to corpus-scale text features.
+  *
+  * Everything is a single projection (whole-stage codegen) or one hash
+  * aggregate — no UDFs, no shuffles beyond the group key.
+  */
+object TextOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus stats per language: counts + exact char sums + avg.
+    "t1_lang_stats" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Whitespace token count per document.
+    "t2_token_count" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lang-ID heuristic: stopword hits ('the'/'a' density) → predicted
+    // class, compared against the labeled lang column.
+    "t3_lang_id" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> t = 'the' OR t = 'a'))"))
+        .withColumn("pred_lang",
+          when(col("n_stop") >= 3, lit("en")).otherwise(lit("other")))
+        .select(col("doc_id"), col("n_stop"), col("pred_lang"), col("lang"),
+          (col("pred_lang") === col("lang")).as("agree"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token stats + a when-chain bucket (the SeqType
+    // classifier shape, Exam_info.py:293-344).
+    "t4_quality_score" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("body_chars",
+          length(regexp_replace(col("text"), " ", "")))
+        .withColumn("avg_tok_len",
+          col("body_chars").cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          when(col("avg_tok_len") >= 5, lit("hi"))
+            .when(col("avg_tok_len") >= 4, lit("mid"))
+            .otherwise(lit("lo")))
+        .select(col("doc_id"), col("n_tokens"), col("body_chars"),
+          col("avg_tok_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: md5 of the whitespace-normalized lowercase
+    // text (the voxel-hash equality idea, do_dicom_compare_recup_to
+    // .py:234-243, applied to text).
+    "t5_fingerprint" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))
+            .cast("binary")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |         AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "t2_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """SELECT doc_id,
+        |  len([t for t in string_split(text, ' ')
+        |       if t = 'the' OR t = 'a']) AS n_stop,
+        |  CASE WHEN len([t for t in string_split(text, ' ')
+        |                 if t = 'the' OR t = 'a']) >= 3
+        |       THEN 'en' ELSE 'other' END AS pred_lang,
+        |  lang,
+        |  (CASE WHEN len([t for t in string_split(text, ' ')
+        |                  if t = 'the' OR t = 'a']) >= 3
+        |        THEN 'en' ELSE 'other' END) = lang AS agree
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_quality_score" ->
+      """SELECT doc_id, n_tokens, body_chars,
+        |       CAST(body_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+        |       CASE WHEN CAST(body_chars AS DOUBLE) / n_tokens >= 5 THEN 'hi'
+        |            WHEN CAST(body_chars AS DOUBLE) / n_tokens >= 4 THEN 'mid'
+        |            ELSE 'lo' END AS quality
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |             length(replace(text, ' ', '')) AS body_chars
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t5_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |         AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
