@@ -39,7 +39,8 @@ object Queries {
       })
     ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ MultimodalOps.queries
+      TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
+      graft.streaming.EventStream.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -54,5 +55,6 @@ object Queries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-    TextOps.oracle ++ MultimodalOps.oracle
+    TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
+    graft.streaming.EventStream.oracle
 }

@@ -36,9 +36,22 @@ object DedupOps {
   private val hashes28Expr =
     "transform(shingles, s -> cast(conv(substr(md5(cast(s as binary)),1,7),16,10) as bigint))"
 
+  /** Let-binding at the expression level: evaluates `value` ONCE per row
+    * and binds it as lambda variable `name` inside `body`. Without this,
+    * projection collapse inlines an expensive array expression into a
+    * downstream lambda and re-evaluates it on every lambda iteration
+    * (observed: the 128-perm minhash recomputed its 300 md5 shingle
+    * hashes inside every permutation — a ~128× blowup). */
+  private def bindOnce(value: String, name: String, body: String): String =
+    s"aggregate(array(1), $value, (acc_$name, ig_$name) -> acc_$name, $name -> $body)"
+
+  /** Docs repartitioned BEFORE the heavy per-doc expressions: the
+    * single-file parquet scan is one partition, and signature math must
+    * run on all cores (and, on a cluster, all executors). */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .withColumn("shingles", expr(shinglesExpr))
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
@@ -79,17 +92,19 @@ object DedupOps {
     // output equals the exact-threshold oracle.
     "d2_minhash_lsh" -> ((s, dir) => {
       val sh = docsWithShingles(s, dir)
-      val sig = sh
-        .withColumn("x28", expr(hashes28Expr))
-        .withColumn("sig", expr(
+      // hashes → signature → band keys in ONE projection, each layer
+      // bound once per row (see bindOnce).
+      val bandsExpr = bindOnce(hashes28Expr, "xs",
+        bindOnce(
           """transform(sequence(0,127), j ->
-            |  array_min(transform(x28, x ->
-            |    pmod((2*j+1)*x + (j*j+7919), 2147483647))))""".stripMargin))
-        .select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0,15), b ->
-              |  md5(cast(array_join(slice(sig, b*8+1, 8), ',') as binary)))"""
-              .stripMargin)).as(Seq("band", "band_key")))
+            |  array_min(transform(xs, x ->
+            |    pmod((2*j+1)*x + (j*j+7919), 2147483647))))""".stripMargin,
+          "sig",
+          """transform(sequence(0,15), b ->
+            |  md5(cast(array_join(slice(sig, b*8+1, 8), ',') as binary)))"""
+            .stripMargin))
+      val sig = sh.select(col("doc_id"),
+        posexplode(expr(bandsExpr)).as(Seq("band", "band_key")))
       val cands = sig.as("l").join(sig.as("r"),
           col("l.band") === col("r.band") &&
           col("l.band_key") === col("r.band_key") &&
@@ -104,14 +119,18 @@ object DedupOps {
     // Hamming ≤ 9), verified with bit_count(xor) ≤ 6. Oracle recomputes
     // the identical integer-only signature in SQL — no float anywhere.
     "d3_simhash_hamming" -> ((s, dir) => {
+      // signature computed once per row via bindOnce; the cheap band
+      // slicing then references the bound value.
+      val simExpr = bindOnce(hashesExpr, "hs",
+        """aggregate(sequence(0,59), 0L, (acc, b) -> acc +
+          |  if(aggregate(hs, 0L, (c, x) ->
+          |       c + if((shiftright(x, b) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, b), 0L))""".stripMargin)
       val sim = docsWithShingles(s, dir)
-        .withColumn("hashes", expr(hashesExpr))
-        .withColumn("sim", expr(
-          """aggregate(sequence(0,59), 0L, (acc, b) -> acc +
-            |  if(aggregate(hashes, 0L, (c, x) ->
-            |       c + if((shiftright(x, b) & 1) = 1, 1L, -1L)) > 0,
-            |     shiftleft(1L, b), 0L))""".stripMargin))
-        .select(col("doc_id"), col("sim"))
+        .select(col("doc_id"), expr(simExpr).as("sim"))
+        // barrier: keep the signature from being inlined (and thus
+        // recomputed) into the band explode below
+        .repartition(col("doc_id"))
       val banded = sim.select(col("doc_id"), col("sim"),
         posexplode(expr(
           "transform(sequence(0,9), b -> shiftright(sim, b*6) & 63)"))

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables.load
+
+/** MERGE upsert — the reference's main sink (K3/K5/J4):
+  * insert-if-new, compare-and-update-if-changed, keep otherwise
+  * (update_exam_sql_db, Cenir_DB.py:62-135), with an exclude-list for
+  * the change comparison (Cenir_DB.py:97) and tolerant float equality
+  * via round(x*1e5) (Cenir_DB.py:938).
+  *
+  * Spark-first shape: ONE full-outer join of incoming batch vs existing
+  * rows on the identity key, then a columnar when() branch per field —
+  * the reference's per-row probe loop (N+1 SELECTs) becomes a single
+  * shuffle on the key. Idempotence (merge(merge(db,b),b) == merge(db,b))
+  * is property-tested in MergeSpec.
+  */
+object MergeOps {
+
+  /** Generic MERGE: returns db upserted with batch.
+    *
+    * @param exclude columns ignored by the change comparison (still
+    *                taken from the batch side when a row is updated)
+    */
+  def merge(db: DataFrame, batch: DataFrame, key: String,
+      exclude: Seq[String] = Nil): DataFrame = {
+    val cols = db.columns.toSeq
+    val cmpCols = cols.filterNot(c => c == key || exclude.contains(c))
+    val d = db.select(cols.map(c => col(c).as(s"d_$c")): _*)
+    val b = batch.select(cols.map(c => col(c).as(s"b_$c")): _*)
+
+    def cmp(c: String): Column = {
+      val (l, r) = (col(s"d_$c"), col(s"b_$c"))
+      db.schema(c).dataType match {
+        // reference float equality: round(x*1e5) (Cenir_DB.py:938)
+        case DoubleType => round(l * 1e5) <=> round(r * 1e5)
+        case _          => l <=> r
+      }
+    }
+    val unchanged = cmpCols.map(cmp).reduce(_ && _)
+
+    val joined = d.join(b, col(s"d_$key") === col(s"b_$key"), "full_outer")
+    val status = when(col(s"d_$key").isNull, lit("inserted"))
+      .when(col(s"b_$key").isNull, lit("kept"))
+      .when(unchanged, lit("kept"))
+      .otherwise(lit("updated"))
+    val takeBatch = col(s"d_$key").isNull ||
+      (col(s"b_$key").isNotNull && !unchanged)
+    val out = cols.map { c =>
+      when(takeBatch, col(s"b_$c")).otherwise(col(s"d_$c")).as(c)
+    } :+ status.as("merge_status")
+    joined.select(out: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K3/K5 — MERGE over orders: batch = modified rows (price bump),
+    // untouched rows, and brand-new keys; o_orderdate is on the
+    // exclude-list (the reference excludes AcqTime-like fields).
+    "k3_merge_upsert" -> ((s, dir) => {
+      val db = load(s, dir, "orders")
+      val changed = db.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val same = db.filter(col("o_orderkey") % 10 === 1)
+      val fresh = db.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+      val batch = changed.union(same).union(fresh)
+      merge(db, batch, "o_orderkey", exclude = Seq("o_orderdate"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("merge_status"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k3_merge_upsert" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 2),
+        |j AS (
+        |  SELECT d.o_orderkey AS dk, b.o_orderkey AS bk,
+        |    d.o_custkey AS dc, b.o_custkey AS bc,
+        |    d.o_orderstatus AS ds, b.o_orderstatus AS bs,
+        |    d.o_totalprice AS dp, b.o_totalprice AS bp,
+        |    d.o_orderpriority AS dpr, b.o_orderpriority AS bpr,
+        |    (d.o_custkey IS NOT DISTINCT FROM b.o_custkey
+        |     AND d.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+        |     AND round(d.o_totalprice*100000) IS NOT DISTINCT FROM round(b.o_totalprice*100000)
+        |     AND d.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+        |      AS unchanged
+        |  FROM orders d FULL OUTER JOIN b ON d.o_orderkey = b.o_orderkey)
+        |SELECT
+        |  COALESCE(CASE WHEN dk IS NULL OR (bk IS NOT NULL AND NOT unchanged)
+        |                THEN bk ELSE dk END, dk, bk) AS o_orderkey,
+        |  CASE WHEN dk IS NULL OR (bk IS NOT NULL AND NOT unchanged)
+        |       THEN bc ELSE dc END AS o_custkey,
+        |  CASE WHEN dk IS NULL OR (bk IS NOT NULL AND NOT unchanged)
+        |       THEN bp ELSE dp END AS o_totalprice,
+        |  CASE WHEN dk IS NULL OR (bk IS NOT NULL AND NOT unchanged)
+        |       THEN bpr ELSE dpr END AS o_orderpriority,
+        |  CASE WHEN dk IS NULL THEN 'inserted'
+        |       WHEN bk IS NULL THEN 'kept'
+        |       WHEN unchanged THEN 'kept'
+        |       ELSE 'updated' END AS merge_status
+        |FROM j ORDER BY o_orderkey""".stripMargin
+  )
+}

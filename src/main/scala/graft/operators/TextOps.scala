@@ -78,6 +78,19 @@ object TextOps {
           md5(lower(regexp_replace(col("text"), "\\s+", " "))
             .cast("binary")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sanitizer chain applied to a deliberately dirty composite string
+    // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
+    // and non-word chars to '_', runs collapsed, edges trimmed.
+    "t6_sanitize" -> ((s, dir) => {
+      import graft.functions.Sanitizers.alphaNumStr
+      load(s, dir, "documents")
+        .withColumn("dirty",
+          concat(substring(col("text"), 1, 30), lit(" Pâtient/Nr° "),
+            col("source")))
+        .select(col("doc_id"), alphaNumStr(col("dirty")).as("clean"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -120,6 +133,19 @@ object TextOps {
     "t5_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
         |         AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_sanitize" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(
+        |      translate(substr(text,1,30) || ' Pâtient/Nr° ' || source,
+        |                'éèêëàâäôöîïûüùçµ', 'eeeeaaaooiiuuucm'),
+        |      '/', '_', 'g'),
+        |    '[^\x00-\x7F]', '', 'g'),
+        |    '[^A-Za-z0-9_]', '_', 'g'),
+        |    '_+', '_', 'g'),
+        |    '^_|_$', '', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOps.merge
+
+/** MERGE semantics (Cenir_DB.py:62-135 shape): unit cases for
+  * insert/update/keep branches, exclude-list behavior, the reference's
+  * round(x*1e5) float tolerance, and the idempotence property the
+  * reference needed `--twice` to approximate. */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def db = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "price")
+
+  test("insert, update, keep branches") {
+    val batch = Seq(
+      (2L, "b", 99.0),   // changed → updated
+      (3L, "c", 30.0),   // identical → kept
+      (4L, "d", 40.0)    // new → inserted
+    ).toDF("id", "name", "price")
+    val out = merge(db, batch, "id").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "kept"), (2L, 99.0, "updated"),
+      (3L, 30.0, "kept"), (4L, 40.0, "inserted")))
+  }
+
+  test("exclude-list fields do not trigger updates") {
+    val batch = Seq((1L, "CHANGED", 10.0)).toDF("id", "name", "price")
+    val out = merge(db, batch, "id", exclude = Seq("name"))
+      .filter(col("id") === 1).head
+    assert(out.getString(3) == "kept")
+    assert(out.getString(1) == "a") // kept row retains db values
+  }
+
+  test("float equality tolerance: round(x*1e5)") {
+    val batch = Seq((1L, "a", 10.000000004)).toDF("id", "name", "price")
+    val out = merge(db, batch, "id").filter(col("id") === 1).head
+    assert(out.getString(3) == "kept") // sub-1e-5 drift is "unchanged"
+  }
+
+  test("idempotence: merge(merge(db,b),b) == merge(db,b)") {
+    // deterministic property sweep: random batches, fixed seed
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val rows = List.fill(6)((
+        1L + rnd.nextInt(8),
+        Seq("a", "b", "c")(rnd.nextInt(3)),
+        rnd.nextInt(50).toDouble
+      )).distinctBy(_._1) // one row per key within a batch
+      val b = rows.toDF("id", "name", "price")
+      val once = merge(db, b, "id").drop("merge_status")
+      val twice = merge(once, b, "id").drop("merge_status")
+      val a1 = once.orderBy("id").collect().toSeq
+      val a2 = twice.orderBy("id").collect().toSeq
+      assert(a1 == a2, s"not idempotent for batch $rows")
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every registered query runs end-to-end at sf0.001, returns a
+  * deterministic non-degenerate result, and every oracle entry points at
+  * a real query. The value-level gate is the driver's DuckDB compare
+  * (tools/check.py); this suite catches breakage cheaply in `sbt test`. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Queries whose correct result can legitimately be empty at sf0.001.
+  private val mayBeEmpty = Set[String]()
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query has an oracle (full correctness coverage)") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracle: $unchecked")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 and is stable") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty && df.columns.distinct.length ==
+        df.columns.length, s"$name has duplicate column names")
+      assert(fn(spark, sfDir).count() == n, s"$name is nondeterministic")
+    }
+  }
+
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.EventStream
+
+case class TestEvent(event_id: Long, ts: Timestamp, event_type: String,
+  value: Double)
+
+/** Structured Streaming layer: the streaming tumbling-window aggregate
+  * must agree with its batch form on identical input, and watermarked
+  * dropDuplicates must absorb late duplicate event_ids (the reference's
+  * idempotent re-ingest, SURVEY §2.9). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    TestEvent(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+    TestEvent(2, ts("2024-01-01 10:20:00"), "click", 2.0),
+    TestEvent(3, ts("2024-01-01 10:45:00"), "view", 3.0),
+    TestEvent(4, ts("2024-01-01 11:10:00"), "click", 4.0),
+    TestEvent(2, ts("2024-01-01 10:20:00"), "click", 2.0), // late duplicate
+    TestEvent(5, ts("2024-01-01 11:40:00"), "view", 5.0))
+
+  test("streaming hourly counts == batch hourly counts after dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.hourlyCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+
+    val batch = EventStream.hourlyCountsBatch(
+        events.toDF().dropDuplicates("event_id"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("incrementalSince prunes to the watermark cutoff") {
+    import spark.implicits._
+    val out = EventStream.incrementalSince(events.toDF(),
+      "2024-01-01 11:00:00")
+    assert(out.select("event_id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+}
