@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.{CosineSim, MinHashSig, ShingleHash64, SimHash60}
+
+/** Session extension registering graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` for users
+  *    launching their own session;
+  *  - [[GraftFunctions.register]] for an already-running session (the
+  *    driver hands us its session — queries call this lazily).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es.head)),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)),
+    (FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
+      (es: Seq[Expression]) => ShingleHash64(es.head)))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

@@ -40,7 +40,7 @@ object Queries {
     ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
-      graft.streaming.EventStream.queries
+      DeriveOps.queries ++ graft.streaming.EventStream.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -56,5 +56,5 @@ object Queries {
   ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
-    graft.streaming.EventStream.oracle
+    DeriveOps.oracle ++ graft.streaming.EventStream.oracle
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftFunctions
 import graft.Tables.load
 
 /** Deduplication suite for large-scale training-data pipelines: exact
@@ -32,18 +33,33 @@ object DedupOps {
   private val hashesExpr =
     "transform(shingles, s -> cast(conv(substr(md5(cast(s as binary)),1,15),16,10) as bigint))"
 
-  /** 28-bit variant for overflow-safe minhash permutations. */
-  private val hashes28Expr =
-    "transform(shingles, s -> cast(conv(substr(md5(cast(s as binary)),1,7),16,10) as bigint))"
-
-  /** Let-binding at the expression level: evaluates `value` ONCE per row
-    * and binds it as lambda variable `name` inside `body`. Without this,
-    * projection collapse inlines an expensive array expression into a
-    * downstream lambda and re-evaluates it on every lambda iteration
-    * (observed: the 128-perm minhash recomputed its 300 md5 shingle
-    * hashes inside every permutation — a ~128× blowup). */
-  private def bindOnce(value: String, name: String, body: String): String =
-    s"aggregate(array(1), $value, (acc_$name, ig_$name) -> acc_$name, $name -> $body)"
+  /** LSH pair generation without a self-join: group the banded rows by
+    * bucket key, collect each bucket's members once, and emit ordered
+    * pairs from the (small) postings list. A self-join would duplicate
+    * the whole signature-computation subtree on both sides of the join;
+    * this computes signatures once and shuffles only (bucket_key, id).
+    *
+    * @param maxBucket drop buckets larger than this (rare-token
+    *                  blocking: a bucket shared by "everyone" carries no
+    *                  signal and would blow up quadratically)
+    */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int = Int.MaxValue, minCoBuckets: Int = 1): DataFrame = {
+    val pairsExpr =
+      """filter(flatten(transform(ids, a -> transform(ids, b ->
+        |  struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)"""
+        .stripMargin
+    val pairs = banded.groupBy(keys.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    if (minCoBuckets <= 1) pairs.distinct()
+    else pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCoBuckets)
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   /** Docs repartitioned BEFORE the heavy per-doc expressions: the
     * single-file parquet scan is one partition, and signature math must
@@ -53,6 +69,16 @@ object DedupOps {
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("shingles", expr(shinglesExpr))
+
+  /** Hash-based shingle variant (array<long> via shingle_hash64):
+    * identical Jaccard modulo 64-bit collisions, far cheaper to compute,
+    * shuffle, and intersect than string arrays. */
+  private def docsWithHashedShingles(s: SparkSession, dir: String)
+      : DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .withColumn("shingles", expr("shingle_hash64(text)"))
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection. */
@@ -85,33 +111,22 @@ object DedupOps {
         .orderBy(col("keeper_id"))
     }),
 
-    // MinHash + LSH: 128 permutations over 28-bit shingle hashes,
-    // banded 16×8; candidates from a self-join on (band, band_key);
-    // exact-Jaccard verification on candidates only. At 16 bands of 8
-    // rows the false-negative probability at j≥0.9 is ~1e-10, so the
-    // output equals the exact-threshold oracle.
+    // MinHash + LSH: native shingle hashing (shingle_hash64, one codegen
+    // pass, no string allocation) → native 128-perm signature
+    // (MinHashSig) → 16 bands of 8, the band slice itself as the bucket
+    // key; candidates from bucket-collect; exact-Jaccard verification on
+    // hashed shingle sets. At 16 bands of 8 rows the false-negative
+    // probability at j≥0.9 is ~1e-10, so the output equals the
+    // exact-threshold oracle.
     "d2_minhash_lsh" -> ((s, dir) => {
-      val sh = docsWithShingles(s, dir)
-      // hashes → signature → band keys in ONE projection, each layer
-      // bound once per row (see bindOnce).
-      val bandsExpr = bindOnce(hashes28Expr, "xs",
-        bindOnce(
-          """transform(sequence(0,127), j ->
-            |  array_min(transform(xs, x ->
-            |    pmod((2*j+1)*x + (j*j+7919), 2147483647))))""".stripMargin,
-          "sig",
-          """transform(sequence(0,15), b ->
-            |  md5(cast(array_join(slice(sig, b*8+1, 8), ',') as binary)))"""
-            .stripMargin))
-      val sig = sh.select(col("doc_id"),
-        posexplode(expr(bandsExpr)).as(Seq("band", "band_key")))
-      val cands = sig.as("l").join(sig.as("r"),
-          col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      verifyJaccard(cands, sh, 0.8)
+      GraftFunctions.register(s)
+      val sh = docsWithHashedShingles(s, dir)
+      val banded = sh.select(col("doc_id"),
+        expr("minhash_sig(shingles)").as("sig"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
+          .as(Seq("band", "band_key")))
+      verifyJaccard(bucketPairs(banded, Seq("band", "band_key")), sh, 0.8)
     }),
 
     // SimHash: 60-bit signature (majority vote per bit over shingle
@@ -119,30 +134,26 @@ object DedupOps {
     // Hamming ≤ 9), verified with bit_count(xor) ≤ 6. Oracle recomputes
     // the identical integer-only signature in SQL — no float anywhere.
     "d3_simhash_hamming" -> ((s, dir) => {
-      // signature computed once per row via bindOnce; the cheap band
-      // slicing then references the bound value.
-      val simExpr = bindOnce(hashesExpr, "hs",
-        """aggregate(sequence(0,59), 0L, (acc, b) -> acc +
-          |  if(aggregate(hs, 0L, (c, x) ->
-          |       c + if((shiftright(x, b) & 1) = 1, 1L, -1L)) > 0,
-          |     shiftleft(1L, b), 0L))""".stripMargin)
+      GraftFunctions.register(s)
+      // md5-based 60-bit element hashes (must match the oracle's hash)
+      // feed the native SimHash60 majority-vote signature; banding on
+      // 10×6-bit slices, pairs from bucket-collect, Hamming verify.
       val sim = docsWithShingles(s, dir)
-        .select(col("doc_id"), expr(simExpr).as("sim"))
-        // barrier: keep the signature from being inlined (and thus
-        // recomputed) into the band explode below
-        .repartition(col("doc_id"))
-      val banded = sim.select(col("doc_id"), col("sim"),
+        .select(col("doc_id"), expr(s"simhash60($hashesExpr)").as("sim"))
+      val banded = sim.select(
+        struct(col("doc_id"), col("sim")).as("doc_id"), // pair payload
+        // 7 bands × 8 bits: pigeonhole-exact for Hamming ≤ 6 (≤6 flips
+        // hit ≤6 of the 7 covered bands; flips in the 4 uncovered top
+        // bits never break a band match), with 256-way buckets.
         posexplode(expr(
-          "transform(sequence(0,9), b -> shiftright(sim, b*6) & 63)"))
+          "transform(sequence(0,6), b -> shiftright(sim, b*8) & 255)"))
           .as(Seq("band", "band_val")))
-      val cands = banded.as("l").join(banded.as("r"),
-          col("l.band") === col("r.band") &&
-          col("l.band_val") === col("r.band_val") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
-        .distinct()
-      cands.filter(col("hamming") <= 6)
+      bucketPairs(banded, Seq("band", "band_val"))
+        .select(col("doc_a.doc_id").as("doc_a"),
+          col("doc_b.doc_id").as("doc_b"),
+          bit_count(col("doc_a.sim").bitwiseXOR(col("doc_b.sim")))
+            .as("hamming"))
+        .filter(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -150,23 +161,26 @@ object DedupOps {
     // (document frequency ≤ 10 — the classic rare-token inverted
     // index), exact trigram-Jaccard ≥ 0.7 on candidates.
     "d4_ngram_jaccard" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val tg = load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .withColumn("shingles", expr(
-          """array_distinct(transform(sequence(1, size(w)-2), i ->
+          """transform(array_distinct(transform(sequence(1, size(w)-2), i ->
             |  concat_ws(' ', element_at(w,i), element_at(w,i+1),
-            |            element_at(w,i+2))))""".stripMargin))
+            |            element_at(w,i+2)))), t -> xxhash64(t))"""
+            .stripMargin))
         .select(col("doc_id"), col("shingles"))
-      val inv = tg.select(col("doc_id"), explode(col("shingles")).as("t"))
-      val rare = inv.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 10).select(col("t"))
-      val rareInv = inv.join(broadcast(rare), "t")
-      val cands = rareInv.as("l").join(rareInv.as("r"),
-          col("l.t") === col("r.t") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-      verifyJaccard(cands, tg, 0.7)
+      // rare-token inverted index: group each hashed trigram's postings,
+      // df ≤ 10 bounds the per-bucket pair blowup, and candidates must
+      // share ≥ 2 rare trigrams (a j≥0.7 pair shares dozens) — pairs
+      // come from the postings list, no self-join.
+      val inv = tg.select(col("doc_id"),
+        explode(col("shingles")).as("band_key"))
+      verifyJaccard(
+        bucketPairs(inv, Seq("band_key"), maxBucket = 10, minCoBuckets = 2),
+        tg, 0.7)
     })
   )
 

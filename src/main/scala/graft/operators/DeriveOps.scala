@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.functions.Derivations
+
+/** End-to-end check of the derivation when-chains (§2.8): synthesizes
+  * reference-shaped inputs (machine names, protocol descriptions,
+  * sequence names) deterministically from the events table, applies
+  * [[Derivations]], and aggregates. The oracle replays the same CASE
+  * chains in SQL — so the chain ORDER (first-match-wins) is verified,
+  * not just individual branches (those are golden-tested in
+  * DerivationsSpec).
+  */
+object DeriveOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f2_derivations" -> ((s, dir) => {
+      val synth = load(s, dir, "events")
+        .withColumn("machine",
+          when(col("event_type") === "click", "Verio")
+            .when(col("event_type") === "view", "TrioTim")
+            .when(col("event_type") === "purchase", "SIGNA PET/MR")
+            .when(col("event_type") === "signup", "Prisma_fit")
+            .otherwise("Bruker Biospec"))
+        .withColumn("proto",
+          when(col("user_id") % 3 === 0, concat(lit("PROTO_"), col("event_type")))
+            .when(col("user_id") % 3 === 1, concat(lit("PRISMA_"), col("event_type")))
+            .otherwise(concat(lit("free_"), col("event_type"))))
+        .withColumn("seqname",
+          when(col("event_id") % 4 === 0, "ep_b1000")
+            .when(col("event_id") % 4 === 1, "tfl3d1")
+            .when(col("event_id") % 4 === 2, "fm2d2r")
+            .otherwise("mystery"))
+        .withColumn("sname",
+          when(col("event_id") % 2 === 1, "t1_mp2rage_INV1")
+            .otherwise("plain"))
+      synth
+        .select(
+          Derivations.rid(col("machine")).as("rid"),
+          Derivations.eid(col("proto")).as("eid"),
+          Derivations.facturable(col("proto")).as("facturable"),
+          Derivations.seqType(col("seqname"), col("sname")).as("seq_type"))
+        .groupBy(col("rid"), col("facturable"), col("seq_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("eid")).as("n_eid"))
+        .orderBy(col("rid"), col("facturable"), col("seq_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f2_derivations" ->
+      """WITH synth AS (
+        |  SELECT
+        |    CASE WHEN event_type = 'click' THEN 'Verio'
+        |         WHEN event_type = 'view' THEN 'TrioTim'
+        |         WHEN event_type = 'purchase' THEN 'SIGNA PET/MR'
+        |         WHEN event_type = 'signup' THEN 'Prisma_fit'
+        |         ELSE 'Bruker Biospec' END AS machine,
+        |    CASE WHEN user_id % 3 = 0 THEN 'PROTO_' || event_type
+        |         WHEN user_id % 3 = 1 THEN 'PRISMA_' || event_type
+        |         ELSE 'free_' || event_type END AS proto,
+        |    CASE WHEN event_id % 4 = 0 THEN 'ep_b1000'
+        |         WHEN event_id % 4 = 1 THEN 'tfl3d1'
+        |         WHEN event_id % 4 = 2 THEN 'fm2d2r'
+        |         ELSE 'mystery' END AS seqname,
+        |    CASE WHEN event_id % 2 = 1 THEN 't1_mp2rage_INV1'
+        |         ELSE 'plain' END AS sname
+        |  FROM events),
+        |derived AS (
+        |  SELECT
+        |    CASE WHEN contains(machine, 'Verio') THEN 19
+        |         WHEN contains(machine, 'TrioTim') THEN 1
+        |         WHEN contains(machine, 'Prisma_fit') THEN 1
+        |         WHEN contains(machine, 'SIGNA') THEN 29
+        |         WHEN contains(machine, 'Bruker') THEN 39
+        |         WHEN contains(machine, 'MAGNETOM Cima') THEN 80
+        |         WHEN contains(machine, 'Terra.X') THEN 82
+        |         ELSE 0 END AS rid,
+        |    CASE WHEN starts_with(proto, 'PROTO_') OR starts_with(proto, 'VERIO_')
+        |         THEN substr(proto, 7)
+        |         WHEN starts_with(proto, 'PRISMA_') OR starts_with(proto, 'CIMAX1_')
+        |           OR starts_with(proto, 'TERRAX_')
+        |         THEN substr(proto, 8)
+        |         ELSE proto END AS eid,
+        |    CASE WHEN starts_with(proto, 'PROTO_') OR starts_with(proto, 'VERIO_')
+        |           OR starts_with(proto, 'PRISMA_') OR starts_with(proto, 'CIMAX1_')
+        |           OR starts_with(proto, 'TERRAX_')
+        |         THEN 1 ELSE 0 END AS facturable,
+        |    CASE WHEN contains(seqname, 'ep_b') THEN 'DWI'
+        |         WHEN contains(seqname, 'epfid') THEN 'EPI'
+        |         WHEN contains(seqname, 'spc3d') THEN 'SPACE3D'
+        |         WHEN contains(seqname, 'tfl3d') AND contains(sname, 'mp2rage')
+        |         THEN 'MP2RAGE_' ||
+        |           CASE WHEN contains(sname, 'INV1') THEN 'INV1'
+        |                WHEN contains(sname, 'INV2') THEN 'INV2'
+        |                WHEN contains(sname, 'T1MAP') THEN 'T1MAP'
+        |                ELSE 'UNI' END
+        |         WHEN contains(seqname, 'tfl3d') THEN 'MPRAGE'
+        |         WHEN contains(seqname, 'fm2d2r') THEN 'GreFieldMap'
+        |         WHEN contains(seqname, 'gre_2D') THEN 'GRE_2D'
+        |         WHEN contains(seqname, 'gre_3D') THEN 'GRE_3D'
+        |         WHEN contains(seqname, 'eja_svs') THEN 'spectroSVS'
+        |         ELSE 'to_be_defined' END AS seq_type
+        |  FROM synth)
+        |SELECT rid, facturable, seq_type, COUNT(*) AS n,
+        |       COUNT(DISTINCT eid) AS n_eid
+        |FROM derived GROUP BY 1,2,3
+        |ORDER BY rid, facturable, seq_type""".stripMargin
+  )
+}

@@ -26,14 +26,16 @@ object SimilarityOps {
       .withColumn("nrm",
         expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
 
-  private val simExpr =
-    "round(aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (a,x) -> a+x) / (nrm_a * nrm_b), 6)"
+  /** Native codegen'd cosine (graft.functions.expressions.CosineSim) —
+    * bit-identical to the HOF form, one fused primitive loop. */
+  private val simExpr = "round(cosine_sim(va, vb), 6)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for query vectors vec_id < 20. The query
     // side is broadcast; the corpus side streams — at 100 TB this is the
     // "small query batch vs big corpus" shape.
     "v1_ann_bruteforce" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
       val e = withNorm(load(s, dir, "embeddings"))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("va"),
@@ -55,6 +57,7 @@ object SimilarityOps {
     // this is the partition-local candidate generation that survives
     // scale-up (IVF-style, with buckets as the shuffle key).
     "v2_ann_bucketed" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
       val bucketExpr =
         """(if(element_at(embedding,1) > 0F, 8, 0) +
           | if(element_at(embedding,2) > 0F, 4, 0) +

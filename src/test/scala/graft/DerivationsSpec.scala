@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Derivations
+
+/** Goldens for the derivation when-chains (reference semantics cited in
+  * Derivations' Scaladoc). */
+class DerivationsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("rid machine→room chain") {
+    val got = Seq("Verio", "TrioTim", "Prisma_fit", "SIGNA PET/MR",
+      "Bruker Biospec", "MAGNETOM Cima.X", "Terra.X", "unknown")
+      .toDF("m").select(Derivations.rid(col("m"))).as[Int].collect().toSeq
+    assert(got == Seq(19, 1, 1, 29, 39, 80, 82, 0))
+  }
+
+  test("eid prefix strip + facturable") {
+    val df = Seq("PROTO_ABC", "VERIO_XY", "PRISMA_Q1", "CIMAX1_Z",
+      "TERRAX_W", "freeform").toDF("s")
+    val eids = df.select(Derivations.eid(col("s"))).as[String].collect().toSeq
+    val fact = df.select(Derivations.facturable(col("s"))).as[Int]
+      .collect().toSeq
+    assert(eids == Seq("ABC", "XY", "Q1", "Z", "W", "freeform"))
+    assert(fact == Seq(1, 1, 1, 1, 1, 0))
+  }
+
+  test("seqType classifier incl. mp2rage sub-classes") {
+    val cases = Seq(
+      ("ep_b1000", "x") -> "DWI",
+      ("epfid2d", "x") -> "EPI",
+      ("spc3d_1", "x") -> "SPACE3D",
+      ("tfl3d1", "t1_mp2rage_INV1") -> "MP2RAGE_INV1",
+      ("tfl3d1", "t1_mp2rage_INV2") -> "MP2RAGE_INV2",
+      ("tfl3d1", "t1_mp2rage_T1MAP") -> "MP2RAGE_T1MAP",
+      ("tfl3d1", "t1_mp2rage_UNI_Images") -> "MP2RAGE_UNI",
+      ("tfl3d1", "t1_mprage") -> "MPRAGE",
+      ("fm2d2r", "x") -> "GreFieldMap",
+      ("gre_2D_q", "x") -> "GRE_2D",
+      ("eja_svs_press", "x") -> "spectroSVS",
+      ("mystery", "x") -> "to_be_defined")
+    cases.foreach { case ((sq, sn), want) =>
+      val got = Seq((sq, sn)).toDF("sq", "sn")
+        .select(Derivations.seqType(col("sq"), col("sn")))
+        .as[String].head()
+      assert(got == want, s"seqType($sq, $sn)")
+    }
+  }
+
+  test("machineName repair") {
+    val got = Seq(
+      (Some("Ox Offline Recon"), "GE"),
+      (Some("Verio"), "Siemens"),
+      (None: Option[String], "Siemens"))
+      .toDF("model", "manu")
+      .select(Derivations.machineName(col("model"), col("manu")))
+      .as[String].collect().toSeq
+    assert(got == Seq("SIGNA PET/MR", "Verio", "Siemens"))
+  }
+
+  test("dicomTimestamp with acquisition→study fallback") {
+    val got = Seq(
+      ("20240102", "134501.25", "20240101", "120000"),
+      (null, null, "20240101", "120000"))
+      .toDF("ad", "at", "sd", "st")
+      .select(Derivations.dicomTimestamp(col("ad"), col("at"), col("sd"),
+        col("st")).cast("string")).as[String].collect().toSeq
+    assert(got == Seq("2024-01-02 13:45:01", "2024-01-01 12:00:00"))
+  }
+
+  test("Siemens TA parse") {
+    val cases = Seq("TA 03:50*3" -> 690, "TA 01:02" -> 62, "TA 03.x" -> 240)
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("ta").select(Derivations.taSeconds(col("ta")))
+        .as[Int].head()
+      assert(got == want, s"taSeconds($in)")
+    }
+  }
+
+  test("age parse strips unit") {
+    val got = Seq("042Y", "7", "103Y").toDF("a")
+      .select(Derivations.ageYears(col("a"))).as[Int].collect().toSeq
+    assert(got == Seq(42, 7, 103))
+  }
+}
