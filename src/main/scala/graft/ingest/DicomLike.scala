@@ -1,0 +1,79 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DICOM-shaped binary ingest — SURVEY §2.1 S5/S6 + §2.5 A9-A11 over
+  * binary records.
+  *
+  * The real parser (dcm4che-class header decode incl. CSA private tags,
+  * Exam_info.py:356,458-461) is STUBBED — this container ships no DICOM
+  * lib — but the Spark plumbing is the real design:
+  *  - magic-byte sniff at offset 128 ('DICM', Exam_info.py:1673-1679)
+  *    as a pure binary expression over `binaryFile` rows;
+  *  - header-only decode (fixed-offset reads; pixel bytes untouched —
+  *    the stop_before_pixels discipline, Exam_info.py:130) in one
+  *    projection;
+  *  - stack grouping by (series_uid, echo) with sorted instance lists
+  *    (get_group_stack_from_dic, Exam_info.py:881-922);
+  *  - first/last instance + corrupt flags: expected-vs-actual file
+  *    counts, gaps (Exam_info.py:1316-1378).
+  *
+  * Header layout of the synthetic fixture (written by IngestSpec):
+  * bytes 0-127 preamble, 128-131 'DICM', then fixed ASCII fields:
+  * 132-141 series_uid, 142-145 instance_number (zero-padded),
+  * 146-149 echo, 150-153 expected_count.
+  */
+object DicomLike {
+
+  /** S5 — magic-byte sniff: keep only real DICOM payloads. */
+  def sniff(binary: DataFrame): DataFrame =
+    binary.filter(
+      expr("substring(content, 129, 4)") === lit("DICM".getBytes))
+
+  /** S6 — header-only decode: fixed-offset fields, pixel data unread. */
+  def parseHeaders(binary: DataFrame): DataFrame =
+    sniff(binary).select(
+      col("path"),
+      col("length"),
+      expr("cast(substring(content, 133, 10) as string)").as("series_uid"),
+      expr("cast(cast(substring(content, 143, 4) as string) as int)")
+        .as("instance_number"),
+      expr("cast(substring(content, 147, 4) as string)").as("echo"),
+      expr("cast(cast(substring(content, 151, 4) as string) as int)")
+        .as("expected_count"))
+
+  /** A10/A11 — stack grouping with first/last instance and corrupt
+    * flags, one hash aggregate per (series_uid, echo). */
+  def stacks(headers: DataFrame): DataFrame =
+    headers
+      .groupBy(col("series_uid"), col("echo"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        min(col("instance_number")).as("first_instance"),
+        max(col("instance_number")).as("last_instance"),
+        min_by(col("path"), col("instance_number")).as("first_path"),
+        max_by(col("path"), col("instance_number")).as("last_path"),
+        first(col("expected_count")).as("expected_count"),
+        sum(col("length")).as("fsize"))
+      .withColumn("corrupt",
+        concat(
+          when(col("n_files") =!= col("expected_count"),
+            lit("BAD_COUNT ")).otherwise(lit("")),
+          when(col("last_instance") - col("first_instance") + 1
+            =!= col("n_files"), lit("GAP")).otherwise(lit(""))))
+
+  /** A9 — exam assembly: one exam per series-uid prefix (the fixture's
+    * exam key), series list sorted by first instance. */
+  def exams(stacks: DataFrame): DataFrame =
+    stacks
+      .withColumn("exam_uid", substring(col("series_uid"), 1, 6))
+      .groupBy(col("exam_uid"))
+      .agg(
+        count(lit(1)).as("n_series"),
+        sum(col("n_files")).as("n_files"),
+        sum(col("fsize")).as("fsize"),
+        array_sort(collect_list(struct(col("first_instance"),
+          col("series_uid")))).as("series_order"),
+        max(length(col("corrupt")) > 0).as("any_corrupt"))
+}

@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Propose-don't-act sinks — SURVEY §2.2 K8/K9.
+  *
+  * The reference never executes destructive fixes directly: it emits
+  * reviewable shell/SQL scripts (Cenir_DB.py:174-187,461-469;
+  * do_dicom_compare_recup_to.py:142-145) and appendable QC CSVs
+  * (qcview.py:236-243). Same stance here: maintenance queries produce a
+  * findings DataFrame; these sinks render it to script lines / CSV.
+  * Executing anything stays out-of-band.
+  */
+object ActionSink {
+
+  /** K8 — render (action, target) findings into shell-script lines.
+    * Unknown actions fail the render (no silent destructive commands). */
+  def shellScript(findings: DataFrame): DataFrame = {
+    val rendered = findings.select(
+      when(col("action") === "delete", concat(lit("rm -rf '"), col("target"), lit("'")))
+        .when(col("action") === "move",
+          concat(lit("mv '"), col("target"), lit("' '"), col("dest"), lit("'")))
+        .when(col("action") === "mkdir", concat(lit("mkdir -p '"), col("target"), lit("'")))
+        .as("line"))
+    rendered.filter(col("line").isNull).limit(1).collect().foreach { _ =>
+      throw new IllegalArgumentException("unknown action in findings")
+    }
+    rendered
+  }
+
+  /** K8 (SQL variant) — delete statements per key. */
+  def sqlScript(findings: DataFrame, table: String, keyCol: String)
+      : DataFrame =
+    findings.select(concat(lit(s"DELETE FROM $table WHERE $keyCol = "),
+      col(keyCol), lit(";")).as("line"))
+
+  /** Write script lines to a single reviewable file (small by
+    * construction: one line per proposed action). */
+  def writeScript(lines: DataFrame, path: String): Unit =
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+  /** K9 — QC CSV append sink. */
+  def appendCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("header", "true").csv(path)
+
+  /** K9 resume read-back (pairs with FileScans S14 semantics). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+}

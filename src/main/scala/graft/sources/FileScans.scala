@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-manifest sources — SURVEY §2.1 S1–S4, S9.
+  *
+  * Reference shapes: per-level regex directory descent
+  * (get_subdir_regex, common.py:314-369), regex file scan
+  * (common.py:371-438), recursive scan (common.py:260-265),
+  * mtime-filtered scan — the reference's partition pruning
+  * (get_all_newer_subdir, common.py:267-306), and the id,path list
+  * source with duplicate check (readList, common.py:470-494).
+  *
+  * Design: the *manifest* (path, mtime, size) is listed once into a
+  * DataFrame — metadata only, content is NOT read (the reference's
+  * stop_before_pixels discipline). Content reads go through
+  * `spark.read.format("binaryFile")` on the already-filtered path set.
+  * At 100 TB the manifest list is the only driver-side work (Hadoop
+  * RemoteIterator, streamed); every filter after that is a pushed-down
+  * DataFrame predicate.
+  */
+object FileScans {
+
+  case class FileMeta(path: String, mtime: Long, size: Long, isDir: Boolean)
+
+  /** S3 — recursive manifest scan of a root. */
+  def listFiles(spark: SparkSession, root: String): Dataset[FileMeta] = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(root match {
+      case r if r.contains("://") => r
+      case r => s"file://$r"
+    }), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(root), true)
+    val buf = scala.collection.mutable.ArrayBuffer[FileMeta]()
+    while (it.hasNext) {
+      val f = it.next()
+      buf += FileMeta(f.getPath.toUri.getPath, f.getModificationTime,
+        f.getLen, f.isDirectory)
+    }
+    spark.createDataset(buf.toSeq)
+  }
+
+  /** S1/S2 — per-level regex descent: level i of the relative path must
+    * match regexes(i); the file name must match the last regex. */
+  def regexScan(spark: SparkSession, root: String,
+      regexes: Seq[String]): Dataset[FileMeta] = {
+    val files = listFiles(spark, root)
+    val rootLen = root.stripSuffix("/").length + 1
+    val rel = expr(s"substring(path, ${rootLen + 1})")
+    val parts = split(rel, "/")
+    val conds = regexes.zipWithIndex.map { case (r, i) =>
+      element_at(parts, i + 1).rlike(r)
+    }
+    val levelOk = conds.reduce(_ && _) && size(parts) === regexes.length
+    files.filter(levelOk && !col("isDir"))
+  }
+
+  /** S4 — mtime-filtered scan (`--days N`): only entries modified on or
+    * after the cutoff epoch-millis survive. */
+  def newerThan(files: Dataset[FileMeta], cutoffMillis: Long)
+      : Dataset[FileMeta] =
+    files.filter(col("mtime") >= cutoffMillis)
+
+  /** S9 — id,path list source; fails fast on duplicate ids (the
+    * reference raises on dup, common.py:489-492). */
+  def readList(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "false").csv(path)
+      .toDF("id", "path")
+    val dups = df.groupBy("id").count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dups.isEmpty,
+      s"duplicate id in list source: ${dups.headOption.map(_.get(0))}")
+    df
+  }
+
+  /** Content read of an already-filtered path set (S5-style): binaryFile
+    * with glob pushdown; pixel data stays unread until a downstream
+    * operator asks for `content`. */
+  def binaryContent(spark: SparkSession, root: String,
+      glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(root)
+}

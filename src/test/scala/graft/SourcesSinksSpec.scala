@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.sources.FileScans
+import graft.sinks.ActionSink
+
+/** File-manifest sources (S1-S4, S9) and propose-don't-act sinks
+  * (K8, K9) against real temp directories. */
+class SourcesSinksSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def mkTree(): Path = {
+    val root = Files.createTempDirectory("graft_scan")
+    Files.createDirectories(root.resolve("PROTO_A/subj01"))
+    Files.createDirectories(root.resolve("PROTO_B/subj02"))
+    Files.createDirectories(root.resolve("other/subj03"))
+    Files.write(root.resolve("PROTO_A/subj01/S01.dat"), "x".getBytes)
+    Files.write(root.resolve("PROTO_A/subj01/S02.dat"), "xy".getBytes)
+    Files.write(root.resolve("PROTO_B/subj02/S01.dat"), "z".getBytes)
+    Files.write(root.resolve("other/subj03/S01.dat"), "q".getBytes)
+    root
+  }
+
+  test("S3 recursive manifest lists files with metadata") {
+    val root = mkTree()
+    val files = FileScans.listFiles(spark, root.toString)
+      .filter(!col("isDir"))
+    assert(files.count() == 4)
+    assert(files.filter(col("size") === 2).count() == 1)
+  }
+
+  test("S1/S2 per-level regex descent") {
+    val root = mkTree()
+    val hits = FileScans.regexScan(spark, root.toString,
+      Seq("^PROTO_", "^subj", "^S\\d+\\.dat$"))
+    assert(hits.count() == 3) // 'other/...' excluded at level 1
+    val protoA = FileScans.regexScan(spark, root.toString,
+      Seq("^PROTO_A$", "^subj", "^S01"))
+    assert(protoA.count() == 1)
+  }
+
+  test("S4 mtime filter keeps only fresh entries") {
+    val root = mkTree()
+    val files = FileScans.listFiles(spark, root.toString)
+      .filter(!col("isDir"))
+    assert(FileScans.newerThan(files, 0L).count() == 4)
+    assert(FileScans.newerThan(files,
+      System.currentTimeMillis() + 3600000L).count() == 0)
+  }
+
+  test("S9 list source fails fast on duplicate ids") {
+    val dir = Files.createTempDirectory("graft_list")
+    Files.write(dir.resolve("ok.csv"), "a,/p/1\nb,/p/2\n".getBytes)
+    Files.write(dir.resolve("dup.csv"), "a,/p/1\na,/p/2\n".getBytes)
+    assert(FileScans.readList(spark,
+      dir.resolve("ok.csv").toString).count() == 2)
+    intercept[IllegalArgumentException] {
+      FileScans.readList(spark, dir.resolve("dup.csv").toString)
+    }
+  }
+
+  test("K8 shell script renders actions and rejects unknown ones") {
+    val findings = Seq(
+      ("delete", "/data/dup1", ""),
+      ("move", "/data/a", "/data/b")).toDF("action", "target", "dest")
+    val lines = ActionSink.shellScript(findings).as[String].collect().toSet
+    assert(lines == Set("rm -rf '/data/dup1'", "mv '/data/a' '/data/b'"))
+    intercept[IllegalArgumentException] {
+      ActionSink.shellScript(
+        Seq(("shred", "/x", "")).toDF("action", "target", "dest"))
+    }
+  }
+
+  test("K8 sql script emits one DELETE per key") {
+    val lines = ActionSink.sqlScript(
+      Seq((7L, "dup"), (9L, "dup")).toDF("eid", "why"), "exam", "eid")
+      .as[String].collect().toSet
+    assert(lines == Set("DELETE FROM exam WHERE eid = 7;",
+      "DELETE FROM exam WHERE eid = 9;"))
+  }
+
+  test("K9 csv append + resume read-back round-trips") {
+    val out = Files.createTempDirectory("graft_qc").resolve("qc").toString
+    ActionSink.appendCsv(Seq((1, "ok"), (2, "bad")).toDF("id", "label"), out)
+    ActionSink.appendCsv(Seq((3, "ok")).toDF("id", "label"), out)
+    val back = ActionSink.readCsv(spark, out)
+    assert(back.count() == 3)
+    assert(back.filter(col("label") === "ok").count() == 2)
+  }
+}
