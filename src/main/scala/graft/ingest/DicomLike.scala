@@ -63,6 +63,22 @@ object DicomLike {
           when(col("last_instance") - col("first_instance") + 1
             =!= col("n_files"), lit("GAP")).otherwise(lit(""))))
 
+  /** P4 — derived-series skip filter (Exam_info.py:1402-1418,417-455):
+    * drop series whose image type marks them as scanner-derived, EXCEPT
+    * the mp2rage DERIVED+PRIMARY+UNI combination, and never shorten GE
+    * exams (Exam_info.py:447-448). Pure boolean expression — Catalyst
+    * pushes it below any expensive extraction stage. */
+  def skipDerivedSeries(series: DataFrame): DataFrame = {
+    val it = col("image_type")
+    val derivedMarkers = Seq("\\bFA\\b", "ADC", "TENSOR", "TRACEW", "FSM",
+      "MOCO", "DUMMY IMAGE", "TTEST").map(it.rlike).reduce(_ || _) ||
+      (it.contains("DERIVED") && it.contains("OTHER"))
+    val mp2rageException = it.contains("DERIVED") &&
+      it.contains("PRIMARY") && it.contains("UNI")
+    val isGe = upper(col("manufacturer")).contains("GE")
+    series.filter(isGe || mp2rageException || !derivedMarkers)
+  }
+
   /** A9 — exam assembly: one exam per series-uid prefix (the fixture's
     * exam key), series list sorted by first instance. */
   def exams(stacks: DataFrame): DataFrame =

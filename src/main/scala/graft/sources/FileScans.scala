@@ -84,4 +84,23 @@ object FileScans {
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(root)
+
+  /** S13 — results-file source (seg8 parse, do_results_DB.py:101-133):
+    * find result files by glob, parse the first tab-separated line into
+    * three float columns keyed by file path. */
+  def readSeg8(spark: SparkSession, root: String,
+      glob: String = "*seg8.txt"): DataFrame = {
+    val files = spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .text(root)
+      .select(input_file_name().as("path"), col("value"))
+    val firstLine = split(element_at(split(col("value"), "\n"), 1), "\t")
+    files.select(
+      col("path"),
+      element_at(firstLine, 1).cast("double").as("vbmgrayvol"),
+      element_at(firstLine, 2).cast("double").as("vbmwhitevol"),
+      element_at(firstLine, 3).cast("double").as("vbmcsfvol"))
+  }
 }

@@ -5,8 +5,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
 SQL from oracle_sql.json in DuckDB against the sf parquet tables, and
-compares row count, schema (column names) and values (sorted columns,
-row-wise, with exact equality on strings/ints and bit equality on floats).
+compares row count, schema (column names) and values (columns sorted by
+name; rows compared in order first, then order-insensitively; values
+compared via str(), which for floats means shortest-roundtrip repr —
+bit-identical values compare equal, and NaNs of any payload compare equal).
 """
 import json, sys, glob, os
 import duckdb
@@ -16,9 +18,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    # sort rows for order-insensitive compare fallback
-    return df
+    # columns sorted by name; row order is handled at compare time
+    return df.reindex(sorted(df.columns), axis=1)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -53,7 +54,10 @@ def main(sf_dir, out_dir):
         elif sorted(g) == sorted(w):
             print(f"PASS* {name} ({len(got)} rows, order differs)"); n_pass += 1
         else:
-            diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            # diff sorted rows so the printed pairs are genuinely the
+            # mismatched ones, not unrelated rows zipped by position
+            diffs = [(a, b) for a, b in zip(sorted(g), sorted(w))
+                     if a != b][:3]
             print(f"FAIL {name}: values differ, e.g. {diffs}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
