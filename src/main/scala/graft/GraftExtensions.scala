@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSim, MinHashSig, ShingleHash64, SimHash60}
+import graft.functions.expressions.{CosineSim, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -32,7 +32,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash60(es.head)),
     (FunctionIdentifier("shingle_hash64"),
       new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
-      (es: Seq[Expression]) => ShingleHash64(es.head)))
+      (es: Seq[Expression]) => ShingleHash64(es.head)),
+    (FunctionIdentifier("md5_shingle60"),
+      new ExpressionInfo(classOf[Md5Shingle60].getName, "md5_shingle60"),
+      (es: Seq[Expression]) => Md5Shingle60(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -25,14 +25,6 @@ import graft.Tables.load
   */
 object DedupOps {
 
-  /** Distinct char 8-gram shingles of `text` (min doc length is 48). */
-  private val shinglesExpr =
-    "array_distinct(transform(sequence(1, length(text)-7), i -> substring(text, i, 8)))"
-
-  /** 60-bit stable hash per shingle (md5 prefix, see Fns.hash60). */
-  private val hashesExpr =
-    "transform(shingles, s -> cast(conv(substr(md5(cast(s as binary)),1,15),16,10) as bigint))"
-
   /** LSH pair generation without a self-join: group the banded rows by
     * bucket key, collect each bucket's members once, and emit ordered
     * pairs from the (small) postings list. A self-join would duplicate
@@ -61,18 +53,12 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** Docs repartitioned BEFORE the heavy per-doc expressions: the
-    * single-file parquet scan is one partition, and signature math must
-    * run on all cores (and, on a cluster, all executors). */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .withColumn("shingles", expr(shinglesExpr))
-
-  /** Hash-based shingle variant (array<long> via shingle_hash64):
+  /** Hash-based shingles (array<long> via the native shingle_hash64):
     * identical Jaccard modulo 64-bit collisions, far cheaper to compute,
-    * shuffle, and intersect than string arrays. */
+    * shuffle, and intersect than string arrays. Docs are repartitioned
+    * BEFORE the per-doc expressions: the single-file parquet scan is one
+    * partition, and signature math must run on all cores (and, on a
+    * cluster, all executors). */
   private def docsWithHashedShingles(s: SparkSession, dir: String)
       : DataFrame =
     load(s, dir, "documents")
@@ -135,11 +121,15 @@ object DedupOps {
     // the identical integer-only signature in SQL — no float anywhere.
     "d3_simhash_hamming" -> ((s, dir) => {
       GraftFunctions.register(s)
-      // md5-based 60-bit element hashes (must match the oracle's hash)
-      // feed the native SimHash60 majority-vote signature; banding on
-      // 10×6-bit slices, pairs from bucket-collect, Hamming verify.
-      val sim = docsWithShingles(s, dir)
-        .select(col("doc_id"), expr(s"simhash60($hashesExpr)").as("sim"))
+      // native md5 shingle hashing (md5_shingle60 — bit-identical to the
+      // oracle's ('0x'||substr(md5(s),1,15))::BIGINT) feeds the native
+      // SimHash60 majority-vote signature; pairs from bucket-collect,
+      // Hamming verify.
+      val sim = load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          expr("simhash60(md5_shingle60(text))").as("sim"))
       val banded = sim.select(
         struct(col("doc_id"), col("sim")).as("doc_id"), // pair payload
         // 7 bands × 8 bits: pigeonhole-exact for Hamming ≤ 6 (≤6 flips

@@ -51,17 +51,25 @@ object JoinOps {
     }),
 
     // J3 — near-duplicate band self-join (do_dicom.py:61): same day, same
-    // type, |Δt| < 300 s, distinct ids. Equi keys (day, type) keep the
-    // join hash-based; the range predicate is a residual filter.
+    // type, |Δt| < 300 s, distinct ids. True banded range join: each row
+    // is bucketed by floor(sec/300) and the probe side fans out to its
+    // bucket and both neighbors, so the equi-join key is
+    // (day, type, bucket) and each row only meets its ±300 s
+    // neighborhood — per-key join cardinality stays O(bucket), not
+    // O(day), at any scale. The range predicate is the cheap residual.
     "j3_band_self_join" -> ((s, dir) => {
       val ev = load(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("event_type"),
+        .select(col("event_id"), col("event_type"),
           to_date(col("ts")).as("day"), epochSec(col("ts")).as("sec"))
-      val e1 = ev.select(col("event_id").as("id_a"), col("day"),
-        col("event_type"), col("sec").as("sec_a"))
-      val e2 = ev.select(col("event_id").as("id_b"), col("day"),
-        col("event_type"), col("sec").as("sec_b"))
-      e1.join(e2, Seq("day", "event_type"))
+      val build = ev.select(col("event_id").as("id_b"), col("day"),
+        col("event_type"), col("sec").as("sec_b"),
+        (col("sec") / 300).cast("long").as("bucket"))
+      val probe = ev.select(col("event_id").as("id_a"), col("day"),
+        col("event_type"), col("sec").as("sec_a"),
+        explode(array((col("sec") / 300).cast("long") - 1,
+          (col("sec") / 300).cast("long"),
+          (col("sec") / 300).cast("long") + 1)).as("bucket"))
+      probe.join(build, Seq("day", "event_type", "bucket"))
         .filter(col("id_a") < col("id_b") &&
           abs(col("sec_a") - col("sec_b")) < 300)
         .select(col("id_a"), col("id_b"), col("event_type"),

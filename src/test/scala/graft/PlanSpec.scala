@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries survive
+  * a 100× scale-up, asserted against explain() output so a regression
+  * (lost broadcast, lost pushdown, an accidental cartesian) fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") || name == "v1_ann_bruteforce",
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("j1: dimension side is broadcast") {
+    assert(plan("j1_examseries_join").contains("BroadcastHashJoin"))
+  }
+
+  test("j4/j7: semi/anti probes are broadcast hash joins") {
+    assert(plan("j4_semi_probe").contains("BroadcastHashJoin"))
+    assert(plan("j7_resume_anti_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q1: filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("q1: scan is pruned to the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    // 11-column table, 6 referenced
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    assert(!p.contains("l_partkey"), "scan reads unreferenced columns")
+  }
+
+  test("p3: predicate reaches the events scan") {
+    val p = plan("p3_predicate_filters")
+    assert(p.contains("PushedFilters") &&
+      p.contains("StringStartsWith(event_type,c"),
+      s"event_type prefix filter not pushed:\n${p.take(2000)}")
+  }
+
+  test("aggregates are partial+final hash aggregates") {
+    val p = plan("a1_dup_exam_groups")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg")
+  }
+
+  test("dedup signatures use the native codegen expressions, not HOFs") {
+    val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(d2.contains("minhash_sig") && d2.contains("shingle_hash64"),
+      "native signature expressions missing from the optimized plan")
+    val d3 = SparkEntry.queries("d3_simhash_hamming")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(d3.contains("simhash60"))
+  }
+}
