@@ -1,0 +1,55 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.MergeOps
+
+/** Parquet-lake catalog sink — the reference's main sink (K3: exam and
+  * serie tables in MySQL, Cenir_DB.py:62-135) persisted as a parquet
+  * table with MERGE maintenance instead of row-at-a-time SQL.
+  *
+  * Write protocol: read current table → MergeOps.merge with the
+  * incoming batch → write the merged snapshot to `<table>.tmp` → atomic
+  * swap (rename current → `.bak`, tmp → current, drop `.bak`). A
+  * reader sees either the old or the new snapshot, never a partial
+  * write; a crashed writer leaves the current snapshot intact. On a
+  * real deployment the same semantics come from a table format's
+  * transactional commit — the merge plan is identical.
+  *
+  * Idempotent by construction (MergeSpec property): re-merging the same
+  * batch is a no-op, which is what the reference's `--twice` rerun
+  * approximated.
+  */
+object Lake {
+
+  def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = FileSystem.get(new java.net.URI(s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+  }
+
+  /** MERGE `batch` into the table at `path` (created if absent).
+    * Returns per-status counts (inserted/updated/kept). */
+  def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
+      key: String, exclude: Seq[String] = Nil): Map[String, Long] = {
+    val merged = readTable(spark, path) match {
+      case Some(db) => MergeOps.merge(db, batch, key, exclude)
+      case None => batch.withColumn("merge_status",
+        org.apache.spark.sql.functions.lit("inserted"))
+    }
+    val counts = merged.groupBy("merge_status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = merged.drop("merge_status")
+
+    val fs = FileSystem.get(new java.net.URI(s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(path); val tmp = new Path(path + ".tmp")
+    val bak = new Path(path + ".bak")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(cur)) require(fs.rename(cur, bak), s"swap failed: $cur")
+    require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
+    fs.delete(bak, true)
+    counts
+  }
+}

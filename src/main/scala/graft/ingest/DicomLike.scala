@@ -63,6 +63,15 @@ object DicomLike {
           when(col("last_instance") - col("first_instance") + 1
             =!= col("n_files"), lit("GAP")).otherwise(lit(""))))
 
+  /** §2.8 array/map — dotted-key metadata access with a fallback chain
+    * (CoilName from three alternate CSA keys else a default,
+    * Exam_info.py:617-624): the flattened DICOM meta map is a
+    * MapType(String,String) column; alternates resolve with one
+    * coalesce(element_at…) chain. */
+  def metaFallback(metaCol: org.apache.spark.sql.Column,
+      keys: Seq[String], default: String): org.apache.spark.sql.Column =
+    coalesce(keys.map(k => element_at(metaCol, k)) :+ lit(default): _*)
+
   /** P4 — derived-series skip filter (Exam_info.py:1402-1418,417-455):
     * drop series whose image type marks them as scanner-derived, EXCEPT
     * the mp2rage DERIVED+PRIMARY+UNI combination, and never shorten GE
