@@ -52,6 +52,41 @@ object SimilarityOps {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // Embedding-cosine near-duplicate detection: the corpus unioned
+    // with re-keyed scaled copies (x*1.01 — same direction, so each
+    // copy is an exact near-dup of its source and lands in the same
+    // sign bucket by construction); candidates from the bucket join,
+    // verified by round(cosine,6) ≥ 0.999. The raw corpus has no
+    // near-dup pairs (max cosine < 0.6), so the 500 copy-pairs are
+    // exactly the answer.
+    "d5_embedding_neardup" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val bucketExpr =
+        """(if(element_at(embedding,1) > 0F, 8, 0) +
+          | if(element_at(embedding,2) > 0F, 4, 0) +
+          | if(element_at(embedding,3) > 0F, 2, 0) +
+          | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
+      val base = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.01 as float))")
+          .as("embedding"))
+      val all = base.union(scaled)
+        .repartition(col("vec_id"))
+        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"))
+      val b = all.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+        .filter(col("r") >= 0.999)
+        .select(col("vec_a"), col("vec_b"), col("r"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Sign-bucket LSH: bucket = sign bits of dims 1-4; top-3 within the
     // query's bucket. The equi-join on bucket replaces the cross join —
     // this is the partition-local candidate generation that survives
@@ -83,6 +118,30 @@ object SimilarityOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "d5_embedding_neardup" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         [CAST(x * CAST(1.01 AS FLOAT) AS FLOAT) for x in embedding]
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, embedding,
+        |        [CAST(x AS DOUBLE) for x in embedding] AS v,
+        |        (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |         + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |         + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |         + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        |      FROM allv),
+        |n AS (SELECT vec_id, bucket, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_sum([a.v[i]*b.v[i] for i in range(1,65)])
+        |              / (a.nrm * b.nrm), 6) AS r
+        |      FROM n a JOIN n b ON a.bucket = b.bucket
+        |      WHERE a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, r FROM p WHERE r >= 0.999
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
     "v1_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id,
         |             [CAST(x AS DOUBLE) for x in embedding] AS v
