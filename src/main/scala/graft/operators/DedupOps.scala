@@ -65,6 +65,10 @@ object DedupOps {
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("shingles", expr("shingle_hash64(text)"))
+      // the shingle table feeds candidate generation AND both sides of
+      // the pair verify — cache the (tiny: ids + hashes) result instead
+      // of recomputing the subtree three times
+      .cache()
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection. */
@@ -162,6 +166,7 @@ object DedupOps {
             |            element_at(w,i+2)))), t -> xxhash64(t))"""
             .stripMargin))
         .select(col("doc_id"), col("shingles"))
+        .cache() // reused by the inverted index and both verify sides
       // rare-token inverted index: group each hashed trigram's postings,
       // df ≤ 10 bounds the per-bucket pair blowup, and candidates must
       // share ≥ 2 rare trigrams (a j≥0.7 pair shares dozens) — pairs
