@@ -47,9 +47,32 @@ object EventStream {
   def incrementalSince(events: DataFrame, cutoff: String): DataFrame =
     events.filter(col("ts") >= lit(cutoff).cast("timestamp"))
 
+  /** Batch sessionization: gap > `gapSec` starts a new session; one
+    * window pass (lag → flag → running sum) then a hash aggregate.
+    * The streaming twin is [[graft.streaming.Sessionize]]
+    * (flatMapGroupsWithState); SessionizeSpec asserts parity. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(col("ts"))
+    val newSess = when(
+      sec - lag(sec, 1).over(byUser) > gapSec || lag(sec, 1).over(byUser).isNull,
+      1L).otherwise(0L)
+    events
+      .withColumn("sess", sum(newSess).over(byUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling_window" -> ((s, dir) =>
-      hourlyCountsBatch(load(s, dir, "events")))
+      hourlyCountsBatch(load(s, dir, "events"))),
+    "s2_sessionize" -> ((s, dir) =>
+      sessionizeBatch(load(s, dir, "events"), 7200L))
   )
 
   val oracle: Map[String, String] = Map(
@@ -58,6 +81,29 @@ object EventStream {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
         |         AS total_value
-        |FROM events GROUP BY 1,2 ORDER BY hour_start, event_type""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "s2_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           > 7200
+        |         OR lag(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sessed AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessed GROUP BY 1,2 ORDER BY user_id, sess""".stripMargin
   )
 }
