@@ -22,6 +22,17 @@ import graft.operators.MergeOps
   */
 object Lake {
 
+  /** Date-partitioned lake layout: the reference's mtime-based `--days`
+    * pruning (common.py:267-306) becomes partition pruning — a reader
+    * filtering on `part_date` touches only the matching directories
+    * (PartitionFilters in the scan, asserted in LakeSpec). */
+  def writePartitionedByDay(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("part_date",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite").partitionBy("part_date").parquet(path)
+
   def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = FileSystem.get(new java.net.URI(s"file://$path"),
       spark.sparkContext.hadoopConfiguration)

@@ -19,6 +19,29 @@ import graft.Tables.load
   */
 object MultimodalOps {
 
+  /** Batch-shaped decode over binary payloads: `mapPartitions` with a
+    * per-partition decoder instance (the JVM analog of a pandas-batch
+    * UDF — decoder init amortized across the partition, rows streamed).
+    * The decoder itself is a deterministic STUB (no codecs in this
+    * container): "dimensions" from the first payload bytes. Swapping in
+    * a real image/audio library changes only `decodeOne`.
+    */
+  def decodeBatch(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : org.apache.spark.sql.Dataset[(Long, Int, Int, Long)] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      // per-partition "decoder" setup happens once, here
+      val decodeOne: Array[Byte] => (Int, Int) = bytes =>
+        (bytes.headOption.map(b => (b & 0x3F) + 1).getOrElse(0),
+          bytes.drop(1).headOption.map(b => (b & 0x3F) + 1).getOrElse(0))
+      it.map { case (id, bytes) =>
+        val (w, h) = decodeOne(bytes)
+        (id, w, h, bytes.length.toLong)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary metadata extraction over a BinaryType payload column.
     // "width"/"height" are the deterministic fake decode: two bytes of
