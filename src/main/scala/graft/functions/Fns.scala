@@ -25,11 +25,6 @@ object Fns {
   /** decSum cast back to double — bit-identical across engines. */
   def decSumD(c: Column): Column = decSum(c).cast("double")
 
-  /** Exact average: decimal sum / count, division done in double on
-    * identical inputs → identical bits. */
-  def decAvgD(c: Column): Column =
-    (decSum(c).cast("double") / count(lit(1))).cast("double")
-
   /** Epoch seconds, truncated (matches DuckDB floor(epoch(ts))). */
   def epochSec(c: Column): Column = unix_timestamp(c)
 
@@ -45,8 +40,4 @@ object Fns {
   def ceilMinutes(seconds: Column): Column =
     ((seconds + 59L) / 60L).cast("long")
 
-  /** Stable 60-bit hash of a string: first 15 hex chars of md5, parsed
-    * base-16. DuckDB mirror: ('0x' || substr(md5(s),1,15))::BIGINT. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -47,4 +47,25 @@ object ActionSink {
   /** K9 resume read-back (pairs with FileScans S14 semantics). */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
+
+  /** K6 — no-clobber binary sink with collision compare
+    * (convert_series, Exam_info.py:1000-1025): if the target exists and
+    * the content hash matches, skip; if it exists and differs, write
+    * under a `duplicate_but_different` name; else write. Returns what
+    * happened. Runs per record on the executor via foreachPartition in
+    * a real pipeline; exposed here as the single-file primitive.
+    */
+  def writeBinaryNoClobber(dir: java.nio.file.Path, name: String,
+      content: Array[Byte]): String = {
+    import java.nio.file.Files
+    val target = dir.resolve(name)
+    if (!Files.exists(target)) {
+      Files.write(target, content); "written"
+    } else if (java.util.Arrays.equals(Files.readAllBytes(target), content)) {
+      "skipped_identical"
+    } else {
+      Files.write(dir.resolve(s"duplicate_but_different_$name"), content)
+      "duplicate_but_different"
+    }
+  }
 }

@@ -85,6 +85,24 @@ object FileScans {
       .option("recursiveFileLookup", "true")
       .load(root)
 
+  /** X3 — scanner-vs-disk reconciliation (do_results_DB.py:319-342):
+    * manifest rows with no disk counterpart, or whose file count
+    * disagrees, become findings. Pure anti-join + count-mismatch filter
+    * over two manifests (key column `series_key`, expected `n_expected`
+    * on the scanner side; actual counts grouped from the disk side). */
+  def reconcile(scanner: DataFrame, disk: DataFrame): DataFrame = {
+    val actual = disk.groupBy(col("series_key"))
+      .agg(count(lit(1)).as("n_actual"))
+    scanner.join(actual, Seq("series_key"), "left_outer")
+      .withColumn("finding",
+        when(col("n_actual").isNull, lit("missing_on_disk"))
+          .when(col("n_actual") =!= col("n_expected"), lit("count_mismatch"))
+          .otherwise(lit("ok")))
+      .filter(col("finding") =!= "ok")
+      .select(col("series_key"), col("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"), col("finding"))
+  }
+
   /** S13 — results-file source (seg8 parse, do_results_DB.py:101-133):
     * find result files by glob, parse the first tab-separated line into
     * three float columns keyed by file path. */

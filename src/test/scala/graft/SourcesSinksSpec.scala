@@ -82,6 +82,29 @@ class SourcesSinksSpec extends AnyFunSuite {
       "DELETE FROM exam WHERE eid = 9;"))
   }
 
+  test("X3 reconcile flags missing and count-mismatched series") {
+    val scanner = Seq(("sA", 3L), ("sB", 2L), ("sC", 1L))
+      .toDF("series_key", "n_expected")
+    val disk = Seq("sA", "sA", "sA", "sB").toDF("series_key")
+    val got = FileScans.reconcile(scanner, disk)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(("sB", 1L, "count_mismatch"),
+      ("sC", 0L, "missing_on_disk")))
+  }
+
+  test("K6 no-clobber binary write: skip identical, flag different") {
+    val dir = Files.createTempDirectory("graft_k6")
+    val a = "payloadA".getBytes
+    assert(ActionSink.writeBinaryNoClobber(dir, "x.nii", a) == "written")
+    assert(ActionSink.writeBinaryNoClobber(dir, "x.nii", a) ==
+      "skipped_identical")
+    assert(ActionSink.writeBinaryNoClobber(dir, "x.nii",
+      "payloadB".getBytes) == "duplicate_but_different")
+    assert(Files.exists(dir.resolve("duplicate_but_different_x.nii")))
+    assert(new String(Files.readAllBytes(dir.resolve("x.nii"))) == "payloadA")
+  }
+
   test("K9 csv append + resume read-back round-trips") {
     val out = Files.createTempDirectory("graft_qc").resolve("qc").toString
     ActionSink.appendCsv(Seq((1, "ok"), (2, "bad")).toDF("id", "label"), out)
