@@ -97,4 +97,59 @@ object Derivations {
   /** PatientsAge "042Y" → 42 (do_dicom.py:498-503). */
   def ageYears(age: Column): Column =
     regexp_extract(age, "^(\\d{1,3})", 1).cast("int")
+
+  /** PhaseDir sign suffix from PhaseEncodingDirectionPositive
+    * (Exam_info.py:635-640). */
+  def phaseDir(dir: Column, positive: Column): Column =
+    concat(dir, when(positive > 0, "+").otherwise("-"))
+
+  /** ExamName with the GE branch (Exam_info.py:154-167): GE prefers
+    * ProtocolName, falls back to StudyDescription, then a placeholder;
+    * everyone else uses StudyDescription. */
+  def examName(manufacturer: Column, protocolName: Column,
+      studyDesc: Column): Column =
+    when(upper(manufacturer).contains("GE"),
+      coalesce(protocolName, studyDesc, lit("Atrier")))
+      .otherwise(studyDesc)
+
+  /** `(null)`-in-filename repair (Exam_info.py:1593-1605): spectro files
+    * embedding "(null)" are renamed from their numeric identity. */
+  def repairNullFilename(name: Column, seriesNum: Column,
+      acqNum: Column, instNum: Column): Column =
+    when(name.contains("(null)"),
+      format_string("repaired_S%d_A%d_I%d.dcm", seriesNum, acqNum, instNum))
+      .otherwise(name)
+
+  /** isinteger (common.py:115-121): parseable as int? (regex form —
+    * ANSI mode makes a tolerant cast throw on malformed input). */
+  def isInteger(s: Column): Column = s.rlike("^[+-]?\\d+$")
+
+  /** my_list_to_str (Exam_info.py:1681-1690): join, skipping empties. */
+  def listToStr(arr: Column, sep: String): Column =
+    array_join(filter(arr, x => length(x) > 0), sep)
+
+  /** TEvec bracketed string (Exam_info.py:842-847): "[ te1 te2 ... ]". */
+  def teVecString(tes: Column): Column =
+    concat(lit("[ "), array_join(tes, " "), lit(" ]"))
+
+  /** Expected file count model (Exam_info.py:676-733, simplified to the
+    * closed form): volumes × slices, except MOSAIC packs a volume per
+    * file. nb_vol = diffusion directions × weightings when diffusion,
+    * else repetitions+1. */
+  def expectedFileCount(isMosaic: Column, nbSlice: Column,
+      diffDirs: Column, diffWeights: Column, repetitions: Column): Column = {
+    val nbVol = when(diffDirs.isNotNull && diffWeights.isNotNull,
+      diffDirs * diffWeights).otherwise(coalesce(repetitions, lit(0)) + 1)
+    when(isMosaic, nbVol).otherwise(nbVol * nbSlice)
+  }
+
+  /** Slice gap (Exam_info.py:556-569): ‖pos2−pos1‖ − sizeZ, clamped to
+    * zero below 1e-5. */
+  def sliceGap(p1: Column, p2: Column, sizeZ: Column): Column = {
+    val d = sqrt(
+      pow(element_at(p2, 1) - element_at(p1, 1), 2) +
+      pow(element_at(p2, 2) - element_at(p1, 2), 2) +
+      pow(element_at(p2, 3) - element_at(p1, 3), 2)) - sizeZ
+    when(abs(d) < 1e-5, 0.0).otherwise(d)
+  }
 }

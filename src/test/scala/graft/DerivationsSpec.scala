@@ -84,4 +84,67 @@ class DerivationsSpec extends AnyFunSuite {
       .select(Derivations.ageYears(col("a"))).as[Int].collect().toSeq
     assert(got == Seq(42, 7, 103))
   }
+
+  test("phaseDir appends sign") {
+    val got = Seq(("COL", 1), ("ROW", 0)).toDF("d", "p")
+      .select(Derivations.phaseDir(col("d"), col("p"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("COL+", "ROW-"))
+  }
+
+  test("examName GE branch falls through protocol → study → placeholder") {
+    val got = Seq(
+      ("GE MEDICAL", Some("protoX"), Some("studyY")),
+      ("GE MEDICAL", None: Option[String], Some("studyY")),
+      ("GE MEDICAL", None: Option[String], None: Option[String]),
+      ("SIEMENS", Some("protoX"), Some("studyY")))
+      .toDF("m", "p", "s")
+      .select(Derivations.examName(col("m"), col("p"), col("s")))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("protoX"), Some("studyY"), Some("Atrier"),
+      Some("studyY")))
+  }
+
+  test("(null) filename repair") {
+    val got = Seq(("spectro(null).dcm", 5, 2, 17), ("fine.dcm", 1, 1, 1))
+      .toDF("n", "sn", "an", "in")
+      .select(Derivations.repairNullFilename(col("n"), col("sn"),
+        col("an"), col("in"))).as[String].collect().toSeq
+    assert(got == Seq("repaired_S5_A2_I17.dcm", "fine.dcm"))
+  }
+
+  test("isInteger / listToStr / teVecString") {
+    val ints = Seq("42", "x", "", "007").toDF("s")
+      .select(Derivations.isInteger(col("s"))).as[Boolean].collect().toSeq
+    assert(ints == Seq(true, false, false, true))
+    val joined = Seq(Seq("a", "", "b")).toDF("arr")
+      .select(Derivations.listToStr(col("arr"), "_")).as[String].head()
+    assert(joined == "a_b")
+    val te = Seq(Seq("2.5", "5.1")).toDF("tes")
+      .select(Derivations.teVecString(col("tes"))).as[String].head()
+    assert(te == "[ 2.5 5.1 ]")
+  }
+
+  test("expectedFileCount: diffusion, repetition, mosaic branches") {
+    val got = Seq(
+      (false, 40, Some(30), Some(2), None: Option[Int]), // diff: 60*40
+      (true, 40, Some(30), Some(2), None: Option[Int]),  // mosaic: 60
+      (false, 40, None: Option[Int], None: Option[Int], Some(4)), // reps: 5*40
+      (false, 40, None: Option[Int], None: Option[Int], None: Option[Int]))
+      .toDF("mosaic", "slices", "dirs", "weights", "reps")
+      .select(Derivations.expectedFileCount(col("mosaic"), col("slices"),
+        col("dirs"), col("weights"), col("reps"))).as[Int].collect().toSeq
+    assert(got == Seq(2400, 60, 200, 40))
+  }
+
+  test("sliceGap clamps sub-1e-5 drift to zero") {
+    val got = Seq(
+      (Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 3.0), 2.5),
+      (Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 3.0), 3.0000000001))
+      .toDF("p1", "p2", "z")
+      .select(Derivations.sliceGap(col("p1"), col("p2"), col("z")))
+      .as[Double].collect().toSeq
+    assert(got.head == 0.5)
+    assert(got(1) == 0.0)
+  }
 }
