@@ -33,6 +33,19 @@ object Lake {
         org.apache.spark.sql.functions.col(tsCol)))
       .write.mode("overwrite").partitionBy("part_date").parquet(path)
 
+  /** Bucketed layout for co-located joins: both fact tables bucketed by
+    * the join key into the same bucket count join WITHOUT a shuffle
+    * (no Exchange in the plan — asserted in BucketedJoinSpec). At 100 TB
+    * this is the difference between re-shuffling the fact table per
+    * query and a one-time layout cost at ingest. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = FileSystem.get(new java.net.URI(s"file://$path"),
       spark.sparkContext.hadoopConfiguration)
