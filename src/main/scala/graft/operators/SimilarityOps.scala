@@ -87,6 +87,40 @@ object SimilarityOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // IVF-style ANN: a deterministic coarse quantizer (the first 16
+    // vectors act as centroids — in production these come from a k-means
+    // fit), every vector assigned to its nearest centroid, queries probe
+    // only their own cluster. The assignment is a broadcast join against
+    // the tiny centroid set; the probe is an equi-join on cluster id —
+    // both shuffle-light at any corpus size.
+    "v3_ann_ivf" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val e = withNorm(load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("v"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val simToCent = e.join(broadcast(cent))
+        .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("r").desc, col("cid"))
+      val assign = simToCent.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val q = assign.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("cid"), col("v").as("va"))
+      val c = assign.select(col("vec_id").as("n_id"), col("cid"),
+        col("v").as("vb"))
+      val scored = c.join(broadcast(q), Seq("cid"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // Sign-bucket LSH: bucket = sign bits of dims 1-4; top-3 within the
     // query's bucket. The equi-join on bucket replaces the cross join —
     // this is the partition-local candidate generation that survives
@@ -118,6 +152,35 @@ object SimilarityOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "v3_ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY round(list_sum([n.v[i]*cent.cv[i]
+        |                   for i in range(1,65)])/(n.nrm*cent.cnrm), 6)
+        |          DESC, cent.cid) AS rk
+        |    FROM n CROSS JOIN cent) t
+        |  WHERE rk = 1),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
+        |              / (qa.nrm * ca.nrm), 6) AS r
+        |      FROM assign q JOIN assign c ON q.cid = c.cid
+        |      JOIN n qa ON qa.vec_id = q.vec_id
+        |      JOIN n ca ON ca.vec_id = c.vec_id
+        |      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rk, n_id, r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY r DESC, n_id) AS rk FROM p) s
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
     "d5_embedding_neardup" ->
       """WITH allv AS (
         |  SELECT vec_id, embedding FROM embeddings
