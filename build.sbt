@@ -14,6 +14,9 @@ Test / fork := true
 // sequential execution keeps plan assertions race-free
 Test / parallelExecution := false
 run / fork := true
+// raw stdout for forked runs: no "[info] " prefix, so the driver can
+// parse Bench's one-line JSON straight from the log
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
