@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import graft.sources.dicomlike.BytesReadCounter
+
+/** DataSource V2 with header-only projection pushdown: reading metadata
+  * columns must not read payload bytes. */
+class DicomSourceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def writeDicom(dir: Path, name: String, seriesUid: String,
+      instance: Int, payloadKb: Int): Unit = {
+    val header = new Array[Byte](128) ++ "DICM".getBytes ++
+      seriesUid.getBytes ++ f"$instance%04d".getBytes ++
+      "E1  ".getBytes ++ f"${3}%04d".getBytes
+    val payload = Array.fill[Byte](payloadKb * 1024)(7)
+    Files.write(dir.resolve(name), header ++ payload)
+  }
+
+  private def mkFixture(): Path = {
+    val dir = Files.createTempDirectory("graft_dsv2")
+    writeDicom(dir, "a1.dcm", "EXAM01SERA", 1, 64)
+    writeDicom(dir, "a2.dcm", "EXAM01SERA", 2, 64)
+    writeDicom(dir, "b1.dcm", "EXAM01SERB", 1, 64)
+    Files.write(dir.resolve("junk.txt"), "not dicom".getBytes)
+    dir
+  }
+
+  test("metadata-only projection reads headers, not payloads") {
+    val dir = mkFixture()
+    val df = spark.read.format("dicomlike")
+      .load(dir.toString)
+
+    BytesReadCounter.reset()
+    val metas = df.select("series_uid", "instance_number", "length")
+      .collect()
+    val headerOnlyBytes = BytesReadCounter.bytes.get()
+    assert(metas.length == 3)
+    assert(headerOnlyBytes < 4 * 1024,
+      s"pruned read still pulled $headerOnlyBytes bytes")
+
+    BytesReadCounter.reset()
+    val full = df.select("series_uid", "content").collect()
+    val fullBytes = BytesReadCounter.bytes.get()
+    assert(full.length == 3)
+    assert(full.forall(_.getAs[Array[Byte]]("content").length > 64 * 1024))
+    assert(fullBytes > 3L * 64 * 1024, s"full read only $fullBytes bytes")
+  }
+
+  test("scan schema is pruned to the required columns") {
+    val dir = mkFixture()
+    val pruned = spark.read.format("dicomlike")
+      .load(dir.toString).select("series_uid")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("series_uid") && !plan.contains("content"),
+      s"scan not pruned:\n${plan.take(1200)}")
+  }
+
+  test("source feeds the ingest aggregates end-to-end") {
+    val dir = mkFixture()
+    val headers = spark.read.format("dicomlike")
+      .load(dir.toString)
+      .select("path", "length", "series_uid", "instance_number",
+        "echo", "expected_count")
+    val stacks = graft.ingest.DicomLike.stacks(headers)
+      .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1)
+    assert(stacks.toSeq == Seq(("EXAM01SERA", 2L), ("EXAM01SERB", 1L)))
+  }
+}
