@@ -143,6 +143,15 @@ object Derivations {
     when(isMosaic, nbVol).otherwise(nbVol * nbSlice)
   }
 
+  /** TENSOR time repair (Exam_info.py:190-193,377-383): an acquisition
+    * time earlier than the study time is implausible and repaired to the
+    * study time; the anomaly flag is suppressed for TENSOR series (the
+    * one sequence where it is expected). */
+  def repairAcqTime(acq: Column, study: Column, seqType: Column)
+      : (Column, Column) = (
+    when(acq < study, study).otherwise(acq),
+    acq < study && !seqType.contains("TENSOR"))
+
   /** Slice gap (Exam_info.py:556-569): ‖pos2−pos1‖ − sizeZ, clamped to
     * zero below 1e-5. */
   def sliceGap(p1: Column, p2: Column, sizeZ: Column): Column = {

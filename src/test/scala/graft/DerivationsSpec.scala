@@ -137,6 +137,23 @@ class DerivationsSpec extends AnyFunSuite {
     assert(got == Seq(2400, 60, 200, 40))
   }
 
+  test("repairAcqTime: repair + TENSOR-gated anomaly flag") {
+    val df = Seq(
+      ("2024-01-01 09:00:00", "2024-01-01 10:00:00", "DWI"),    // repaired+flag
+      ("2024-01-01 09:00:00", "2024-01-01 10:00:00", "TENSOR"), // repaired, no flag
+      ("2024-01-01 11:00:00", "2024-01-01 10:00:00", "DWI"))    // untouched
+      .toDF("a", "s", "t")
+      .select(col("a").cast("timestamp").as("a"),
+        col("s").cast("timestamp").as("s"), col("t"))
+    val (fixed, warn) = Derivations.repairAcqTime(col("a"), col("s"), col("t"))
+    val got = df.select(fixed.cast("string"), warn)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 10:00:00", true),
+      ("2024-01-01 10:00:00", false),
+      ("2024-01-01 11:00:00", false)))
+  }
+
   test("sliceGap clamps sub-1e-5 drift to zero") {
     val got = Seq(
       (Seq(0.0, 0.0, 0.0), Seq(0.0, 0.0, 3.0), 2.5),
