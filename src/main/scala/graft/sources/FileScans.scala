@@ -85,6 +85,29 @@ object FileScans {
       .option("recursiveFileLookup", "true")
       .load(root)
 
+  /** S10 — the three QC image-finder strategies (qcview.py:33-172):
+    * a file of explicit paths, a subject list expanded through a
+    * `#V0#` template, and a glob search. All return one manifest shape
+    * (`path`), ready for the S14/J7 resume anti-join. */
+  def qcFileFinder(spark: SparkSession, listFile: String): DataFrame =
+    spark.read.text(listFile).toDF("path")
+      .filter(length(trim(col("path"))) > 0)
+
+  def qcListFinder(spark: SparkSession, subjectsFile: String,
+      template: String): DataFrame =
+    spark.read.text(subjectsFile).toDF("subject")
+      .filter(length(trim(col("subject"))) > 0)
+      .select(expr(s"replace('${template.replace("'", "''")}', '#V0#', subject)")
+        .as("path"))
+
+  def qcPathFinder(spark: SparkSession, root: String,
+      glob: String): DataFrame = {
+    import spark.implicits._
+    listFiles(spark, root).filter(!col("isDir"))
+      .filter(col("path").rlike(glob))
+      .select(col("path"))
+  }
+
   /** X3 — scanner-vs-disk reconciliation (do_results_DB.py:319-342):
     * manifest rows with no disk counterpart, or whose file count
     * disagrees, become findings. Pure anti-join + count-mismatch filter

@@ -82,6 +82,23 @@ class SourcesSinksSpec extends AnyFunSuite {
       "DELETE FROM exam WHERE eid = 9;"))
   }
 
+  test("S10 qc finders: file list, template expansion, glob") {
+    val dir = Files.createTempDirectory("graft_qcf")
+    Files.write(dir.resolve("paths.txt"),
+      "/data/a.nii\n/data/b.nii\n\n".getBytes)
+    Files.write(dir.resolve("subs.txt"), "subj01\nsubj02\n".getBytes)
+    val byFile = FileScans.qcFileFinder(spark,
+      dir.resolve("paths.txt").toString).as[String].collect().toSet
+    assert(byFile == Set("/data/a.nii", "/data/b.nii"))
+    val byList = FileScans.qcListFinder(spark,
+      dir.resolve("subs.txt").toString, "/proto/#V0#/anat.nii")
+      .as[String].collect().toSet
+    assert(byList == Set("/proto/subj01/anat.nii", "/proto/subj02/anat.nii"))
+    val tree = mkTree()
+    val byGlob = FileScans.qcPathFinder(spark, tree.toString, "S01\\.dat$")
+    assert(byGlob.count() == 3)
+  }
+
   test("X3 reconcile flags missing and count-mismatched series") {
     val scanner = Seq(("sA", 3L), ("sB", 2L), ("sC", 1L))
       .toDF("series_key", "n_expected")
