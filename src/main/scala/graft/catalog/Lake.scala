@@ -53,27 +53,34 @@ object Lake {
   }
 
   /** MERGE `batch` into the table at `path` (created if absent).
-    * Returns per-status counts (inserted/updated/kept). */
+    * Returns per-status counts (inserted/updated/kept).
+    *
+    * The merge plan executes ONCE (persisted before the counts collect
+    * and the snapshot write — it would otherwise re-read the table and
+    * re-run the join for each). Crash recovery: if the process dies
+    * between the two renames, the previous snapshot is intact at
+    * `.bak` — rename it back. */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
       key: String, exclude: Seq[String] = Nil): Map[String, Long] = {
-    val merged = readTable(spark, path) match {
+    val merged = (readTable(spark, path) match {
       case Some(db) => MergeOps.merge(db, batch, key, exclude)
       case None => batch.withColumn("merge_status",
         org.apache.spark.sql.functions.lit("inserted"))
-    }
-    val counts = merged.groupBy("merge_status").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val out = merged.drop("merge_status")
-
-    val fs = FileSystem.get(new java.net.URI(s"file://$path"),
-      spark.sparkContext.hadoopConfiguration)
-    val cur = new Path(path); val tmp = new Path(path + ".tmp")
-    val bak = new Path(path + ".bak")
-    out.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(cur)) require(fs.rename(cur, bak), s"swap failed: $cur")
-    require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
-    fs.delete(bak, true)
-    counts
+    }).persist()
+    try {
+      val counts = merged.groupBy("merge_status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fs = FileSystem.get(new java.net.URI(s"file://$path"),
+        spark.sparkContext.hadoopConfiguration)
+      val cur = new Path(path); val tmp = new Path(path + ".tmp")
+      val bak = new Path(path + ".bak")
+      merged.drop("merge_status").write.mode("overwrite")
+        .parquet(tmp.toString)
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(cur)) require(fs.rename(cur, bak), s"swap failed: $cur")
+      require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
+      fs.delete(bak, true)
+      counts
+    } finally merged.unpersist()
   }
 }

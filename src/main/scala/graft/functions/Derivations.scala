@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** The reference's derivation when-chains (SURVEY §2.8 "conditionals"),
   * re-expressed as pure Column expressions.
@@ -84,19 +85,22 @@ object Derivations {
   /** Siemens TA duration parse (Exam_info.py:1470-1487):
     * "TA 03:50*3" → (3*60+50)*3 seconds; "TA 03.x" → (3+1)*60. */
   def taSeconds(ta: Column): Column = {
-    val mm = regexp_extract(ta, "TA (\\d+):(\\d+)", 1).cast("int")
-    val ss = regexp_extract(ta, "TA (\\d+):(\\d+)", 2).cast("int")
-    val mult = regexp_extract(ta, "\\*(\\d+)", 1)
-    val multN = when(mult === "", 1).otherwise(mult.cast("int"))
-    val dotMm = regexp_extract(ta, "TA (\\d+)\\.", 1).cast("int")
-    when(regexp_extract(ta, "TA (\\d+):(\\d+)", 0) =!= "",
-      (mm * 60 + ss) * multN)
+    // try_cast everywhere: regexp_extract yields "" on no-match, and an
+    // ANSI cast of "" throws instead of returning null
+    def intOf(c: Column): Column = c.try_cast(IntegerType)
+    val mm = intOf(regexp_extract(ta, "TA (\\d+):(\\d+)", 1))
+    val ss = intOf(regexp_extract(ta, "TA (\\d+):(\\d+)", 2))
+    val multN = coalesce(intOf(regexp_extract(ta, "\\*(\\d+)", 1)), lit(1))
+    val dotMm = intOf(regexp_extract(ta, "TA (\\d+)\\.", 1))
+    when(mm.isNotNull && ss.isNotNull, (mm * 60 + ss) * multN)
       .when(dotMm.isNotNull, (dotMm + 1) * 60)
   }
 
-  /** PatientsAge "042Y" → 42 (do_dicom.py:498-503). */
+  /** PatientsAge "042Y" → 42, null when unparseable — the reference is
+    * a tolerant parse (do_dicom.py:498-503) and an ANSI cast of the
+    * empty no-match extract would throw. */
   def ageYears(age: Column): Column =
-    regexp_extract(age, "^(\\d{1,3})", 1).cast("int")
+    regexp_extract(age, "^(\\d{1,3})", 1).try_cast(IntegerType)
 
   /** PhaseDir sign suffix from PhaseEncodingDirectionPositive
     * (Exam_info.py:635-640). */

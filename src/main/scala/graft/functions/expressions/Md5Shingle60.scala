@@ -53,10 +53,12 @@ object Md5Shingle60 {
 
   /** Static so generated code can call it directly. Dedupe is on the
     * string shingle (byte window); for distinct windows the 60-bit md5
-    * values are distinct up to md5 collisions. */
+    * values are distinct up to md5 collisions. Strings shorter than K
+    * yield an empty set, mirroring the oracle's substring range. */
   def compute(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
-    val n = math.max(bytes.length - K + 1, 1)
+    val n = bytes.length - K + 1
+    if (n <= 0) return Array.emptyLongArray
     val md = digest.get()
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
     val out = new Array[Long](n)

@@ -52,11 +52,13 @@ case class ShingleHash64(child: Expression) extends UnaryExpression {
 object ShingleHash64 {
   private final val K = 8
 
-  /** Static so generated code can call it directly. */
+  /** Static so generated code can call it directly. Strings shorter
+    * than K yield an empty set — mirroring the substring definition
+    * (and the DuckDB oracle), where no length-K window exists. */
   def compute(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length - K + 1
-    if (n <= 0) return Array(mix(bytes, 0, bytes.length))
+    if (n <= 0) return Array.emptyLongArray
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
     val out = new Array[Long](n)
     var m = 0

@@ -120,8 +120,8 @@ object DedupOps {
     }),
 
     // SimHash: 60-bit signature (majority vote per bit over shingle
-    // hashes), blocked on 10 bands of 6 bits (pigeonhole-exact for
-    // Hamming ≤ 9), verified with bit_count(xor) ≤ 6. Oracle recomputes
+    // hashes), blocked on 7 bands of 8 bits (pigeonhole-exact for
+    // Hamming ≤ 6), verified with bit_count(xor) ≤ 6. Oracle recomputes
     // the identical integer-only signature in SQL — no float anywhere.
     "d3_simhash_hamming" -> ((s, dir) => {
       GraftFunctions.register(s)

@@ -21,10 +21,8 @@ import graft.Tables.load
   */
 object SimilarityOps {
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
 
   /** Native codegen'd cosine (graft.functions.expressions.CosineSim) —
     * bit-identical to the HOF form, one fused primitive loop. */
@@ -36,12 +34,10 @@ object SimilarityOps {
     // "small query batch vs big corpus" shape.
     "v1_ann_bruteforce" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
-      val e = withNorm(load(s, dir, "embeddings"))
+      val e = withV(load(s, dir, "embeddings"))
       val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("va"),
-          col("nrm").as("nrm_a"))
-      val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"),
-        col("nrm").as("nrm_b"))
+        .select(col("vec_id").as("q_id"), col("v").as("va"))
+      val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"))
       val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
         .withColumn("r", expr(simExpr))
       val w = Window.partitionBy(col("q_id"))
@@ -95,7 +91,7 @@ object SimilarityOps {
     // both shuffle-light at any corpus size.
     "v3_ann_ivf" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
-      val e = withNorm(load(s, dir, "embeddings"))
+      val e = withV(load(s, dir, "embeddings"))
         .select(col("vec_id"), col("v"))
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -132,13 +128,12 @@ object SimilarityOps {
           | if(element_at(embedding,2) > 0F, 4, 0) +
           | if(element_at(embedding,3) > 0F, 2, 0) +
           | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
-      val e = withNorm(load(s, dir, "embeddings"))
+      val e = withV(load(s, dir, "embeddings"))
         .withColumn("bucket", expr(bucketExpr))
       val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("bucket"),
-          col("v").as("va"), col("nrm").as("nrm_a"))
+        .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("va"))
       val c = e.select(col("vec_id").as("n_id"), col("bucket"),
-        col("v").as("vb"), col("nrm").as("nrm_b"))
+        col("v").as("vb"))
       val scored = c.join(broadcast(q), Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("r", expr(simExpr))

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Propose-don't-act sinks — SURVEY §2.2 K8/K9.
@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
 object ActionSink {
 
   /** K8 — render (action, target) findings into shell-script lines.
-    * Unknown actions fail the render (no silent destructive commands). */
+    * Unknown actions fail the render, and embedded single quotes are
+    * shell-escaped ('\'' form) — a hostile path must not become an
+    * injected command in the reviewed script. */
   def shellScript(findings: DataFrame): DataFrame = {
+    def sq(c: Column): Column =
+      concat(lit("'"), regexp_replace(c, "'", "'\\\\''"), lit("'"))
     val rendered = findings.select(
-      when(col("action") === "delete", concat(lit("rm -rf '"), col("target"), lit("'")))
+      when(col("action") === "delete", concat(lit("rm -rf "), sq(col("target"))))
         .when(col("action") === "move",
-          concat(lit("mv '"), col("target"), lit("' '"), col("dest"), lit("'")))
-        .when(col("action") === "mkdir", concat(lit("mkdir -p '"), col("target"), lit("'")))
+          concat(lit("mv "), sq(col("target")), lit(" "), sq(col("dest"))))
+        .when(col("action") === "mkdir",
+          concat(lit("mkdir -p "), sq(col("target"))))
         .as("line"))
     rendered.filter(col("line").isNull).limit(1).collect().foreach { _ =>
       throw new IllegalArgumentException("unknown action in findings")
@@ -29,11 +34,19 @@ object ActionSink {
     rendered
   }
 
-  /** K8 (SQL variant) — delete statements per key. */
+  /** K8 (SQL variant) — delete statements per key. String keys are
+    * quoted with '' doubling (SQL escape); numeric keys render bare. */
   def sqlScript(findings: DataFrame, table: String, keyCol: String)
-      : DataFrame =
+      : DataFrame = {
+    val isString = findings.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val rendered =
+      if (isString)
+        concat(lit("'"), regexp_replace(col(keyCol), "'", "''"), lit("'"))
+      else col(keyCol).cast("string")
     findings.select(concat(lit(s"DELETE FROM $table WHERE $keyCol = "),
-      col(keyCol), lit(";")).as("line"))
+      rendered, lit(";")).as("line"))
+  }
 
   /** Write script lines to a single reviewable file (small by
     * construction: one line per proposed action). */

@@ -17,44 +17,63 @@ import org.apache.spark.sql.functions._
   * DataFrame — metadata only, content is NOT read (the reference's
   * stop_before_pixels discipline). Content reads go through
   * `spark.read.format("binaryFile")` on the already-filtered path set.
-  * At 100 TB the manifest list is the only driver-side work (Hadoop
-  * RemoteIterator, streamed); every filter after that is a pushed-down
-  * DataFrame predicate.
+  * The driver lists only the root's first level; per-subdirectory
+  * recursion runs on executors, so the manifest never materializes in
+  * driver memory. Every filter after that is a DataFrame predicate.
   */
 object FileScans {
 
   case class FileMeta(path: String, mtime: Long, size: Long, isDir: Boolean)
 
-  /** S3 — recursive manifest scan of a root. */
+  /** S3 — recursive manifest scan of a root, distributed: the driver
+    * lists only the root's immediate children; each subdirectory's
+    * recursive listing runs on executors (flatMap), so a root with
+    * millions of files never materializes in driver memory — only the
+    * first level does. */
   def listFiles(spark: SparkSession, root: String): Dataset[FileMeta] = {
     import spark.implicits._
-    val fs = FileSystem.get(new java.net.URI(root match {
-      case r if r.contains("://") => r
-      case r => s"file://$r"
-    }), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new Path(root), true)
-    val buf = scala.collection.mutable.ArrayBuffer[FileMeta]()
-    while (it.hasNext) {
-      val f = it.next()
-      buf += FileMeta(f.getPath.toUri.getPath, f.getModificationTime,
-        f.getLen, f.isDirectory)
+    def uri(r: String) = new java.net.URI(
+      if (r.contains("://")) r else s"file://$r")
+    val fs = FileSystem.get(uri(root),
+      spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(new Path(root))
+    val topFiles = top.filter(_.isFile).map(f =>
+      FileMeta(f.getPath.toUri.getPath, f.getModificationTime,
+        f.getLen, isDir = false)).toSeq
+    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val nested = spark.createDataset(subDirs).flatMap { d =>
+      val p = new Path(d)
+      val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val it = dfs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[FileMeta]()
+      while (it.hasNext) {
+        val f = it.next()
+        buf += FileMeta(f.getPath.toUri.getPath, f.getModificationTime,
+          f.getLen, isDir = false)
+      }
+      buf
     }
-    spark.createDataset(buf.toSeq)
+    spark.createDataset(topFiles).union(nested)
   }
 
   /** S1/S2 — per-level regex descent: level i of the relative path must
-    * match regexes(i); the file name must match the last regex. */
+    * match regexes(i); the file name must match the last regex.
+    * Depth is checked first and levels are accessed with
+    * try_element_at — files shallower than the regex depth must be
+    * filtered out, not crash the scan (ANSI element_at throws). The
+    * relative offset comes from the scheme-less URI path, matching what
+    * listFiles stores. */
   def regexScan(spark: SparkSession, root: String,
       regexes: Seq[String]): Dataset[FileMeta] = {
-    val files = listFiles(spark, root)
-    val rootLen = root.stripSuffix("/").length + 1
-    val rel = expr(s"substring(path, ${rootLen + 1})")
+    val rootPath = new Path(root).toUri.getPath.stripSuffix("/")
+    val rel = expr(s"substring(path, ${rootPath.length + 2})")
     val parts = split(rel, "/")
     val conds = regexes.zipWithIndex.map { case (r, i) =>
-      element_at(parts, i + 1).rlike(r)
+      coalesce(expr(s"try_element_at(split(substring(path, ${rootPath.length + 2}), '/'), ${i + 1})")
+        .rlike(r), lit(false))
     }
-    val levelOk = conds.reduce(_ && _) && size(parts) === regexes.length
-    files.filter(levelOk && !col("isDir"))
+    val levelOk = size(parts) === regexes.length && conds.reduce(_ && _)
+    listFiles(spark, root).filter(levelOk && !col("isDir"))
   }
 
   /** S4 — mtime-filtered scan (`--days N`): only entries modified on or
@@ -97,7 +116,9 @@ object FileScans {
       template: String): DataFrame =
     spark.read.text(subjectsFile).toDF("subject")
       .filter(length(trim(col("subject"))) > 0)
-      .select(expr(s"replace('${template.replace("'", "''")}', '#V0#', subject)")
+      // lit() carries the template verbatim — interpolating it into SQL
+      // text would re-interpret quotes and backslashes
+      .select(replace(lit(template), lit("#V0#"), col("subject"))
         .as("path"))
 
   def qcPathFinder(spark: SparkSession, root: String,
@@ -137,11 +158,15 @@ object FileScans {
       .option("pathGlobFilter", glob)
       .text(root)
       .select(input_file_name().as("path"), col("value"))
-    val firstLine = split(element_at(split(col("value"), "\n"), 1), "\t")
-    files.select(
-      col("path"),
-      element_at(firstLine, 1).cast("double").as("vbmgrayvol"),
-      element_at(firstLine, 2).cast("double").as("vbmwhitevol"),
-      element_at(firstLine, 3).cast("double").as("vbmcsfvol"))
+    // try_* forms: a truncated or empty results file yields null columns
+    // instead of failing the whole scan (ANSI element_at/cast throw)
+    files
+      .withColumn("fl",
+        split(expr("try_element_at(split(value, '\n'), 1)"), "\t"))
+      .select(
+        col("path"),
+        expr("try_cast(try_element_at(fl, 1) as double)").as("vbmgrayvol"),
+        expr("try_cast(try_element_at(fl, 2) as double)").as("vbmwhitevol"),
+        expr("try_cast(try_element_at(fl, 3) as double)").as("vbmcsfvol"))
   }
 }

@@ -77,6 +77,12 @@ class DerivationsSpec extends AnyFunSuite {
         .as[Int].head()
       assert(got == want, s"taSeconds($in)")
     }
+    // unparseable values yield null, not an ANSI cast crash
+    val bad = Seq("n/a", "").toDF("ta")
+      .select(Derivations.taSeconds(col("ta"))).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    assert(Seq("unknown").toDF("a")
+      .select(Derivations.ageYears(col("a"))).head.isNullAt(0))
   }
 
   test("age parse strips unit") {

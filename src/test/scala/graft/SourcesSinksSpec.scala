@@ -42,6 +42,37 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(protoA.count() == 1)
   }
 
+  test("S1 regex scan tolerates files shallower than the regex depth") {
+    val root = mkTree()
+    Files.write(root.resolve("README.txt"), "top-level file".getBytes)
+    val hits = FileScans.regexScan(spark, root.toString,
+      Seq("^PROTO_", "^subj", "^S\\d+\\.dat$"))
+    assert(hits.count() == 3) // shallow file filtered, not a crash
+  }
+
+  test("K8 shell script escapes hostile quotes in targets") {
+    val lines = ActionSink.shellScript(
+      Seq(("delete", "/data/x'; rm -rf $HOME; '", ""))
+        .toDF("action", "target", "dest")).as[String].collect()
+    assert(lines.head == """rm -rf '/data/x'\''; rm -rf $HOME; '\'''""")
+  }
+
+  test("S10 template with quotes and backslashes survives verbatim") {
+    val dir = Files.createTempDirectory("graft_qtpl")
+    Files.write(dir.resolve("subs.txt"), "s1\n".getBytes)
+    val got = FileScans.qcListFinder(spark,
+      dir.resolve("subs.txt").toString, """/d/O'Brien\x/#V0#.nii""")
+      .as[String].head()
+    assert(got == """/d/O'Brien\x/s1.nii""")
+  }
+
+  test("S13 truncated seg8 file yields nulls, not a crashed scan") {
+    val root = Files.createTempDirectory("graft_seg8b")
+    Files.write(root.resolve("short_seg8.txt"), "0.5\n".getBytes)
+    val r = FileScans.readSeg8(spark, root.toString).collect().head
+    assert(r.getDouble(1) == 0.5 && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("S4 mtime filter keeps only fresh entries") {
     val root = mkTree()
     val files = FileScans.listFiles(spark, root.toString)
