@@ -90,6 +90,27 @@ object Queries {
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       })
+      ,
+
+      // TPC-H Q10 shape: returned-item revenue per customer, top-20 —
+      // fact filtered then joined against two broadcast dims.
+      "q10_returned_items" -> ((s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .agg(decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      })
     ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
@@ -134,7 +155,19 @@ object Queries {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1,2,3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
