@@ -38,9 +38,14 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warmup: JIT, codegen, file listing
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        // min of two timed runs: GC/JIT noise at this scale is on the
+        // order of the measurement itself
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times(name) = runs.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

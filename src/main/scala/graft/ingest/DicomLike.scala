@@ -72,6 +72,30 @@ object DicomLike {
       keys: Seq[String], default: String): org.apache.spark.sql.Column =
     coalesce(keys.map(k => element_at(metaCol, k)) :+ lit(default): _*)
 
+  /** §2.8 array/map — indexed-key probe (`asList[%d]`, `alBValue[%d]`,
+    * Exam_info.py:694-728): collect the values present at
+    * `base[0] .. base[n-1]` in one expression (the reference's
+    * while-probe loop, vectorized). */
+  def metaIndexedProbe(metaCol: org.apache.spark.sql.Column,
+      base: String, n: Int): org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(0), lit(n - 1)),
+        i => element_at(metaCol, concat(lit(base + "["), i, lit("]")))),
+      v => v.isNotNull)
+
+  /** make_unicode (do_common.py:331-342): strict UTF-8 decode with a
+    * latin-1 fallback — for the binary reader path (a JVM String is
+    * already decoded; this applies to raw header bytes). */
+  def decodeUtf8OrLatin1(bytes: Array[Byte]): String =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
   /** P4 — derived-series skip filter (Exam_info.py:1402-1418,417-455):
     * drop series whose image type marks them as scanner-derived, EXCEPT
     * the mp2rage DERIVED+PRIMARY+UNI combination, and never shorten GE

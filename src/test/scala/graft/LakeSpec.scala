@@ -49,6 +49,23 @@ class LakeSpec extends AnyFunSuite {
       flipZ = true) == ((-1.0, 2.0, -3.0)))
   }
 
+  test("metaIndexedProbe collects present indexed keys in order") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      Map("asList[0]" -> "a", "asList[2]" -> "c"),
+      Map[String, String]())
+      .toDF("meta")
+    val got = df.select(DicomLike.metaIndexedProbe(col("meta"), "asList", 4))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "c"), Seq()))
+  }
+
+  test("decodeUtf8OrLatin1 falls back on invalid utf8") {
+    assert(DicomLike.decodeUtf8OrLatin1("héllo".getBytes("UTF-8")) == "héllo")
+    val latin1 = "Pâtient".getBytes("ISO-8859-1") // invalid as UTF-8
+    assert(DicomLike.decodeUtf8OrLatin1(latin1) == "Pâtient")
+  }
+
   test("metaFallback resolves dotted keys in order with default") {
     val df = Seq(
       Map("CsaImage.CoilName" -> "HeadNeck"),
