@@ -46,6 +46,9 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         times(name) = runs.min
+        // dedup pipelines cache small feature tables; clear between
+        // queries so storage memory never accumulates across the suite
+        spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

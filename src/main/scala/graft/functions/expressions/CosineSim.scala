@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen: dot product and both norms in a single pass, no
   * allocation.
   *
-  * Semantics match the HOF form bit-for-bit: strict left-to-right
-  * accumulation in double, `dot / (sqrt(na) * sqrt(nb))`.
+  * Semantics match the HOF form bit-for-bit for equal-length inputs:
+  * strict left-to-right accumulation in double,
+  * `dot / (sqrt(na) * sqrt(nb))`. Mismatched lengths fail fast (a
+  * silently truncated similarity would corrupt rankings undetectably).
   * Array elements must be non-null (embedding vectors).
   */
 @ExpressionDescription(
@@ -41,7 +43,13 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) {
+      // fail fast: a silently truncated similarity would corrupt top-k
+      // rankings undetectably
+      throw new IllegalArgumentException(
+        s"cosine_sim: length mismatch ${xs.numElements()} vs ${ys.numElements()}")
+    }
+    val n = xs.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -63,7 +71,11 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: length mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.getDouble($i);

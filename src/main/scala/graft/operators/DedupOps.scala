@@ -37,15 +37,21 @@ object DedupOps {
     */
   private def bucketPairs(banded: DataFrame, keys: Seq[String],
       maxBucket: Int = Int.MaxValue, minCoBuckets: Int = 1): DataFrame = {
-    val pairsExpr =
-      """filter(flatten(transform(ids, a -> transform(ids, b ->
-        |  struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)"""
-        .stripMargin
-    val pairs = banded.groupBy(keys.map(col): _*)
+    // two chained generators STREAM the per-bucket cross product row by
+    // row — a transform×transform pair array would materialize
+    // O(bucket²) structs inside one row and OOM on a hot bucket
+    val grouped = banded.groupBy(keys.map(col): _*)
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val pairs = grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("i"), col("doc_a"),
+        posexplode(col("ids")).as(Seq("j", "doc_b")))
+      // VALUE order, not position order: each unordered pair shows up in
+      // the cross product twice, and position-filtering would keep
+      // opposite orientations from different buckets as distinct rows
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
     if (minCoBuckets <= 1) pairs.distinct()
     else pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
@@ -59,12 +65,18 @@ object DedupOps {
     * BEFORE the per-doc expressions: the single-file parquet scan is one
     * partition, and signature math must run on all cores (and, on a
     * cluster, all executors). */
+  /** Docs with no shingle (length < 8) are dropped up front — they can
+    * contribute no pair, and the oracles' substring ranges drop them
+    * too. */
   private def docsWithHashedShingles(s: SparkSession, dir: String)
       : DataFrame =
     load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
       .repartition(col("doc_id"))
-      .withColumn("shingles", expr("shingle_hash64(text)"))
+      // md5-based 60-bit hashes: the minhash permutation input (top 28
+      // bits) must match the oracle's ('0x'||substr(md5(s),1,7))::BIGINT
+      .withColumn("shingles", expr("md5_shingle60(text)"))
       // the shingle table feeds candidate generation AND both sides of
       // the pair verify — cache the (tiny: ids + hashes) result instead
       // of recomputing the subtree three times
@@ -101,18 +113,20 @@ object DedupOps {
         .orderBy(col("keeper_id"))
     }),
 
-    // MinHash + LSH: native shingle hashing (shingle_hash64, one codegen
-    // pass, no string allocation) → native 128-perm signature
-    // (MinHashSig) → 16 bands of 8, the band slice itself as the bucket
-    // key; candidates from bucket-collect; exact-Jaccard verification on
-    // hashed shingle sets. At 16 bands of 8 rows the false-negative
-    // probability at j≥0.9 is ~1e-10, so the output equals the
-    // exact-threshold oracle.
+    // MinHash + LSH: native md5 shingle hashing → native 128-perm
+    // signature (MinHashSig, permutation input = top 28 bits) → 16
+    // bands of 8, the band slice itself as the bucket key; candidates
+    // from bucket-collect; exact-Jaccard verification on the hashed
+    // shingle sets. The oracle replicates the SAME minhash/banding
+    // pipeline in SQL, so the compare checks the operator's defined
+    // LSH semantics — including its (rare) false negatives — rather
+    // than hoping LSH recall matches an exact all-pairs answer.
     "d2_minhash_lsh" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
       val banded = sh.select(col("doc_id"),
-        expr("minhash_sig(shingles)").as("sig"))
+        expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
+          .as("sig"))
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
           .as(Seq("band", "band_key")))
@@ -131,6 +145,10 @@ object DedupOps {
       // Hamming verify.
       val sim = load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        // shingle-less docs (length < 8) drop out of the oracle's
+        // unnest; drop them here too, or simhash60([]) = 0 would pair
+        // every short doc with every other at Hamming 0
+        .filter(length(col("text")) >= 8)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           expr("simhash60(md5_shingle60(text))").as("sim"))
@@ -151,9 +169,13 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // n-gram Jaccard: word 3-grams, blocked on rare trigrams
-    // (document frequency ≤ 10 — the classic rare-token inverted
-    // index), exact trigram-Jaccard ≥ 0.7 on candidates.
+    // n-gram Jaccard with PREFIX FILTERING (the AllPairs/PPJoin idea):
+    // order every doc's trigrams by global rarity (df asc, hash asc)
+    // and block only on each doc's first |d| − ⌈0.7·|d|⌉ + 1 tokens.
+    // Any pair with Jaccard ≥ 0.7 has overlap ≥ ⌈0.7·max(|a|,|b|)⌉, so
+    // the two prefixes MUST share a token — exact recall by theorem,
+    // unlike a fixed rare-df cutoff (which provably missed a 0.955-
+    // Jaccard pair at sf0.1). Exact trigram-Jaccard ≥ 0.7 on candidates.
     "d4_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.register(s)
       val tg = load(s, dir, "documents")
@@ -161,27 +183,33 @@ object DedupOps {
         .repartition(col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .withColumn("shingles", expr(
-          """transform(array_distinct(transform(sequence(1, size(w)-2), i ->
-            |  concat_ws(' ', element_at(w,i), element_at(w,i+1),
-            |            element_at(w,i+2)))), t -> xxhash64(t))"""
-            .stripMargin))
+          """case when size(w) >= 3 then
+            |  transform(array_distinct(transform(sequence(1, size(w)-2), i ->
+            |    concat_ws(' ', element_at(w,i), element_at(w,i+1),
+            |              element_at(w,i+2)))), t -> xxhash64(t))
+            |else cast(array() as array<bigint>) end""".stripMargin))
+        .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"))
         .cache() // reused by the inverted index and both verify sides
-      // rare-token inverted index: group each hashed trigram's postings,
-      // df ≤ 10 bounds the per-bucket pair blowup, and candidates must
-      // share ≥ 2 rare trigrams (a j≥0.7 pair shares dozens) — pairs
-      // come from the postings list, no self-join.
-      val inv = tg.select(col("doc_id"),
-        explode(col("shingles")).as("band_key"))
-      verifyJaccard(
-        bucketPairs(inv, Seq("band_key"), maxBucket = 10, minCoBuckets = 2),
-        tg, 0.7)
+      val inv = tg.select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("t"))
+      val dfT = inv.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      val prefix = inv.join(dfT, "t")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
+        .select(col("doc_id"), col("t").as("band_key"))
+      verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
     })
   )
 
-  /** DuckDB mirrors. d1/d2/d4 oracles are the *exact* definitions
-    * (all-pairs at verification sf is cheap); d3 recomputes the same
-    * integer simhash. */
+  /** DuckDB mirrors. d1/d4 oracles are the *exact* definitions (d4's
+    * prefix filtering has exact recall, so the all-pairs answer IS the
+    * query's answer); d2's oracle replicates the whole minhash/banding
+    * pipeline so the compare checks the operator's defined LSH
+    * semantics; d3 recomputes the same integer simhash. */
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
@@ -191,16 +219,33 @@ object DedupOps {
         |GROUP BY 1 ORDER BY keeper_id""".stripMargin,
 
     "d2_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 8)
-        |                   for i in range(1, length(text)-6)]) AS ss
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)])) AS s FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS x
+        |      FROM sh),
+        |perm AS (SELECT unnest(range(128)) AS j),
+        |sig AS (SELECT doc_id, j,
+        |          MIN(((2*j+1)*x + j*j + 7919) % 2147483647) AS m
+        |        FROM h CROSS JOIN perm GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 8 AS b,
+        |           list(m ORDER BY j) AS key
+        |         FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |         FROM band l JOIN band r
+        |           ON l.b = r.b AND l.key = r.key
+        |          AND l.doc_id < r.doc_id),
+        |ss AS (SELECT doc_id,
+        |         list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)]) AS ss FROM d)
+        |SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
         |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
         |    AS jacc
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |FROM cand JOIN ss a ON a.doc_id = doc_a
+        |          JOIN ss b ON b.doc_id = doc_b
         |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
         |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,

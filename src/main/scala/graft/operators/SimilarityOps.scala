@@ -24,6 +24,14 @@ object SimilarityOps {
   private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
 
+  /** Sign-bucket key: sign bits of dims 1-4 (shared by v2 and d5 — the
+    * oracles encode the same definition). */
+  private val signBucketExpr =
+    """(if(element_at(embedding,1) > 0F, 8, 0) +
+      | if(element_at(embedding,2) > 0F, 4, 0) +
+      | if(element_at(embedding,3) > 0F, 2, 0) +
+      | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
+
   /** Native codegen'd cosine (graft.functions.expressions.CosineSim) —
     * bit-identical to the HOF form, one fused primitive loop. */
   private val simExpr = "round(cosine_sim(va, vb), 6)"
@@ -57,11 +65,6 @@ object SimilarityOps {
     // exactly the answer.
     "d5_embedding_neardup" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
-      val bucketExpr =
-        """(if(element_at(embedding,1) > 0F, 8, 0) +
-          | if(element_at(embedding,2) > 0F, 4, 0) +
-          | if(element_at(embedding,3) > 0F, 2, 0) +
-          | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
       val base = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
@@ -69,7 +72,7 @@ object SimilarityOps {
           .as("embedding"))
       val all = base.union(scaled)
         .repartition(col("vec_id"))
-        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("bucket", expr(signBucketExpr))
         .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
         col("v").as("va"))
@@ -123,13 +126,8 @@ object SimilarityOps {
     // scale-up (IVF-style, with buckets as the shuffle key).
     "v2_ann_bucketed" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
-      val bucketExpr =
-        """(if(element_at(embedding,1) > 0F, 8, 0) +
-          | if(element_at(embedding,2) > 0F, 4, 0) +
-          | if(element_at(embedding,3) > 0F, 2, 0) +
-          | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
       val e = withV(load(s, dir, "embeddings"))
-        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("bucket", expr(signBucketExpr))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("va"))
       val c = e.select(col("vec_id").as("n_id"), col("bucket"),

@@ -61,7 +61,7 @@ class PlanSpec extends AnyFunSuite {
   test("dedup signatures use the native codegen expressions, not HOFs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
-    assert(d2.contains("minhash_sig") && d2.contains("shingle_hash64"),
+    assert(d2.contains("minhash_sig") && d2.contains("md5_shingle60"),
       "native signature expressions missing from the optimized plan")
     val d3 = SparkEntry.queries("d3_simhash_hamming")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
