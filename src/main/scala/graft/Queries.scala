@@ -39,8 +39,9 @@ object Queries {
       }),
 
       // TPC-H Q3 shape: three-way join with selective dim filter, top-10
-      // by aggregated revenue. Customer and orders broadcast (small
-      // after filters); lineitem streams.
+      // by aggregated revenue. The customer dim is broadcast; the
+      // orders side is left to Catalyst/AQE (it stays fact-sized after
+      // the date filter, and a forced broadcast would cap out at scale).
       "q3_shipping_priority" -> ((s, dir) => {
         val c = load(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING")
@@ -52,7 +53,7 @@ object Queries {
         val li = load(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -62,8 +63,8 @@ object Queries {
       }),
 
       // TPC-H Q5 shape: six-table snowflake join, revenue per nation.
-      // All dimensions broadcast; the fact table shuffles once for the
-      // final aggregate.
+      // True dimensions (supplier/customer/nation/region) broadcast;
+      // orders is fact-sized and joins however Catalyst/AQE decides.
       "q5_local_supplier" -> ((s, dir) => {
         val r = load(s, dir, "region").filter(col("r_name") === "ASIA")
         val n = load(s, dir, "nation")
@@ -80,7 +81,7 @@ object Queries {
         val li = load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"),
             col("l_extendedprice"), col("l_discount"))
-        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .filter(col("c_nationkey") === col("s_nationkey"))
@@ -93,7 +94,8 @@ object Queries {
       ,
 
       // TPC-H Q10 shape: returned-item revenue per customer, top-20 —
-      // fact filtered then joined against two broadcast dims.
+      // fact filtered, customer dim broadcast, orders left to the
+      // optimizer.
       "q10_returned_items" -> ((s, dir) => {
         val li = load(s, dir, "lineitem")
           .filter(col("l_returnflag") === "R")
@@ -103,7 +105,7 @@ object Queries {
           .select(col("o_orderkey"), col("o_custkey"))
         val c = load(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           .agg(decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))

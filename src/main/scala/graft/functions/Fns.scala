@@ -32,9 +32,16 @@ object Fns {
   def secOfDay(c: Column): Column = epochSec(c) % 86400
 
   /** Unique bigint ordering key from a 2-decimal double plus a unique id:
-    * round(value*100) is exact; id < 100000 disambiguates ties. */
+    * round(value*100) is exact; ids up to 1e10 disambiguate ties (the
+    * sf0.1 id domain already reached the previous 1e5 capacity). */
   def uniqKey(value: Column, id: Column): Column =
-    round(value * 100).cast("long") * 100000L + id
+    round(value * 100).cast("long") * 10000000000L + id
+
+  /** Hour-truncation bucket over a timestamp's string form (the
+    * reference's substr(ts, 1, N) time bucketing, Cenir_DB.py:453) —
+    * shared by a1 and j9 so the two can never drift. */
+  def hourBucket(ts: Column): Column =
+    substring(ts.cast("string"), 1, 13)
 
   /** Ceil(seconds/60) minutes via integer arithmetic (no float div). */
   def ceilMinutes(seconds: Column): Column =

@@ -33,7 +33,7 @@ object AggOps {
     "a1_dup_exam_groups" -> ((s, dir) => {
       load(s, dir, "events")
         .groupBy(
-          substring(col("ts").cast("string"), 1, 13).as("ttime"),
+          hourBucket(col("ts")).as("ttime"),
           col("event_type"))
         .agg(count(lit(1)).as("doublon"))
         .filter(col("doublon") > 1)
@@ -135,8 +135,8 @@ object AggOps {
     // bigint — linenumber alone is not unique in the synthetic data, and
     // min_by ties are engine-nondeterministic.
     "a10_first_last_instance" -> ((s, dir) => {
-      val k = col("l_linenumber").cast("long") * 10000000000L +
-        col("l_partkey") * 10000L + col("l_suppkey")
+      val k = col("l_linenumber").cast("long") * 1000000000000L +
+        col("l_partkey") * 1000000L + col("l_suppkey")
       load(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(
@@ -220,8 +220,8 @@ object AggOps {
     "a7_duration_midnight_wrap" ->
       """WITH g AS (
         |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-        |    CAST(floor(epoch(arg_min(ts, CAST(round(value*100) AS BIGINT)*100000 + event_id))) AS BIGINT) % 86400 AS s1,
-        |    CAST(floor(epoch(arg_max(ts, CAST(round(value*100) AS BIGINT)*100000 + event_id))) AS BIGINT) % 86400 AS s2
+        |    CAST(floor(epoch(arg_min(ts, CAST(round(value*100) AS BIGINT)*10000000000 + event_id))) AS BIGINT) % 86400 AS s1,
+        |    CAST(floor(epoch(arg_max(ts, CAST(round(value*100) AS BIGINT)*10000000000 + event_id))) AS BIGINT) % 86400 AS s2
         |  FROM events GROUP BY 1,2)
         |SELECT user_id, day, s1, s2,
         |       s2 - s1 + CASE WHEN s2 < s1 THEN 86400 ELSE 0 END AS dur_sec
@@ -242,8 +242,8 @@ object AggOps {
 
     "a10_first_last_instance" ->
       """SELECT l_orderkey,
-        |       arg_min(l_partkey, CAST(l_linenumber AS BIGINT)*10000000000 + l_partkey*10000 + l_suppkey) AS first_part,
-        |       arg_max(l_partkey, CAST(l_linenumber AS BIGINT)*10000000000 + l_partkey*10000 + l_suppkey) AS last_part,
+        |       arg_min(l_partkey, CAST(l_linenumber AS BIGINT)*1000000000000 + CAST(l_partkey AS BIGINT)*1000000 + l_suppkey) AS first_part,
+        |       arg_max(l_partkey, CAST(l_linenumber AS BIGINT)*1000000000000 + CAST(l_partkey AS BIGINT)*1000000 + l_suppkey) AS last_part,
         |       MAX(l_linenumber) AS max_inum, COUNT(*) AS n_files,
         |       CASE WHEN MAX(l_linenumber) <> COUNT(*) THEN 'GAP' ELSE '' END AS corrupt
         |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,

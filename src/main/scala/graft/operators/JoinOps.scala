@@ -26,15 +26,17 @@ import graft.functions.Fns._
 object JoinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J1 — ExamSeries inner equi-join (cenir_view.sql:8). exam ≪ serie →
-    // broadcast the exam side, no shuffle of the fact table.
+    // J1 — ExamSeries inner equi-join (cenir_view.sql:8). Join strategy
+    // is left to Catalyst/AQE: at test scale the parent side broadcasts
+    // automatically; at lake scale both sides are fact-sized and a
+    // forced broadcast would cap out at the 8 GB limit.
     "j1_examseries_join" -> ((s, dir) => {
       val o = load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val li = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"))
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderdate"), col("l_partkey"), col("l_quantity"))
     }),
@@ -148,7 +150,7 @@ object JoinOps {
     "j9_dup_group_members" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val keyed = load(s, dir, "events")
-        .withColumn("ttime", substring(col("ts").cast("string"), 1, 13))
+        .withColumn("ttime", hourBucket(col("ts")))
       val w = Window.partitionBy(col("ttime"), col("event_type"))
       keyed.withColumn("grp_n", count(lit(1)).over(w))
         .filter(col("grp_n") > 1)

@@ -39,7 +39,9 @@ object MergeOps {
         case _          => l <=> r
       }
     }
-    val unchanged = cmpCols.map(cmp).reduce(_ && _)
+    // foldLeft: an empty comparison set (key-only schema or full
+    // exclude list) means "row unchanged", not an empty.reduce crash
+    val unchanged = cmpCols.map(cmp).foldLeft(lit(true))(_ && _)
 
     val joined = d.join(b, col(s"d_$key") === col(s"b_$key"), "full_outer")
     val status = when(col(s"d_$key").isNull, lit("inserted"))

@@ -89,7 +89,7 @@ object WindowOps {
 
     "w7_max_by_scan" ->
       """SELECT event_type,
-        |  arg_max(event_id, CAST(round(value*100) AS BIGINT)*100000 + event_id)
+        |  arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000000 + event_id)
         |    AS max_value_event
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
   )

@@ -33,14 +33,17 @@ object EventStream {
     hourly(events).orderBy(col("hour_start"), col("event_type"))
 
   /** Streaming form: watermarked event-time dedup on event_id (late
-    * duplicates within 2 h are dropped — the reference's identity-probe
-    * skip, Cenir_DB.py:88-104) then the same tumbling aggregate.
-    * Append-capable: the watermark bounds state. */
+    * duplicates within the watermark are dropped — the reference's
+    * identity-probe skip, Cenir_DB.py:88-104) then the same tumbling
+    * aggregate. dropDuplicatesWithinWatermark is the state-bounded
+    * form — plain dropDuplicates("event_id") would keep every id ever
+    * seen (the event-time column isn't in the key set, so the watermark
+    * never evicts dedup state). */
   def hourlyCountsStream(events: DataFrame): DataFrame =
     hourly(
       events
         .withWatermark("ts", "2 hours")
-        .dropDuplicates("event_id"))
+        .dropDuplicatesWithinWatermark("event_id"))
 
   /** Batch high-watermark selection (`--days N` analog): only rows newer
     * than the cutoff flow; pushed to the scan as a range filter. */

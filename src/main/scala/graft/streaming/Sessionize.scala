@@ -49,7 +49,10 @@ object Sessionize {
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.last <= gapMs =>
-          open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          // a late in-watermark event can also extend the session START
+          // backwards — batch parity requires min/max on both bounds
+          open = Some(OpenSession(math.min(s.start, t),
+            math.max(s.last, t), s.n + 1))
         case Some(s) =>
           closed += Session(userId, new Timestamp(s.start),
             new Timestamp(s.last), s.n)

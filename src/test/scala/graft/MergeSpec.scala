@@ -43,6 +43,18 @@ class MergeSpec extends AnyFunSuite {
     assert(out.getString(3) == "kept") // sub-1e-5 drift is "unchanged"
   }
 
+  test("empty comparison set (all columns excluded) keeps rows") {
+    val batch = Seq((1L, "CHANGED", 99.0), (4L, "d", 40.0))
+      .toDF("id", "name", "price")
+    val out = merge(db, batch, "id", exclude = Seq("name", "price"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    // existing row untouched (nothing to compare → "unchanged"),
+    // new key still inserts
+    assert(out == Seq((1L, "kept"), (2L, "kept"), (3L, "kept"),
+      (4L, "inserted")))
+  }
+
   test("idempotence: merge(merge(db,b),b) == merge(db,b)") {
     // deterministic property sweep: random batches, fixed seed
     val rnd = new scala.util.Random(42)

@@ -24,6 +24,28 @@ class SessionizeSpec extends AnyFunSuite {
     // watermark pusher: far-future event closes everything above
     Sessionize.Event(9, ts("2024-03-02 00:00:00")))
 
+  test("late in-watermark event extends session START backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(mem.toDS(), gapSec)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    mem.addData(Sessionize.Event(1, ts("2024-03-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: a late event 15 min EARLIER, still inside the watermark
+    mem.addData(Sessionize.Event(1, ts("2024-03-01 09:45:00")),
+      Sessionize.Event(9, ts("2024-03-02 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(9, ts("2024-03-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late").filter("user_id = 1")
+      .collect().map(r => (r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    assert(got == Seq(("2024-03-01 09:45:00.0", "2024-03-01 10:00:00.0", 2L)))
+  }
+
   test("streaming sessions equal batch sessions for closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
