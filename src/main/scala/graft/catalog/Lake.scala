@@ -46,10 +46,21 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
-  def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
-    val fs = FileSystem.get(new java.net.URI(s"file://$path"),
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(
+      if (path.contains("://")) path else s"file://$path"),
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+
+  /** Reads the current snapshot; if a previous writer died mid-swap
+    * (no table, `.bak` present), the backup is restored first — the
+    * batch must never be mistaken for the whole table. */
+  def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = fsFor(spark, path)
+    val cur = new Path(path); val bak = new Path(path + ".bak")
+    if (!fs.exists(cur) && fs.exists(bak)) {
+      require(fs.rename(bak, cur), s"crash recovery failed: $bak -> $cur")
+    }
+    if (fs.exists(cur)) Some(spark.read.parquet(path)) else None
   }
 
   /** MERGE `batch` into the table at `path` (created if absent).
@@ -70,13 +81,15 @@ object Lake {
     try {
       val counts = merged.groupBy("merge_status").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val fs = FileSystem.get(new java.net.URI(s"file://$path"),
-        spark.sparkContext.hadoopConfiguration)
+      val fs = fsFor(spark, path)
       val cur = new Path(path); val tmp = new Path(path + ".tmp")
       val bak = new Path(path + ".bak")
       merged.drop("merge_status").write.mode("overwrite")
         .parquet(tmp.toString)
-      if (fs.exists(bak)) fs.delete(bak, true)
+      // a leftover .bak alongside a live table is stale (previous swap
+      // completed); with NO live table it is the only copy and
+      // readTable above already restored it
+      if (fs.exists(bak) && fs.exists(cur)) fs.delete(bak, true)
       if (fs.exists(cur)) require(fs.rename(cur, bak), s"swap failed: $cur")
       require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
       fs.delete(bak, true)

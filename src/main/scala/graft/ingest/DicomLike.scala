@@ -31,17 +31,22 @@ object DicomLike {
     binary.filter(
       expr("substring(content, 129, 4)") === lit("DICM".getBytes))
 
-  /** S6 — header-only decode: fixed-offset fields, pixel data unread. */
+  /** S6 — header-only decode: fixed-offset fields, pixel data unread.
+    * try_cast + null filter: a truncated or malformed header is skipped
+    * like non-DICOM junk instead of crashing the scan (ANSI casts
+    * throw). */
   def parseHeaders(binary: DataFrame): DataFrame =
     sniff(binary).select(
       col("path"),
       col("length"),
       expr("cast(substring(content, 133, 10) as string)").as("series_uid"),
-      expr("cast(cast(substring(content, 143, 4) as string) as int)")
+      expr("try_cast(cast(substring(content, 143, 4) as string) as int)")
         .as("instance_number"),
       expr("cast(substring(content, 147, 4) as string)").as("echo"),
-      expr("cast(cast(substring(content, 151, 4) as string) as int)")
+      expr("try_cast(cast(substring(content, 151, 4) as string) as int)")
         .as("expected_count"))
+      .filter(col("instance_number").isNotNull &&
+        col("expected_count").isNotNull)
 
   /** A10/A11 — stack grouping with first/last instance and corrupt
     * flags, one hash aggregate per (series_uid, echo). */
@@ -50,18 +55,23 @@ object DicomLike {
       .groupBy(col("series_uid"), col("echo"))
       .agg(
         count(lit(1)).as("n_files"),
+        countDistinct(col("instance_number")).as("n_distinct"),
         min(col("instance_number")).as("first_instance"),
         max(col("instance_number")).as("last_instance"),
         min_by(col("path"), col("instance_number")).as("first_path"),
         max_by(col("path"), col("instance_number")).as("last_path"),
-        first(col("expected_count")).as("expected_count"),
+        max(col("expected_count")).as("expected_count"),
         sum(col("length")).as("fsize"))
       .withColumn("corrupt",
         concat(
           when(col("n_files") =!= col("expected_count"),
             lit("BAD_COUNT ")).otherwise(lit("")),
+          // range vs DISTINCT count: duplicate instance numbers must
+          // not mask a missing one (1,1,3 is both DUP and GAP)
+          when(col("n_distinct") =!= col("n_files"),
+            lit("DUP ")).otherwise(lit("")),
           when(col("last_instance") - col("first_instance") + 1
-            =!= col("n_files"), lit("GAP")).otherwise(lit(""))))
+            =!= col("n_distinct"), lit("GAP")).otherwise(lit(""))))
 
   /** §2.8 array/map — dotted-key metadata access with a fallback chain
     * (CoilName from three alternate CSA keys else a default,
@@ -78,7 +88,8 @@ object DicomLike {
     * while-probe loop, vectorized). */
   def metaIndexedProbe(metaCol: org.apache.spark.sql.Column,
       base: String, n: Int): org.apache.spark.sql.Column =
-    filter(
+    if (n <= 0) expr("cast(array() as array<string>)")
+    else filter(
       transform(sequence(lit(0), lit(n - 1)),
         i => element_at(metaCol, concat(lit(base + "["), i, lit("]")))),
       v => v.isNotNull)
@@ -108,8 +119,15 @@ object DicomLike {
       (it.contains("DERIVED") && it.contains("OTHER"))
     val mp2rageException = it.contains("DERIVED") &&
       it.contains("PRIMARY") && it.contains("UNI")
-    val isGe = upper(col("manufacturer")).contains("GE")
-    series.filter(isGe || mp2rageException || !derivedMarkers)
+    // exact vendor string (Exam_info.py:447) — a substring 'GE' match
+    // would exempt unrelated vendors
+    val isGe = upper(col("manufacturer")).contains("GE MEDICAL SYSTEMS")
+    // null image_type ≠ derived: the reference keeps files without the
+    // tag (Exam_info.py:1402), and a raw null predicate would silently
+    // drop the row in filter()
+    series.filter(coalesce(isGe, lit(false)) ||
+      coalesce(mp2rageException, lit(false)) ||
+      !coalesce(derivedMarkers, lit(false)))
   }
 
   /** A9 — exam assembly: one exam per series-uid prefix (the fixture's

@@ -42,16 +42,16 @@ object TypedPipeline {
       }
   }
 
-  /** Exam duration from the typed record (A7 shape, Exam_info.py:196-232):
-    * first-to-last series start plus the last series' own duration,
-    * ceil to minutes. */
+  /** Exam duration from the typed record: total series seconds, ceil
+    * to minutes (the summed form — series start times are not part of
+    * this record, so the reference's first-to-last variant
+    * (Exam_info.py:196-232) lives in the relational a6/a7 queries). */
   def withDurations(exams: Dataset[Exam]): Dataset[(String, Long)] = {
     val spark = exams.sparkSession
     import spark.implicits._
     exams.map { e =>
-      val ordered = e.series.sortBy(_.snumber)
-      val dur = if (ordered.isEmpty) 0L
-      else (ordered.map(_.duration_sec).sum + 59) / 60
+      val dur = if (e.series.isEmpty) 0L
+      else (e.series.map(_.duration_sec).sum + 59) / 60
       (e.euid, dur)
     }
   }

@@ -33,8 +33,8 @@ object MultimodalOps {
     payloads.mapPartitions { it =>
       // per-partition "decoder" setup happens once, here
       val decodeOne: Array[Byte] => (Int, Int) = bytes =>
-        (bytes.headOption.map(b => (b & 0x3F) + 1).getOrElse(0),
-          bytes.drop(1).headOption.map(b => (b & 0x3F) + 1).getOrElse(0))
+        (if (bytes.length > 0) (bytes(0) & 0x3F) + 1 else 0,
+          if (bytes.length > 1) (bytes(1) & 0x3F) + 1 else 0)
       it.map { case (id, bytes) =>
         val (w, h) = decodeOne(bytes)
         (id, w, h, bytes.length.toLong)
@@ -54,8 +54,12 @@ object MultimodalOps {
           col("doc_id"),
           length(col("payload")).as("n_bytes"),
           md5(col("payload")).as("content_hash"),
-          expr("ascii(substring(text, 1, 1)) % 64 + 1").as("fake_width"),
-          expr("ascii(substring(text, 2, 1)) % 64 + 1").as("fake_height"),
+          // pad: Spark ascii('') = 0 but DuckDB ord('') = -1, so both
+          // sides read from a string guaranteed to have 2 chars
+          expr("ascii(substring(concat(text, '  '), 1, 1)) % 64 + 1")
+            .as("fake_width"),
+          expr("ascii(substring(concat(text, '  '), 2, 1)) % 64 + 1")
+            .as("fake_height"),
           base64(substring(col("text"), 1, 12).cast("binary"))
             .as("head_b64"))
         .orderBy(col("doc_id"))
@@ -67,8 +71,8 @@ object MultimodalOps {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS content_hash,
-        |  ord(substr(text, 1, 1)) % 64 + 1 AS fake_width,
-        |  ord(substr(text, 2, 1)) % 64 + 1 AS fake_height,
+        |  ord(substr(text || '  ', 1, 1)) % 64 + 1 AS fake_width,
+        |  ord(substr(text || '  ', 2, 1)) % 64 + 1 AS fake_height,
         |  to_base64(encode(substr(text, 1, 12))) AS head_b64
         |FROM documents ORDER BY doc_id""".stripMargin
   )

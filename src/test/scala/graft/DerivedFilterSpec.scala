@@ -16,7 +16,7 @@ class DerivedFilterSpec extends AnyFunSuite {
       ("DERIVED_OTHER_ADC", "Siemens", false),           // derived map
       ("DERIVED_SECONDARY_TENSOR", "Siemens", false),    // tensor
       ("DERIVED_PRIMARY_UNI", "Siemens", true),          // mp2rage exception
-      ("DERIVED_OTHER_ADC", "GE MEDICAL", true),         // GE exempt
+      ("DERIVED_OTHER_ADC", "GE MEDICAL SYSTEMS", true), // GE exempt
       ("ORIGINAL_TRACEW", "Siemens", false),             // tracew
       ("ORIGINAL_MOCO", "Siemens", false))               // moco
     val df = rows.map(r => (r._1, r._2)).toDF("image_type", "manufacturer")

@@ -41,7 +41,7 @@ class IngestSpec extends AnyFunSuite {
     assert(headers.count() == 7) // junk sniffed out
 
     val stacks = DicomLike.stacks(headers).collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getString(9).trim))
+      .map(r => (r.getString(0), r.getLong(2), r.getString(10).trim))
       .sortBy(_._1)
     assert(stacks.toSeq == Seq(
       ("EXAM01SERA", 3L, ""),
