@@ -38,6 +38,26 @@ class LakeSpec extends AnyFunSuite {
     assert(state2 == state)
   }
 
+  test("lake recovers a table lost mid-swap from .bak") {
+    val path = Files.createTempDirectory("graft_lake_crash")
+      .resolve("t").toString
+    Lake.mergeWrite(spark, path,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "price"), "id")
+    // simulate a writer that died between the two renames:
+    // current table renamed away, .bak is the only copy
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".bak")))
+    // next merge must restore the backup, not treat the batch as the
+    // whole table
+    val counts = Lake.mergeWrite(spark, path,
+      Seq((2L, "b", 2.0)).toDF("id", "name", "price"), "id")
+    assert(counts == Map("kept" -> 1L, "inserted" -> 1L))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("bvec rotation: identity and axis swap goldens") {
     val id = BvecMath.rotationFromOrientation((1, 0, 0), (0, 1, 0))
     assert(BvecMath.rotate(id, (0.5, -0.5, 0.7)) == ((0.5, -0.5, 0.7)))

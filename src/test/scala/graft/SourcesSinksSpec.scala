@@ -105,6 +105,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("K8 writeScript lands one reviewable text file") {
+    val out = Files.createTempDirectory("graft_k8w").resolve("fix.sh")
+    ActionSink.writeScript(
+      ActionSink.shellScript(Seq(("mkdir", "/data/new", ""))
+        .toDF("action", "target", "dest")), out.toString)
+    val lines = spark.read.text(out.toString).as[String].collect()
+    assert(lines.toSeq == Seq("mkdir -p '/data/new'"))
+  }
+
   test("K8 sql script emits one DELETE per key") {
     val lines = ActionSink.sqlScript(
       Seq((7L, "dup"), (9L, "dup")).toDF("eid", "why"), "exam", "eid")
