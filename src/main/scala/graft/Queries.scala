@@ -116,7 +116,8 @@ object Queries {
     ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
-      DeriveOps.queries ++ graft.streaming.EventStream.queries
+      DeriveOps.queries ++ graft.streaming.EventStream.queries ++
+      graft.catalog.JdbcCatalog.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -173,5 +174,6 @@ object Queries {
   ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
-    DeriveOps.oracle ++ graft.streaming.EventStream.oracle
+    DeriveOps.oracle ++ graft.streaming.EventStream.oracle ++
+    graft.catalog.JdbcCatalog.oracle
 }
