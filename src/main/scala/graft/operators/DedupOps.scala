@@ -25,6 +25,13 @@ import graft.Tables.load
   */
 object DedupOps {
 
+  /** Default bucket cap: far above any bucket the test corpora can
+    * produce (≤5k docs at sf0.1 — the cap never binds there, so the
+    * pipeline-replicating oracles stay exact), far below the
+    * millions-strong boilerplate bucket that would OOM an executor and
+    * emit O(bucket²) candidate pairs at corpus scale. */
+  val MaxBucketDefault = 10000
+
   /** LSH pair generation without a self-join: group the banded rows by
     * bucket key, collect each bucket's members once, and emit ordered
     * pairs from the (small) postings list. A self-join would duplicate
@@ -33,17 +40,17 @@ object DedupOps {
     *
     * @param maxBucket drop buckets larger than this (rare-token
     *                  blocking: a bucket shared by "everyone" carries no
-    *                  signal and would blow up quadratically)
+    *                  signal and would blow up quadratically). Truncation
+    *                  is never silent — [[bucketOverflow]] reports the
+    *                  dropped buckets from the same banded input.
     */
-  private def bucketPairs(banded: DataFrame, keys: Seq[String],
-      maxBucket: Int = Int.MaxValue, minCoBuckets: Int = 1): DataFrame = {
+  private[operators] def bucketPairs(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int = MaxBucketDefault, minCoBuckets: Int = 1): DataFrame = {
     // two chained generators STREAM the per-bucket cross product row by
     // row — a transform×transform pair array would materialize
     // O(bucket²) structs inside one row and OOM on a hot bucket
-    val grouped = banded.groupBy(keys.map(col): _*)
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = grouped
+    val pairs = cappedBuckets(banded, keys, maxBucket)
+      .filter(size(col("ids")) >= 2)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       .select(col("i"), col("doc_a"),
         posexplode(col("ids")).as(Seq("j", "doc_b")))
@@ -58,6 +65,37 @@ object DedupOps {
       .filter(col("co") >= minCoBuckets)
       .select(col("doc_a"), col("doc_b"))
   }
+
+  /** Bounded-memory bucket collection: a hot bucket must never
+    * materialize its full postings list (the naive
+    * collect_list-then-filter OOMs inside the agg before the size
+    * filter can run). row_number over the bucket partition is a
+    * streaming rank over a spillable sort, so rows past `maxBucket`+1
+    * are dropped BEFORE collect_list — the largest array any bucket can
+    * build is `maxBucket`+1 elements, at which point the bucket is
+    * known to overflow. The groupBy reuses the window's hash
+    * partitioning on the full key set: one shuffle total. */
+  private def cappedBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    banded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+  }
+
+  /** The buckets [[bucketPairs]] dropped: key columns + "overflowed"
+    * member count (a lower bound — counting a million-strong boilerplate
+    * bucket exactly would be wasted work; callers only need to see THAT
+    * a bucket was truncated and by which key). Run this alongside
+    * bucketPairs on the same banded input to audit truncation. */
+  def bucketOverflow(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int = MaxBucketDefault): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
   /** Hash-based shingles (array<long> via the native shingle_hash64):
     * identical Jaccard modulo 64-bit collisions, far cheaper to compute,

@@ -24,13 +24,25 @@ object SimilarityOps {
   private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
 
-  /** Sign-bucket key: sign bits of dims 1-4 (shared by v2 and d5 — the
-    * oracles encode the same definition). */
-  private val signBucketExpr =
-    """(if(element_at(embedding,1) > 0F, 8, 0) +
-      | if(element_at(embedding,2) > 0F, 4, 0) +
-      | if(element_at(embedding,3) > 0F, 2, 0) +
-      | if(element_at(embedding,4) > 0F, 1, 0))""".stripMargin
+  /** Multi-table sign LSH: 4 bands × 8 hyperplane bits (the signs of
+    * dims b*8+1 .. b*8+8), giving 2^8 buckets per band across 4
+    * independent tables — 2^32 effective key space vs the old single
+    * 16-bucket key whose within-bucket join was O(N²/16), all-pairs in
+    * disguise. Two vectors are candidates iff they collide in ≥1 band;
+    * scaling a vector by a positive constant flips no sign, so exact
+    * near-dups collide in every band. Shared by v2 and d5 — the oracles
+    * encode the same banding, so the compare checks the defined LSH
+    * semantics, not hoped-for recall. */
+  private val bandKeysExpr =
+    """transform(sequence(0,3), b ->
+      |  aggregate(sequence(0,7), 0, (acc, i) ->
+      |    acc + if(element_at(embedding, b*8+i+1) > 0F,
+      |             shiftleft(1, i), 0)))""".stripMargin
+
+  /** One (band, band_key) row per vector per band. */
+  private def banded(e: DataFrame, idAs: String): DataFrame =
+    e.select(col("vec_id").as(idAs),
+      posexplode(expr(bandKeysExpr)).as(Seq("band", "band_key")))
 
   /** Native codegen'd cosine (graft.functions.expressions.CosineSim) —
     * bit-identical to the HOF form, one fused primitive loop. */
@@ -57,12 +69,12 @@ object SimilarityOps {
     }),
 
     // Embedding-cosine near-duplicate detection: the corpus unioned
-    // with re-keyed scaled copies (x*1.01 — same direction, so each
-    // copy is an exact near-dup of its source and lands in the same
-    // sign bucket by construction); candidates from the bucket join,
-    // verified by round(cosine,6) ≥ 0.999. The raw corpus has no
-    // near-dup pairs (max cosine < 0.6), so the 500 copy-pairs are
-    // exactly the answer.
+    // with re-keyed scaled copies (x*1.01 — same direction, so every
+    // sign bit is preserved and each copy collides with its source in
+    // ALL four bands); candidates from capped postings-list expansion
+    // (DedupOps.bucketPairs — never a bucket self-join), verified by
+    // round(cosine,6) ≥ 0.999. The raw corpus has no near-dup pairs
+    // (max cosine < 0.6), so the 500 copy-pairs are exactly the answer.
     "d5_embedding_neardup" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
       val base = load(s, dir, "embeddings")
@@ -72,17 +84,19 @@ object SimilarityOps {
           .as("embedding"))
       val all = base.union(scaled)
         .repartition(col("vec_id"))
-        .withColumn("bucket", expr(signBucketExpr))
         .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
-        col("v").as("va"))
-      val b = all.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("v").as("vb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
+        // feeds banding and both verify sides — cache the slim table
+        // instead of recomputing the union+transform subtree three times
+        .cache()
+      val pairs = DedupOps.bucketPairs(
+        banded(all, "doc_id"), Seq("band", "band_key"))
+      val a = all.select(col("vec_id").as("doc_a"), col("v").as("va"))
+      val b = all.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
         .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
         .filter(col("r") >= 0.999)
-        .select(col("vec_a"), col("vec_b"), col("r"))
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+          col("r"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -120,20 +134,24 @@ object SimilarityOps {
         .orderBy(col("q_id"), col("rk"))
     }),
 
-    // Sign-bucket LSH: bucket = sign bits of dims 1-4; top-3 within the
-    // query's bucket. The equi-join on bucket replaces the cross join —
-    // this is the partition-local candidate generation that survives
-    // scale-up (IVF-style, with buckets as the shuffle key).
+    // Sign-LSH ANN: candidates = corpus vectors sharing ≥1 of the
+    // query's 4 band keys (the tiny query-side band list broadcasts
+    // into the corpus band scan); top-3 by exact cosine among
+    // candidates. The multi-table banding keeps per-band buckets at
+    // N/256 — the candidate set stays a sliver of the corpus at any
+    // scale, and the join shuffles nothing (broadcast probe).
     "v2_ann_bucketed" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
-      val e = withV(load(s, dir, "embeddings"))
-        .withColumn("bucket", expr(signBucketExpr))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("va"))
-      val c = e.select(col("vec_id").as("n_id"), col("bucket"),
-        col("v").as("vb"))
-      val scored = c.join(broadcast(q), Seq("bucket"))
+      val e = withV(load(s, dir, "embeddings")).cache()
+      val qb = banded(e.filter(col("vec_id") < 20), "q_id")
+      val cb = banded(e, "n_id")
+      val cand = cb.join(broadcast(qb), Seq("band", "band_key"))
         .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+      val scored = cand
+        .join(broadcast(e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("va"))), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("v").as("vb")), "n_id")
         .withColumn("r", expr(simExpr))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("r").desc, col("n_id"))
@@ -182,19 +200,23 @@ object SimilarityOps {
         |         [CAST(x * CAST(1.01 AS FLOAT) AS FLOAT) for x in embedding]
         |  FROM embeddings),
         |e AS (SELECT vec_id, embedding,
-        |        [CAST(x AS DOUBLE) for x in embedding] AS v,
-        |        (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-        |         + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-        |         + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-        |         + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        |        [CAST(x AS DOUBLE) for x in embedding] AS v
         |      FROM allv),
-        |n AS (SELECT vec_id, bucket, v,
+        |n AS (SELECT vec_id, v,
         |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |        round(list_sum([a.v[i]*b.v[i] for i in range(1,65)])
-        |              / (a.nrm * b.nrm), 6) AS r
-        |      FROM n a JOIN n b ON a.bucket = b.bucket
-        |      WHERE a.vec_id < b.vec_id)
+        |band AS (SELECT vec_id, b,
+        |           list_sum([(CASE WHEN embedding[b*8+i+1] > 0
+        |                      THEN 1<<i ELSE 0 END) for i in range(8)])
+        |             AS key
+        |         FROM e CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+        |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        |         FROM band l JOIN band r
+        |           ON l.b = r.b AND l.key = r.key AND l.vec_id < r.vec_id),
+        |p AS (SELECT vec_a, vec_b,
+        |        round(list_sum([a.v[i]*b2.v[i] for i in range(1,65)])
+        |              / (a.nrm * b2.nrm), 6) AS r
+        |      FROM cand JOIN n a ON a.vec_id = vec_a
+        |                JOIN n b2 ON b2.vec_id = vec_b)
         |SELECT vec_a, vec_b, r FROM p WHERE r >= 0.999
         |ORDER BY vec_a, vec_b""".stripMargin,
 
@@ -215,20 +237,24 @@ object SimilarityOps {
 
     "v2_ann_bucketed" ->
       """WITH e AS (SELECT vec_id, embedding,
-        |             [CAST(x AS DOUBLE) for x in embedding] AS v,
-        |             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
-        |              + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
-        |              + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
-        |              + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)
-        |               AS bucket
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),
-        |n AS (SELECT vec_id, bucket, v,
+        |n AS (SELECT vec_id, v,
         |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-        |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
-        |        round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
-        |              / (q.nrm * t.nrm), 6) AS r
-        |      FROM n q JOIN n t ON q.bucket = t.bucket
-        |      WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+        |band AS (SELECT vec_id, b,
+        |           list_sum([(CASE WHEN embedding[b*8+i+1] > 0
+        |                      THEN 1<<i ELSE 0 END) for i in range(8)])
+        |             AS key
+        |         FROM e CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+        |         FROM band q JOIN band t
+        |           ON q.b = t.b AND q.key = t.key
+        |         WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+        |p AS (SELECT q_id, n_id,
+        |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
+        |              / (qa.nrm * ca.nrm), 6) AS r
+        |      FROM cand JOIN n qa ON qa.vec_id = q_id
+        |                JOIN n ca ON ca.vec_id = n_id)
         |SELECT q_id, rk, n_id, r FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY r DESC, n_id) AS rk FROM p) s

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+/** Scale guard for LSH pair generation: a degenerate hot bucket (one
+  * band key shared by a huge doc population — the "boilerplate band" at
+  * corpus scale) must be dropped under the cap with bounded memory, and
+  * the truncation must be visible via bucketOverflow, never silent.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def banded = {
+    // bucket 999: 10k members (hot); buckets 1/2: a close pair each
+    val hot = (1L to 10000L).map(i => (999L, i))
+    val smallA = Seq((1L, 20001L), (1L, 20002L))
+    val smallB = Seq((2L, 20003L), (2L, 20004L), (2L, 20005L))
+    (hot ++ smallA ++ smallB).toDF("band_key", "doc_id")
+  }
+
+  test("hot bucket is dropped under the cap; small buckets still pair") {
+    val pairs = DedupOps.bucketPairs(banded, Seq("band_key"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair from the 10k-member bucket (all ids <= 20000)
+    assert(pairs.forall { case (a, b) => a > 20000 && b > 20000 })
+    assert(pairs == Set((20001L, 20002L), (20003L, 20004L),
+      (20003L, 20005L), (20004L, 20005L)))
+  }
+
+  test("overflowed buckets are reported, not silently truncated") {
+    val ov = DedupOps.bucketOverflow(banded, Seq("band_key"), maxBucket = 50)
+      .collect()
+    assert(ov.length == 1)
+    assert(ov.head.getLong(0) == 999L)
+    assert(ov.head.getLong(1) == 10000L)
+  }
+
+  test("cap exactly at bucket size keeps the bucket") {
+    val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
+    val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
+      .collect()
+    assert(pairs.length == 3)
+    assert(DedupOps.bucketOverflow(df, Seq("band_key"), maxBucket = 3)
+      .count() == 0)
+  }
+}
