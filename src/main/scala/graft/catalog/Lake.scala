@@ -51,16 +51,27 @@ object Lake {
       if (path.contains("://")) path else s"file://$path"),
       spark.sparkContext.hadoopConfiguration)
 
-  /** Reads the current snapshot; if a previous writer died mid-swap
-    * (no table, `.bak` present), the backup is restored first — the
-    * batch must never be mistaken for the whole table. */
+  /** Reads the current snapshot as-is. Pure read: crash recovery is
+    * strictly writer-side ([[recover]], run at [[mergeWrite]] entry) —
+    * a reader that restored `.bak` itself could fire in the window
+    * between a live writer's two renames and corrupt the swap. After a
+    * writer crash, reads see the table minus the in-flight batch until
+    * the next merge (or an explicit recover()) heals it. */
   def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = fsFor(spark, path)
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Writer-side crash recovery: a previous writer that died between
+    * its two renames left `.bak` as the only copy — restore it before
+    * merging, or the batch would be mistaken for the whole table.
+    * Single-writer contract: only the (one) merge writer calls this. */
+  def recover(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     val cur = new Path(path); val bak = new Path(path + ".bak")
     if (!fs.exists(cur) && fs.exists(bak)) {
       require(fs.rename(bak, cur), s"crash recovery failed: $bak -> $cur")
     }
-    if (fs.exists(cur)) Some(spark.read.parquet(path)) else None
   }
 
   /** MERGE `batch` into the table at `path` (created if absent).
@@ -73,6 +84,7 @@ object Lake {
     * `.bak` — rename it back. */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
       key: String, exclude: Seq[String] = Nil): Map[String, Long] = {
+    recover(spark, path)
     val merged = (readTable(spark, path) match {
       case Some(db) => MergeOps.merge(db, batch, key, exclude)
       case None => batch.withColumn("merge_status",
@@ -95,5 +107,80 @@ object Lake {
       fs.delete(bak, true)
       counts
     } finally merged.unpersist()
+  }
+
+  /** MERGE into a date-partitioned table, touching ONLY the `part_date`
+    * partitions present in the batch. [[mergeWrite]] rewrites the full
+    * snapshot per batch — at catalog scale that is a 100 TB rewrite for
+    * a 1 GB day; here the read is partition-pruned to the batch's dates
+    * and the write swaps just those partition directories, each under
+    * the same bak/rename protocol as the whole-table path (so a crash
+    * mid-swap is healed by the next writer via [[recoverPartitions]]).
+    *
+    * Contract: `to_date(tsCol)` must be stable for a given key (the
+    * reference's AcqDate never changes for an exam) — a batch that
+    * moves a key to a different date would insert a second copy,
+    * because rows outside the batch's dates are never read. Single
+    * writer, as for mergeWrite.
+    */
+  def mergeWritePartitioned(spark: SparkSession, path: String,
+      batch: DataFrame, key: String, tsCol: String,
+      exclude: Seq[String] = Nil): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val fs = fsFor(spark, path)
+    recoverPartitions(spark, path)
+    val b = batch.withColumn("part_date", to_date(col(tsCol)))
+    val cur = new Path(path)
+    if (!fs.exists(cur)) {
+      b.write.partitionBy("part_date").parquet(path)
+      return Map("inserted" -> spark.read.parquet(path).count())
+    }
+    // one value per day in the batch — bounded by the batch's date
+    // span, not its row count
+    val dates = b.select("part_date").distinct().collect()
+      .map(_.getDate(0)).toSeq
+    val db = spark.read.parquet(path)
+      .filter(col("part_date").isInCollection(dates))
+    val merged = MergeOps.merge(db, b, key, exclude).persist()
+    try {
+      val counts = merged.groupBy("merge_status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tmp = new Path(path + ".tmp")
+      merged.drop("merge_status").write.mode("overwrite")
+        .partitionBy("part_date").parquet(tmp.toString)
+      val bakRoot = new Path(path + ".bak_parts")
+      fs.mkdirs(bakRoot)
+      // per-partition snapshot swap; untouched partitions' files are
+      // never opened, copied, or rewritten (byte-identity asserted in
+      // LakeSpec)
+      fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part_date=")).foreach { tp =>
+          val curP = new Path(cur, tp.getName)
+          val bakP = new Path(bakRoot, tp.getName)
+          if (fs.exists(bakP)) fs.delete(bakP, true) // stale: swap done
+          if (fs.exists(curP))
+            require(fs.rename(curP, bakP), s"swap failed: $curP")
+          require(fs.rename(tp, curP), s"swap failed: $tp -> $curP")
+          fs.delete(bakP, true)
+        }
+      fs.delete(tmp, true)
+      counts
+    } finally merged.unpersist()
+  }
+
+  /** Writer-side recovery for [[mergeWritePartitioned]]: restore any
+    * partition whose swap died between the two renames (bak'd copy
+    * exists, live partition missing). */
+  def recoverPartitions(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val bakRoot = new Path(path + ".bak_parts")
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).map(_.getPath)
+        .filter(_.getName.startsWith("part_date=")).foreach { bp =>
+          val curP = new Path(new Path(path), bp.getName)
+          if (!fs.exists(curP))
+            require(fs.rename(bp, curP), s"recovery failed: $bp -> $curP")
+        }
+    }
   }
 }

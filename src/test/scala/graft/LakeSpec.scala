@@ -58,6 +58,92 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  private def partFiles(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("partitioned merge touches only the batch's date partitions") {
+    val path = Files.createTempDirectory("graft_lake_part")
+      .resolve("exam").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 10:00:00")
+    val seed = Seq(
+      (1L, "a", 10.0, ts("2024-01-01")),
+      (2L, "b", 20.0, ts("2024-01-02")),
+      (3L, "c", 30.0, ts("2024-01-03")))
+      .toDF("id", "name", "price", "acq")
+    val c0 = Lake.mergeWritePartitioned(spark, path, seed, "id", "acq")
+    assert(c0 == Map("inserted" -> 3L))
+
+    val untouched = partFiles(s"$path/part_date=2024-01-03")
+    assert(untouched.nonEmpty)
+
+    // batch: update day 1, insert into a brand-new day 4
+    val batch = Seq(
+      (1L, "a", 99.0, ts("2024-01-01")),
+      (4L, "d", 40.0, ts("2024-01-04")))
+      .toDF("id", "name", "price", "acq")
+    val c1 = Lake.mergeWritePartitioned(spark, path, batch, "id", "acq")
+    assert(c1 == Map("updated" -> 1L, "inserted" -> 1L))
+
+    // day-3 partition: same file names, same mtimes — never rewritten
+    assert(partFiles(s"$path/part_date=2024-01-03") == untouched)
+    // day-2 partition untouched too (not in the batch's date set)
+    val state = spark.read.parquet(path).orderBy("id")
+      .select("id", "name", "price")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(state == Seq((1L, "a", 99.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+
+    // idempotence across the partitioned path
+    val c2 = Lake.mergeWritePartitioned(spark, path, batch, "id", "acq")
+    assert(c2 == Map("kept" -> 2L))
+  }
+
+  test("partitioned merge read is pruned to the batch's dates") {
+    val path = Files.createTempDirectory("graft_lake_prune")
+      .resolve("t").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 08:00:00")
+    val seed = (1 to 10).map(i =>
+      (i.toLong, s"n$i", i * 1.0, ts(f"2024-02-${i}%02d")))
+      .toDF("id", "name", "price", "acq")
+    Lake.mergeWritePartitioned(spark, path, seed, "id", "acq")
+    // the pruned read plan must list only the matching partition
+    val df = spark.read.parquet(path).filter(
+      col("part_date").isInCollection(
+        Seq(java.sql.Date.valueOf("2024-02-03"))))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.toString.contains("2024-02-03"))
+    assert(df.count() == 1)
+  }
+
+  test("partitioned merge recovers a partition lost mid-swap") {
+    val path = Files.createTempDirectory("graft_lake_pcrash")
+      .resolve("t").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 08:00:00")
+    Lake.mergeWritePartitioned(spark, path,
+      Seq((1L, "a", 1.0, ts("2024-03-01")),
+        (2L, "b", 2.0, ts("2024-03-02")))
+        .toDF("id", "name", "price", "acq"), "id", "acq")
+    // simulate a writer crash between the two renames of day 1's swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+    val bakRoot = new org.apache.hadoop.fs.Path(path + ".bak_parts")
+    fs.mkdirs(bakRoot)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/part_date=2024-03-01"),
+      new org.apache.hadoop.fs.Path(bakRoot, "part_date=2024-03-01")))
+    // next merge (touching another day) must first restore day 1
+    val counts = Lake.mergeWritePartitioned(spark, path,
+      Seq((3L, "c", 3.0, ts("2024-03-03")))
+        .toDF("id", "name", "price", "acq"), "id", "acq")
+    assert(counts == Map("inserted" -> 1L))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("bvec rotation: identity and axis swap goldens") {
     val id = BvecMath.rotationFromOrientation((1, 0, 0), (0, 1, 0))
     assert(BvecMath.rotate(id, (0.5, -0.5, 0.7)) == ((0.5, -0.5, 0.7)))
