@@ -20,16 +20,17 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Derivations {
 
-  /** Machine name → room id (Exam_info.py:262-278 + exam-level additions
-    * do_dicom.py:533-544). */
+  /** Machine name → room id, prefix-matched as the reference does
+    * (startswith, Exam_info.py:262-278; exam-level additions with the
+    * MAGNETOM rooms and the rid=0 default, do_dicom.py:533-544). */
   def rid(machine: Column): Column =
-    when(machine.contains("Verio"), 19)
-      .when(machine.contains("TrioTim"), 1)
-      .when(machine.contains("Prisma_fit"), 1)
-      .when(machine.contains("SIGNA"), 29)
-      .when(machine.contains("Bruker"), 39)
-      .when(machine.contains("MAGNETOM Cima"), 80)
-      .when(machine.contains("Terra.X"), 82)
+    when(machine.startsWith("Verio"), 19)
+      .when(machine.startsWith("TrioTim"), 1)
+      .when(machine.startsWith("Prisma_fit"), 1)
+      .when(machine.startsWith("SIGNA"), 29)
+      .when(machine.startsWith("Bruker"), 39)
+      .when(machine.startsWith("MAGNETOM Cima"), 80)
+      .when(machine.startsWith("MAGNETOM Terra.X"), 82)
       .otherwise(0)
 
   /** Billable-protocol id: strip a 6-char (PROTO_/VERIO_) or 7-char
@@ -48,22 +49,27 @@ object Derivations {
       studyDesc.startsWith("TERRAX_"), 1).otherwise(0)
 
   /** Sequence-type classifier (Exam_info.py:293-344): ordered contains
-    * chain over the sequence name, with the mp2rage sub-classification
-    * taken from the series name. */
-  def seqType(seqName: Column, sName: Column): Column =
+    * chain. mp2rage detection keys on the SECOND sequence-name field
+    * (seqName2, which the reference defaults to seqName when absent),
+    * the sub-class on the series name with the reference's exact
+    * T1_Images/UNI_Images keys and SHOULD_NOT_HAPPEN fallthrough; the
+    * GRE branches match the full GR%SiemensSeq% token in seqName2. */
+  def seqType(seqName: Column, seqName2: Column, sName: Column): Column =
     when(seqName.contains("ep_b"), lit("DWI"))
       .when(seqName.contains("epfid"), lit("EPI"))
       .when(seqName.contains("spc3d"), lit("SPACE3D"))
-      .when(seqName.contains("tfl3d") && sName.contains("mp2rage"),
-        concat(lit("MP2RAGE_"),
-          when(sName.contains("INV1"), "INV1")
-            .when(sName.contains("INV2"), "INV2")
-            .when(sName.contains("T1MAP"), "T1MAP")
-            .otherwise("UNI")))
-      .when(seqName.contains("tfl3d"), lit("MPRAGE"))
+      .when(seqName.contains("tfl3d"),
+        when(seqName2.contains("mp2rage"),
+          concat(lit("MP2RAGE_"),
+            when(sName.contains("INV1"), "INV1")
+              .when(sName.contains("INV2"), "INV2")
+              .when(sName.contains("T1_Images"), "T1MAP")
+              .when(sName.contains("UNI_Images"), "UNI")
+              .otherwise("SHOULD_NOT_HAPPEN")))
+          .otherwise(lit("MPRAGE")))
       .when(seqName.contains("fm2d2r"), lit("GreFieldMap"))
-      .when(seqName.contains("gre_2D"), lit("GRE_2D"))
-      .when(seqName.contains("gre_3D"), lit("GRE_3D"))
+      .when(seqName2.contains("GR%SiemensSeq%gre_2D"), lit("GRE_2D"))
+      .when(seqName2.contains("GR%SiemensSeq%gre_3D"), lit("GRE_3D"))
       .when(seqName.contains("eja_svs"), lit("spectroSVS"))
       .otherwise(lit("to_be_defined"))
 
@@ -83,7 +89,10 @@ object Derivations {
   }
 
   /** Siemens TA duration parse (Exam_info.py:1470-1487):
-    * "TA 03:50*3" → (3*60+50)*3 seconds; "TA 03.x" → (3+1)*60. */
+    * "TA 03:50*3" → (3*60+50)*3; "TA 03.x*N" → (3+1)*N. The *N
+    * multiplier applies to BOTH branches, and the dot branch is NOT
+    * scaled by 60 — both are the reference's own behavior (the dot
+    * branch's unit quirk included), ported as-is. */
   def taSeconds(ta: Column): Column = {
     // try_cast everywhere: regexp_extract yields "" on no-match, and an
     // ANSI cast of "" throws instead of returning null
@@ -93,7 +102,7 @@ object Derivations {
     val multN = coalesce(intOf(regexp_extract(ta, "\\*(\\d+)", 1)), lit(1))
     val dotMm = intOf(regexp_extract(ta, "TA (\\d+)\\.", 1))
     when(mm.isNotNull && ss.isNotNull, (mm * 60 + ss) * multN)
-      .when(dotMm.isNotNull, (dotMm + 1) * 60)
+      .when(dotMm.isNotNull, (dotMm + 1) * multN)
   }
 
   /** PatientsAge "042Y" → 42, null when unparseable — the reference is

@@ -33,15 +33,26 @@ object DeriveOps {
             .when(col("event_id") % 4 === 1, "tfl3d1")
             .when(col("event_id") % 4 === 2, "fm2d2r")
             .otherwise("mystery"))
+        // seqname2 drives mp2rage detection and the GRE branches — the
+        // %3 split vs seqname's %4 split exercises MPRAGE (tfl3d
+        // without mp2rage), every MP2RAGE_* sub-class, and GRE_2D
+        .withColumn("seqname2",
+          when(col("event_id") % 3 === 0, "t1_mp2rage_seq")
+            .when(col("event_id") % 3 === 1, "GR%SiemensSeq%gre_2D")
+            .otherwise(col("seqname")))
         .withColumn("sname",
-          when(col("event_id") % 2 === 1, "t1_mp2rage_INV1")
+          when(col("event_id") % 10 === 1, "s_INV1")
+            .when(col("event_id") % 10 === 3, "s_INV2")
+            .when(col("event_id") % 10 === 5, "s_T1_Images")
+            .when(col("event_id") % 10 === 7, "s_UNI_Images")
             .otherwise("plain"))
       synth
         .select(
           Derivations.rid(col("machine")).as("rid"),
           Derivations.eid(col("proto")).as("eid"),
           Derivations.facturable(col("proto")).as("facturable"),
-          Derivations.seqType(col("seqname"), col("sname")).as("seq_type"))
+          Derivations.seqType(col("seqname"), col("seqname2"),
+            col("sname")).as("seq_type"))
         .groupBy(col("rid"), col("facturable"), col("seq_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("eid")).as("n_eid"))
         .orderBy(col("rid"), col("facturable"), col("seq_type"))
@@ -64,18 +75,27 @@ object DeriveOps {
         |         WHEN event_id % 4 = 1 THEN 'tfl3d1'
         |         WHEN event_id % 4 = 2 THEN 'fm2d2r'
         |         ELSE 'mystery' END AS seqname,
-        |    CASE WHEN event_id % 2 = 1 THEN 't1_mp2rage_INV1'
+        |    CASE WHEN event_id % 3 = 0 THEN 't1_mp2rage_seq'
+        |         WHEN event_id % 3 = 1 THEN 'GR%SiemensSeq%gre_2D'
+        |         ELSE (CASE WHEN event_id % 4 = 0 THEN 'ep_b1000'
+        |                    WHEN event_id % 4 = 1 THEN 'tfl3d1'
+        |                    WHEN event_id % 4 = 2 THEN 'fm2d2r'
+        |                    ELSE 'mystery' END) END AS seqname2,
+        |    CASE WHEN event_id % 10 = 1 THEN 's_INV1'
+        |         WHEN event_id % 10 = 3 THEN 's_INV2'
+        |         WHEN event_id % 10 = 5 THEN 's_T1_Images'
+        |         WHEN event_id % 10 = 7 THEN 's_UNI_Images'
         |         ELSE 'plain' END AS sname
         |  FROM events),
         |derived AS (
         |  SELECT
-        |    CASE WHEN contains(machine, 'Verio') THEN 19
-        |         WHEN contains(machine, 'TrioTim') THEN 1
-        |         WHEN contains(machine, 'Prisma_fit') THEN 1
-        |         WHEN contains(machine, 'SIGNA') THEN 29
-        |         WHEN contains(machine, 'Bruker') THEN 39
-        |         WHEN contains(machine, 'MAGNETOM Cima') THEN 80
-        |         WHEN contains(machine, 'Terra.X') THEN 82
+        |    CASE WHEN starts_with(machine, 'Verio') THEN 19
+        |         WHEN starts_with(machine, 'TrioTim') THEN 1
+        |         WHEN starts_with(machine, 'Prisma_fit') THEN 1
+        |         WHEN starts_with(machine, 'SIGNA') THEN 29
+        |         WHEN starts_with(machine, 'Bruker') THEN 39
+        |         WHEN starts_with(machine, 'MAGNETOM Cima') THEN 80
+        |         WHEN starts_with(machine, 'MAGNETOM Terra.X') THEN 82
         |         ELSE 0 END AS rid,
         |    CASE WHEN starts_with(proto, 'PROTO_') OR starts_with(proto, 'VERIO_')
         |         THEN substr(proto, 7)
@@ -90,16 +110,18 @@ object DeriveOps {
         |    CASE WHEN contains(seqname, 'ep_b') THEN 'DWI'
         |         WHEN contains(seqname, 'epfid') THEN 'EPI'
         |         WHEN contains(seqname, 'spc3d') THEN 'SPACE3D'
-        |         WHEN contains(seqname, 'tfl3d') AND contains(sname, 'mp2rage')
-        |         THEN 'MP2RAGE_' ||
-        |           CASE WHEN contains(sname, 'INV1') THEN 'INV1'
-        |                WHEN contains(sname, 'INV2') THEN 'INV2'
-        |                WHEN contains(sname, 'T1MAP') THEN 'T1MAP'
-        |                ELSE 'UNI' END
-        |         WHEN contains(seqname, 'tfl3d') THEN 'MPRAGE'
+        |         WHEN contains(seqname, 'tfl3d') THEN
+        |           CASE WHEN contains(seqname2, 'mp2rage')
+        |           THEN 'MP2RAGE_' ||
+        |             CASE WHEN contains(sname, 'INV1') THEN 'INV1'
+        |                  WHEN contains(sname, 'INV2') THEN 'INV2'
+        |                  WHEN contains(sname, 'T1_Images') THEN 'T1MAP'
+        |                  WHEN contains(sname, 'UNI_Images') THEN 'UNI'
+        |                  ELSE 'SHOULD_NOT_HAPPEN' END
+        |           ELSE 'MPRAGE' END
         |         WHEN contains(seqname, 'fm2d2r') THEN 'GreFieldMap'
-        |         WHEN contains(seqname, 'gre_2D') THEN 'GRE_2D'
-        |         WHEN contains(seqname, 'gre_3D') THEN 'GRE_3D'
+        |         WHEN contains(seqname2, 'GR%SiemensSeq%gre_2D') THEN 'GRE_2D'
+        |         WHEN contains(seqname2, 'GR%SiemensSeq%gre_3D') THEN 'GRE_3D'
         |         WHEN contains(seqname, 'eja_svs') THEN 'spectroSVS'
         |         ELSE 'to_be_defined' END AS seq_type
         |  FROM synth)

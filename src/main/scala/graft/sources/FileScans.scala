@@ -41,9 +41,14 @@ object FileScans {
       FileMeta(f.getPath.toUri.getPath, f.getModificationTime,
         f.getLen, isDir = false)).toSeq
     val subDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    // executors must see the session's Hadoop conf (s3a credentials,
+    // endpoints) — a fresh Configuration() would silently drop them
+    val bc = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))
     val nested = spark.createDataset(subDirs).flatMap { d =>
       val p = new Path(d)
-      val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val dfs = p.getFileSystem(bc.value.value)
       val it = dfs.listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer[FileMeta]()
       while (it.hasNext) {

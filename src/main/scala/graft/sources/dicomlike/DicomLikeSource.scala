@@ -19,12 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * the source instead of hoped-for in a UDF.
   *
   * Usage: `spark.read.format("graft.sources.dicomlike").load(dir)`.
-  * Non-DICOM files (bad magic) are skipped at read time (S5 sniff).
+  * Non-DICOM files (bad magic, short header, or non-numeric header
+  * digits) are skipped at read time (S5 sniff), never crash the scan.
   *
-  * Scale notes: one input partition per file group (files are
-  * split-resistant little blobs); the driver only lists paths, all
-  * parsing happens in executors. `BytesReadCounter` exists for tests to
-  * prove the payload was never read.
+  * Scale notes (a DICOM archive is millions of split-resistant little
+  * blobs):
+  *  - listing is distributed: the driver lists only the root's first
+  *    level, each subdirectory's recursive listing runs as a Spark job
+  *    on executors (with the session's Hadoop conf broadcast, so s3a /
+  *    hdfs settings survive); only the compact (path, length) manifest
+  *    returns to the driver for planning;
+  *  - files are greedily packed into size-targeted input partitions
+  *    (`maxPartitionBytes`, default 128 MiB, with `openCostInBytes`
+  *    per file — the same cost model as Spark's own FileSourceScan),
+  *    so a million files plan as thousands of tasks, not a million;
+  *  - `BytesReadCounter` exists for tests to prove the payload was
+  *    never read under a header-only projection.
   */
 class DicomLikeSource extends TableProvider
   with org.apache.spark.sql.sources.DataSourceRegister {
@@ -49,6 +59,11 @@ object DicomLikeSource {
     StructField("content", BinaryType, nullable = true)))
 
   final val HeaderLen = 154
+
+  /** Size target per input partition and per-file open cost — the same
+    * dials as spark.sql.files.maxPartitionBytes / openCostInBytes. */
+  final val MaxPartitionBytes = 128L * 1024 * 1024
+  final val OpenCostInBytes = 4L * 1024 * 1024
 }
 
 /** Test hook: bytes actually read from disk by this source. */
@@ -81,27 +96,70 @@ class DicomLikeScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private val needContent = required.fieldNames.contains("content")
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
     val fs = FileSystem.get(new java.net.URI(path match {
       case p if p.contains("://") => p
       case p => s"file://$p"
     }), conf)
-    val it = fs.listFiles(new Path(path), true)
-    val files = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile) files += ((f.getPath.toUri.getPath, f.getLen))
+    // driver lists only the first level; subdirectory recursion runs
+    // on executors and ships back (path, length) pairs only
+    val top = fs.listStatus(new Path(path))
+    val topFiles = top.filter(_.isFile)
+      .map(f => (f.getPath.toUri.getPath, f.getLen)).toSeq
+    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val nested: Seq[(String, Long)] =
+      if (subDirs.isEmpty) Nil
+      else {
+        val bc = spark.sparkContext.broadcast(
+          new graft.util.SerializableHadoopConf(conf))
+        spark.sparkContext
+          .parallelize(subDirs, math.min(subDirs.length, 64))
+          .flatMap { d =>
+            val p = new Path(d)
+            val dfs = p.getFileSystem(bc.value.value)
+            val it = dfs.listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.isFile) buf += ((f.getPath.toUri.getPath, f.getLen))
+            }
+            buf
+          }.collect().toSeq
+      }
+    // greedy size-targeted packing, Spark's file-scan cost model:
+    // each file costs max(bytes it will actually read, open cost).
+    // Header-only scans read HeaderLen per file regardless of size.
+    val maxPart = DicomLikeSource.MaxPartitionBytes
+    val openCost = DicomLikeSource.OpenCostInBytes
+    def cost(len: Long): Long =
+      math.max(if (needContent) len else DicomLikeSource.HeaderLen.toLong,
+        openCost)
+    val sorted = (topFiles ++ nested).sortBy(_._1)
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    val cur = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var curBytes = 0L
+    sorted.foreach { f =>
+      if (cur.nonEmpty && curBytes + cost(f._2) > maxPart) {
+        parts += DicomLikeInputPartition(cur.toArray)
+        cur.clear(); curBytes = 0L
+      }
+      cur += f; curBytes += cost(f._2)
     }
-    files.map(f => DicomLikeInputPartition(f._1, f._2): InputPartition)
-      .toArray
+    if (cur.nonEmpty) parts += DicomLikeInputPartition(cur.toArray)
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DicomLikeReaderFactory(required)
 }
 
-case class DicomLikeInputPartition(file: String, len: Long)
+/** One task's worth of files (size-packed, never a single file unless
+  * it alone exceeds the target). */
+case class DicomLikeInputPartition(files: Array[(String, Long)])
   extends InputPartition
 
 class DicomLikeReaderFactory(required: StructType)
@@ -116,13 +174,13 @@ class DicomLikeReader(part: DicomLikeInputPartition, required: StructType)
   extends PartitionReader[InternalRow] {
 
   private val needContent = required.fieldNames.contains("content")
+  private var idx = 0
   private var row: InternalRow = _
-  private var done = false
 
-  override def next(): Boolean = {
-    if (done) return false
-    done = true
-    val p = java.nio.file.Paths.get(part.file)
+  /** Parse one file; None = skip (bad magic, short, or malformed header
+    * digits — consistent with DicomLike.parseHeaders' try_cast stance). */
+  private def parse(file: String, len: Long): Option[InternalRow] = {
+    val p = java.nio.file.Paths.get(file)
     val bytes =
       if (needContent) java.nio.file.Files.readAllBytes(p)
       else { // header-only read: the pushdown payoff
@@ -136,21 +194,33 @@ class DicomLikeReader(part: DicomLikeInputPartition, required: StructType)
       }
     BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
     if (bytes.length < DicomLikeSource.HeaderLen ||
-        new String(bytes, 128, 4) != "DICM") {
-      return false // sniff: not a DICOM-shaped file → skip
-    }
-    def str(off: Int, len: Int) = new String(bytes, off, len)
+        new String(bytes, 128, 4) != "DICM") return None
+    def str(off: Int, n: Int) = new String(bytes, off, n)
+    val instOpt = str(142, 4).trim.toIntOption
+    val expOpt = str(150, 4).trim.toIntOption
+    if (instOpt.isEmpty || expOpt.isEmpty) return None
     val values: Array[Any] = required.fieldNames.map {
-      case "path" => UTF8String.fromString(part.file)
+      case "path" => UTF8String.fromString(file)
       case "series_uid" => UTF8String.fromString(str(132, 10))
-      case "instance_number" => str(142, 4).trim.toInt
+      case "instance_number" => instOpt.get
       case "echo" => UTF8String.fromString(str(146, 4))
-      case "expected_count" => str(150, 4).trim.toInt
-      case "length" => part.len
+      case "expected_count" => expOpt.get
+      case "length" => len
       case "content" => bytes
     }
-    row = InternalRow.fromSeq(values.toIndexedSeq)
-    true
+    Some(InternalRow.fromSeq(values.toIndexedSeq))
+  }
+
+  override def next(): Boolean = {
+    while (idx < part.files.length) {
+      val (file, len) = part.files(idx)
+      idx += 1
+      parse(file, len) match {
+        case Some(r) => row = r; return true
+        case None => // skipped file: fall through to the next one
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row

@@ -48,6 +48,14 @@ object Sessionize {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
+        case Some(s) if t < s.start - gapMs =>
+          // a late event more than gap BEFORE the open session is its
+          // own earlier session in event-time order — emit it; merging
+          // it (the old `t - s.last <= gap` test was vacuously true for
+          // any late event) would stretch the session start arbitrarily
+          // far back. Exact batch parity for such stragglers needs
+          // watermark <= gap; beyond that they surface as singletons.
+          closed += Session(userId, new Timestamp(t), new Timestamp(t), 1)
         case Some(s) if t - s.last <= gapMs =>
           // a late in-watermark event can also extend the session START
           // backwards — batch parity requires min/max on both bounds

@@ -10,11 +10,13 @@ class DerivationsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
 
-  test("rid machine→room chain") {
+  test("rid machine→room chain (prefix-matched like the reference)") {
     val got = Seq("Verio", "TrioTim", "Prisma_fit", "SIGNA PET/MR",
-      "Bruker Biospec", "MAGNETOM Cima.X", "Terra.X", "unknown")
+      "Bruker Biospec", "MAGNETOM Cima.X", "MAGNETOM Terra.X", "unknown",
+      "not_Verio_prefix")
       .toDF("m").select(Derivations.rid(col("m"))).as[Int].collect().toSeq
-    assert(got == Seq(19, 1, 1, 29, 39, 80, 82, 0))
+    // startswith semantics: a machine merely CONTAINING "Verio" is rid 0
+    assert(got == Seq(19, 1, 1, 29, 39, 80, 82, 0, 0))
   }
 
   test("eid prefix strip + facturable") {
@@ -28,24 +30,29 @@ class DerivationsSpec extends AnyFunSuite {
   }
 
   test("seqType classifier incl. mp2rage sub-classes") {
+    // (seqName, seqName2, SName) → class; mp2rage keys on seqName2,
+    // sub-class on SName with the reference's T1_Images/UNI_Images keys
+    // and SHOULD_NOT_HAPPEN fallthrough (Exam_info.py:293-344)
     val cases = Seq(
-      ("ep_b1000", "x") -> "DWI",
-      ("epfid2d", "x") -> "EPI",
-      ("spc3d_1", "x") -> "SPACE3D",
-      ("tfl3d1", "t1_mp2rage_INV1") -> "MP2RAGE_INV1",
-      ("tfl3d1", "t1_mp2rage_INV2") -> "MP2RAGE_INV2",
-      ("tfl3d1", "t1_mp2rage_T1MAP") -> "MP2RAGE_T1MAP",
-      ("tfl3d1", "t1_mp2rage_UNI_Images") -> "MP2RAGE_UNI",
-      ("tfl3d1", "t1_mprage") -> "MPRAGE",
-      ("fm2d2r", "x") -> "GreFieldMap",
-      ("gre_2D_q", "x") -> "GRE_2D",
-      ("eja_svs_press", "x") -> "spectroSVS",
-      ("mystery", "x") -> "to_be_defined")
-    cases.foreach { case ((sq, sn), want) =>
-      val got = Seq((sq, sn)).toDF("sq", "sn")
-        .select(Derivations.seqType(col("sq"), col("sn")))
+      ("ep_b1000", "ep_b1000", "x") -> "DWI",
+      ("epfid2d", "epfid2d", "x") -> "EPI",
+      ("spc3d_1", "spc3d_1", "x") -> "SPACE3D",
+      ("tfl3d1", "t1_mp2rage", "s_INV1") -> "MP2RAGE_INV1",
+      ("tfl3d1", "t1_mp2rage", "s_INV2") -> "MP2RAGE_INV2",
+      ("tfl3d1", "t1_mp2rage", "s_T1_Images") -> "MP2RAGE_T1MAP",
+      ("tfl3d1", "t1_mp2rage", "s_UNI_Images") -> "MP2RAGE_UNI",
+      ("tfl3d1", "t1_mp2rage", "odd") -> "MP2RAGE_SHOULD_NOT_HAPPEN",
+      ("tfl3d1", "t1_mprage", "x") -> "MPRAGE",
+      ("fm2d2r", "fm2d2r", "x") -> "GreFieldMap",
+      ("other", "GR%SiemensSeq%gre_2D", "x") -> "GRE_2D",
+      ("other", "GR%SiemensSeq%gre_3D", "x") -> "GRE_3D",
+      ("eja_svs_press", "eja_svs_press", "x") -> "spectroSVS",
+      ("mystery", "mystery", "x") -> "to_be_defined")
+    cases.foreach { case ((sq, sq2, sn), want) =>
+      val got = Seq((sq, sq2, sn)).toDF("sq", "sq2", "sn")
+        .select(Derivations.seqType(col("sq"), col("sq2"), col("sn")))
         .as[String].head()
-      assert(got == want, s"seqType($sq, $sn)")
+      assert(got == want, s"seqType($sq, $sq2, $sn)")
     }
   }
 
@@ -71,7 +78,10 @@ class DerivationsSpec extends AnyFunSuite {
   }
 
   test("Siemens TA parse") {
-    val cases = Seq("TA 03:50*3" -> 690, "TA 01:02" -> 62, "TA 03.x" -> 240)
+    // dot branch: (mm+1)*mult with NO ×60 — the reference's own unit
+    // quirk (Exam_info.py:1470-1481), ported as-is
+    val cases = Seq("TA 03:50*3" -> 690, "TA 01:02" -> 62,
+      "TA 03.x" -> 4, "TA 03.x*5" -> 20)
     cases.foreach { case (in, want) =>
       val got = Seq(in).toDF("ta").select(Derivations.taSeconds(col("ta")))
         .as[Int].head()

@@ -57,6 +57,39 @@ class DicomSourceSpec extends AnyFunSuite {
       s"scan not pruned:\n${plan.take(1200)}")
   }
 
+  test("1k tiny files pack into few size-targeted partitions") {
+    val dir = Files.createTempDirectory("graft_dsv2_pack")
+    val sub = dir.resolve("nested")
+    Files.createDirectory(sub)
+    (1 to 1000).foreach { i =>
+      val d = if (i % 2 == 0) dir else sub
+      writeDicom(d, f"f$i%04d.dcm", f"EXAM01S$i%03d", i % 100, 0)
+    }
+    val df = spark.read.format("dicomlike").load(dir.toString)
+      .select("series_uid", "instance_number")
+    // 1000 files × 4 MiB open cost / 128 MiB target = ~32 partitions,
+    // never one task per file
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts <= 32, s"expected packed partitions, got $nParts")
+    BytesReadCounter.reset()
+    assert(df.count() == 1000)
+    // header-only even through the multi-file reader
+    assert(BytesReadCounter.bytes.get() <= 1000L * 154)
+  }
+
+  test("malformed header digits skip the file, not the scan") {
+    val dir = Files.createTempDirectory("graft_dsv2_bad")
+    writeDicom(dir, "good.dcm", "EXAM01SERA", 1, 1)
+    // passes the DICM sniff but has junk where digits belong
+    val bad = new Array[Byte](128) ++ "DICM".getBytes ++
+      "EXAM01SERB".getBytes ++ "XXXX".getBytes ++
+      "E1  ".getBytes ++ "YYYY".getBytes
+    Files.write(dir.resolve("bad.dcm"), bad)
+    val rows = spark.read.format("dicomlike").load(dir.toString)
+      .select("series_uid", "instance_number").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("EXAM01SERA"))
+  }
+
   test("source feeds the ingest aggregates end-to-end") {
     val dir = mkFixture()
     val headers = spark.read.format("dicomlike")

@@ -46,6 +46,31 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got == Seq(("2024-03-01 09:45:00.0", "2024-03-01 10:00:00.0", 2L)))
   }
 
+  test("far-late event becomes its own session, not an absurd merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(mem.toDS(), gapSec)
+      .writeStream.format("memory").queryName("sess_farlate")
+      .outputMode("append").start()
+    mem.addData(Sessionize.Event(1, ts("2024-03-01 10:00:00")))
+    q.processAllAvailable()
+    // 90 min BEFORE the open session's start (> gap): with the old
+    // vacuous `t - last <= gap` test this merged and stretched the
+    // session start back to 08:30
+    mem.addData(Sessionize.Event(1, ts("2024-03-01 08:30:00")))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(9, ts("2024-03-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_farlate").filter("user_id = 1")
+      .collect().map(r => (r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(got == Set(
+      ("2024-03-01 08:30:00.0", "2024-03-01 08:30:00.0", 1L),
+      ("2024-03-01 10:00:00.0", "2024-03-01 10:00:00.0", 1L)))
+  }
+
   test("streaming sessions equal batch sessions for closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
