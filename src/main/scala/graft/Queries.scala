@@ -93,6 +93,85 @@ object Queries {
       })
       ,
 
+      // TPC-H Q4 shape: EXISTS-driven aggregate — orders with at least
+      // one late-shipped line (semi join carries the correlated
+      // condition), counted per priority. The semi join shuffles on the
+      // order key once; no distinct/dedup pass is ever needed because
+      // left_semi emits each order at most once.
+      "q4_priority_exists" -> ((s, dir) => {
+        val o = load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val li = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+      // TPC-H Q16 shape: distinct-count over a deduped pair relation,
+      // minus an anti-joined exclusion set (suppliers "with complaints"
+      // = negative balance). The tiny exclusion list broadcasts; the
+      // distinct pair relation and the count-distinct agg shuffle on
+      // their own keys only.
+      "q16_supplier_cnt" -> ((s, dir) => {
+        val ps = load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val p = load(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        val bad = load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      }),
+
+      // TPC-H Q21 shape: multi semi/anti self-join — suppliers whose
+      // late line (ship > order date + 90d) was the ONLY late one in a
+      // multi-supplier finished order. The order-scoped line relation
+      // is built once and reused on every side; both existence probes
+      // are semi/anti joins on the order key, never row-multiplying.
+      "q21_waiting_supplier" -> ((s, dir) => {
+        val o = load(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val lo = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 90 DAYS")).as("is_late"))
+        val late = lo.filter(col("is_late"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = lo.select(col("l_orderkey").as("k2"),
+          col("l_suppkey").as("s2"))
+        val otherLate = late.select(col("l_orderkey").as("k3"),
+          col("l_suppkey").as("s3"))
+        val l1 = late
+          .join(others, col("k2") === col("l_orderkey") &&
+            col("s2") =!= col("l_suppkey"), "left_semi")
+          .join(otherLate, col("k3") === col("l_orderkey") &&
+            col("s3") =!= col("l_suppkey"), "left_anti")
+        val su = load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        l1.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      }),
+
       // TPC-H Q10 shape: returned-item revenue per customer, top-20 —
       // fact filtered, customer dim broadcast, orders left to the
       // optimizer.
@@ -159,6 +238,47 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT l_orderkey, l_suppkey FROM lo WHERE is_late)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,

@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg")
   }
 
+  test("q4: EXISTS runs as a semi join, not a row-multiplying join") {
+    assert(plan("q4_priority_exists").contains("LeftSemi"))
+  }
+
+  test("q16: complaint exclusion is a broadcast anti join") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"))
+  }
+
+  test("q21: both existence probes are semi/anti joins") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
   test("dedup signatures use the native codegen expressions, not HOFs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

@@ -1,5 +1,7 @@
 package graft
 
+import graft.sources.ExcelSource
+
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
@@ -169,5 +171,117 @@ class SourcesSinksSpec extends AnyFunSuite {
     val back = ActionSink.readCsv(spark, out)
     assert(back.count() == 3)
     assert(back.filter(col("label") === "ok").count() == 2)
+  }
+
+  test("K4 REST sink: posts, rid==0 skip, retry on 500, ERROR counting") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val n = hits.incrementAndGet()
+      if (n == 1) { // first call fails → exercises the retry path
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else {
+        bodies.add(body)
+        val resp =
+          if (body.contains("name%3Dbroken")) "line ok\nERROR bad exam"
+          else "line ok"
+        val b = resp.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val df = Seq(
+        (1L, 19, "name=ok"),     // posted (= is urlencoded in the body)
+        (2L, 0, "name=skipme"),  // rid==0 → never sent
+        (3L, 29, "name=broken")  // posted, response carries an ERROR line
+      ).toDF("exam_id", "rid", "name")
+      val res = graft.sinks.RestSink.postExams(df, url, "tok123")
+      assert(res == graft.sinks.RestSink.Result(2, 1, 0, 1))
+      val sent = bodies.toArray.map(_.toString)
+      assert(sent.length == 2)
+      assert(sent.forall(b => b.contains("token=tok123") &&
+        b.contains("range=100")))
+      assert(!sent.exists(_.contains("skipme")))
+    } finally server.stop(0)
+  }
+
+  test("K4 REST sink: a row that exhausts retries is counted, not fatal") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(503, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val df = Seq((1L, 19, "x")).toDF("exam_id", "rid", "name")
+      val res = graft.sinks.RestSink.postExams(df, url, "t",
+        maxRetries = 1)
+      assert(res == graft.sinks.RestSink.Result(0, 0, 1, 0))
+    } finally server.stop(0)
+  }
+
+  /** Builds a minimal multi-sheet .xlsx (zip + XML) with shared,
+    * inline, and numeric cells. */
+  private def writeXlsx(path: java.nio.file.Path): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst><si><t>PROTO_A</t></si><si><t>suj01</t></si>
+        |<si><r><t>re</t></r><r><t>viewed</t></r></si>
+        |<si><t>suj02</t></si><si><t>PROTO_B</t></si>
+        |<si><t>suj03</t></si><si><t>ok</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>proto</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2"><v>45321</v></c>
+        |  <c r="C2" t="s"><v>1</v></c><c r="D2" t="s"><v>2</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>0</v></c><c r="B3"><v>45322</v></c>
+        |  <c r="C3" t="s"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>proto</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>4</v></c><c r="B2"><v>45400</v></c>
+        |  <c r="C2" t="s"><v>5</v></c>
+        |  <c r="D2" t="inlineStr"><is><t>inline note</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("S11 xlsx review sheet: header skipped, col-4 filter, all sheets") {
+    val f = Files.createTempDirectory("graft_xlsx").resolve("review.xlsx")
+    writeXlsx(f)
+    val df = ExcelSource.readReviewSheet(spark, f.toString)
+    val rows = df.orderBy("proto").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    // suj02 (sheet1 row 3) has no comment → "defined but not reviewed",
+    // dropped; rich-text shared string re-assembled; sheet2 included
+    assert(rows == Seq(
+      ("PROTO_A", "45321", "suj01", "reviewed"),
+      ("PROTO_B", "45400", "suj03", "inline note")))
+    // the source feeds the J8 review semi-join shape
+    val exams = Seq(("suj01", 1), ("suj02", 2), ("sujXX", 3))
+      .toDF("suj", "exam_id")
+    val reviewed = exams.join(df.select(col("sujname").as("suj")),
+      Seq("suj"), "left_semi")
+    assert(reviewed.collect().map(_.getInt(1)).toSeq == Seq(1))
   }
 }
