@@ -38,17 +38,21 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warmup: JIT, codegen, file listing
-        // min of two timed runs: GC/JIT noise at this scale is on the
-        // order of the measurement itself
-        val runs = (1 to 2).map { _ =>
+        // min of three timed runs: GC/JIT noise at this scale is on
+        // the order of the measurement itself (round-2's w4 read 6.5 s
+        // for a 0.5 s query because BOTH timed runs caught a GC pause)
+        val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
         times(name) = runs.min
         // dedup pipelines cache small feature tables; clear between
-        // queries so storage memory never accumulates across the suite
+        // queries so storage memory never accumulates across the
+        // suite, and drain the garbage NOW so the previous query's
+        // heap doesn't bill a GC pause to the next one
         spark.catalog.clearCache()
+        System.gc()
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -172,6 +172,25 @@ object Queries {
           .orderBy(col("numwait").desc, col("s_name"))
       }),
 
+      // TPC-H Q18 shape: large-volume orders — the pre-aggregated
+      // filter (sum(qty) > 300 per order) runs FIRST and shrinks the
+      // fact side to a sliver before any join; customer dim broadcasts.
+      "q18_large_orders" -> ((s, dir) => {
+        val big = load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(decSumD(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300.0)
+        val o = load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      }),
+
       // TPC-H Q10 shape: returned-item revenue per customer, top-20 —
       // fact filtered, customer dim broadcast, orders left to the
       // optimizer.
@@ -279,6 +298,19 @@ object Queries {
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |           AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |         > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,

@@ -137,7 +137,20 @@ object JdbcCatalog {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(sql).toLong finally st.close()
+      try {
+        // Index both merge keys first: without them Derby executes the
+        // MERGE as a nested-loop join of full table scans —
+        // O(target × staging) row probes (observed: minutes for
+        // 150k × 45k). The staging index is recreated each call (the
+        // overwrite drops it with the table); the target's may already
+        // exist — a duplicate-name error is the fine outcome.
+        def tryIndex(ddl: String): Unit =
+          try st.executeUpdate(ddl)
+          catch { case _: java.sql.SQLException => }
+        tryIndex(s"CREATE INDEX ${table}_KEYIDX ON $table (${q(key)})")
+        tryIndex(s"CREATE INDEX ${stage}_KEYIDX ON $stage (${q(key)})")
+        st.executeUpdate(sql).toLong
+      } finally st.close()
     } finally conn.close()
   }
 

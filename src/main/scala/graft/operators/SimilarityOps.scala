@@ -100,6 +100,23 @@ object SimilarityOps {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Per-label centroid accumulation — the reduce step of k-means /
+    // class-prototype computation. posexplode turns the vector column
+    // into (label, dim, x) rows so the sum is ONE partial+final hash
+    // aggregate (map-side combine does 64-way dim sums per partition
+    // before the shuffle; only 64 × n_labels rows cross the wire).
+    // Values are micro-scaled to integers (round(x*1e6)) so the sums
+    // are exact and engine-order-independent; centroid = sum/1e6/n.
+    "v4_label_centroids" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // IVF-style ANN: a deterministic coarse quantizer (the first 16
     // vectors act as centroids — in production these come from a k-means
     // fit), every vector assigned to its nearest centroid, queries probe
@@ -163,6 +180,15 @@ object SimilarityOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "v4_label_centroids" ->
+      """SELECT label, i - 1 AS dim,
+        |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |                AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  COUNT(*) AS n
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
     "v3_ann_ivf" ->
       """WITH e AS (SELECT vec_id,
         |             [CAST(x AS DOUBLE) for x in embedding] AS v

@@ -80,6 +80,26 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing for training batches: documents accumulate into
+    // fixed-token-budget batches per language (running-sum window →
+    // batch id = which 2048-token block the doc's last token lands in).
+    // Scale shape: the window partitions by lang (any shard key), so
+    // each partition packs independently — no global sort, no driver
+    // loop; at 100 TB the same plan packs per-shard in parallel.
+    "t7_sequence_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("batch_id", floor((col("cum") - 1) / 2048).cast("long"))
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).cast("long").as("tok_sum"))
+        .orderBy(col("lang"), col("batch_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -134,6 +154,19 @@ object TextOps {
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
         |         AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, tokens,
+        |    (CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |          AS BIGINT) - 1) // 2048 AS batch_id
+        |  FROM toks)
+        |SELECT lang, batch_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(tokens) AS BIGINT) AS tok_sum
+        |FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
 
     "t6_sanitize" ->
       """SELECT doc_id,

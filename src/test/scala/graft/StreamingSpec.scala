@@ -62,4 +62,38 @@ class StreamingSpec extends AnyFunSuite {
       "2024-01-01 11:00:00")
     assert(out.select("event_id").as[Long].collect().toSet == Set(4L, 5L))
   }
+
+  test("stream drains into the partitioned lake via foreachBatch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_lake").resolve("t").toString
+    val mem = MemoryStream[TestEvent]
+    // the reference's incremental --days maintenance as a stream: each
+    // micro-batch MERGEs into only its own date partitions
+    val q = mem.toDS().writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TestEvent], _: Long) =>
+        graft.catalog.Lake.mergeWritePartitioned(
+          b.sparkSession, path, b.toDF(), "event_id", "ts"): Unit
+      }.start()
+    mem.addData(TestEvent(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+      TestEvent(2, ts("2024-01-02 10:20:00"), "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: one update (same key, new value), one insert, one dup
+    mem.addData(TestEvent(2, ts("2024-01-02 10:20:00"), "click", 9.0),
+      TestEvent(3, ts("2024-01-03 09:00:00"), "view", 3.0),
+      TestEvent(1, ts("2024-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(path)
+      .select("event_id", "value").orderBy("event_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(state == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
+    // partition layout: one dir per event day
+    val days = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part_date=")).map(_.getName).sorted
+    assert(days.toSeq == Seq("part_date=2024-01-01",
+      "part_date=2024-01-02", "part_date=2024-01-03"))
+  }
 }
