@@ -86,6 +86,47 @@ object DedupOps {
       .filter(size(col("ids")) <= maxBucket)
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * pairs→clusters step of a dedup pipeline (keep one doc per
+    * component, drop the rest). Min-label propagation: every node
+    * starts as its own label; each round a node takes the minimum of
+    * its own and its neighbors' labels (one equi-join + one partial+
+    * final min-agg per round — no cartesians, no driver-side graph).
+    * Rounds needed = component diameter, which for near-dup graphs is
+    * small (dup clusters are dense); `maxIter` bounds the worst case
+    * and each round's result is persisted so lineage stays flat.
+    *
+    * @param edges two-column DataFrame (src, dst), undirected
+    * @return (node, label) — label = min node id of the component
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).persist()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = und.join(labels, und("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      // convergence probe: any node whose label still shrank?
+      val changed = next.alias("n")
+        .join(labels.alias("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** The buckets [[bucketPairs]] dropped: key columns + "overflowed"
     * member count (a lower bound — counting a million-strong boilerplate
     * bucket exactly would be wasted work; callers only need to see THAT
@@ -207,6 +248,25 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Dup-cluster resolution: connected components over a pair graph
+    // with chains up to diameter 3 (d — d+100k — d+200k — d+300k for
+    // every third doc), so label propagation genuinely has to iterate.
+    // Output = one row per cluster (min doc id) + member count.
+    "d6_dup_components" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"))
+      val third = d.filter(col("doc_id") % 3 === 0)
+      val edges = d.select(col("doc_id").as("src"),
+          (col("doc_id") + 100000).as("dst"))
+        .union(third.select((col("doc_id") + 100000).as("src"),
+          (col("doc_id") + 200000).as("dst")))
+        .union(third.select((col("doc_id") + 200000).as("src"),
+          (col("doc_id") + 300000).as("dst")))
+      connectedComponents(edges)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("label"))
+    }),
+
     // n-gram Jaccard with PREFIX FILTERING (the AllPairs/PPJoin idea):
     // order every doc's trigrams by global rarity (df asc, hash asc)
     // and block only on each doc's first |d| − ⌈0.7·|d|⌉ + 1 tokens.
@@ -308,6 +368,25 @@ object DedupOps {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d6_dup_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id + 200000 FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, doc_id + 300000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT a AS n FROM und),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n),
+        |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)
+        |SELECT label, COUNT(*) AS size FROM lab
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -100,6 +100,41 @@ object TextOps {
         .orderBy(col("lang"), col("batch_id"))
     }),
 
+    // Deterministic train/eval split: bucket = shared md5-60bit hash
+    // of the doc id mod 100, split = train when bucket < 90. Hash-based
+    // (not random) so the split is reproducible across runs, engines,
+    // and cluster sizes — the property a training pipeline needs for
+    // leakage-free held-out sets.
+    "t8_hash_split" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(cast(doc_id as string)),1,15),16,10)" +
+            " as bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train")).otherwise(lit("eval")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // Global vocabulary statistics: top-20 word trigrams by corpus
+    // frequency (every occurrence counted). Explode → one partial+
+    // final hash agg → top-k; deterministic tie-break on the ngram.
+    "t9_top_ngrams" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(w)-2), i ->
+            |  concat_ws(' ', element_at(w,i), element_at(w,i+1),
+            |            element_at(w,i+2)))""".stripMargin)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -167,6 +202,26 @@ object TextOps {
         |SELECT lang, batch_id, COUNT(*) AS n_docs,
         |       CAST(SUM(tokens) AS BIGINT) AS tok_sum
         |FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+
+    "t8_hash_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |              ::BIGINT % 100 < 90
+        |         THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "t9_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT ngram, COUNT(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
     "t6_sanitize" ->
       """SELECT doc_id,

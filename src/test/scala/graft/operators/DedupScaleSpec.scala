@@ -38,6 +38,20 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(ov.head.getLong(1) == 10000L)
   }
 
+  test("connected components: chains, isolated pairs, convergence") {
+    // one 5-node chain (diameter 4), one pair, one triangle
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain
+      (20L, 21L),                                      // pair
+      (30L, 31L), (31L, 32L), (30L, 32L))              // triangle
+      .toDF("src", "dst")
+    val labels = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert((30L to 32L).forall(labels(_) == 30L))
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
