@@ -172,6 +172,60 @@ object Queries {
           .orderBy(col("numwait").desc, col("s_name"))
       }),
 
+      // TPC-H Q7 shape: bilateral volume between two nations — the
+      // fact table picks up BOTH nation attributions (supplier-side
+      // and customer-side) through broadcast dims, then filters to the
+      // wanted pairs; grouped by the pair and the shipment year.
+      "q7_nation_volume" -> ((s, dir) => {
+        val n = load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        val su = load(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cu = load(s, dir, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_3" &&
+              col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" &&
+              col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(decSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      }),
+
+      // TPC-H Q17 shape: per-group-average correlated subquery — the
+      // per-part avg quantity is a tiny aggregate joined back (Catalyst
+      // broadcasts it), so "qty < 0.2 * avg over its part" never
+      // rescans the fact side per row.
+      "q17_small_quantity" -> ((s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val p = load(s, dir, "part")
+          .filter(col("p_brand") === "Brand#11")
+          .select(col("p_partkey"))
+        val avgQ = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("ak"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        val out = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(avgQ), col("l_partkey") === col("ak"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.2)
+          .agg(decSumD(col("l_extendedprice")).as("total_price"),
+            count(lit(1)).as("n_lines"))
+        out
+      }),
+
       // TPC-H Q18 shape: large-volume orders — the pre-aggregated
       // filter (sum(qty) > 300 per order) runs FIRST and shrinks the
       // fact side to a sliver before any join; customer dim broadcasts.
@@ -298,6 +352,38 @@ object Queries {
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  EXTRACT(year FROM l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') OR
+        |       (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH flt AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11'),
+        |a AS (SELECT l_partkey AS ak, AVG(l_quantity) AS avg_qty
+        |      FROM flt GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS total_price,
+        |  COUNT(*) AS n_lines
+        |FROM flt JOIN a ON l_partkey = ak
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (
