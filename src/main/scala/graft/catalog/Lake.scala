@@ -54,12 +54,23 @@ object Lake {
   /** Reads the current snapshot as-is. Pure read: crash recovery is
     * strictly writer-side ([[recover]], run at [[mergeWrite]] entry) —
     * a reader that restored `.bak` itself could fire in the window
-    * between a live writer's two renames and corrupt the swap. After a
-    * writer crash, reads see the table minus the in-flight batch until
-    * the next merge (or an explicit recover()) heals it. */
+    * between a live writer's two renames and corrupt the swap.
+    *
+    * After a writer crashed between its two renames, NO live snapshot
+    * exists (`.bak` holds the only copy) and this returns None — the
+    * table reads as absent, not "minus the in-flight batch" — until the
+    * next merge (or an explicit [[recover]]) heals it. That state is
+    * detectable, so it is warned about rather than silently returned. */
   def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fsFor(spark, path)
-    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path))
+    else {
+      if (fs.exists(new Path(path + ".bak")))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$path is absent but $path.bak exists: a writer crashed " +
+            "mid-swap; run Lake.recover (or the next mergeWrite) to heal")
+      None
+    }
   }
 
   /** Writer-side crash recovery: a previous writer that died between
@@ -122,11 +133,18 @@ object Lake {
     * moves a key to a different date would insert a second copy,
     * because rows outside the batch's dates are never read. Single
     * writer, as for mergeWrite.
+    *
+    * Null dates (unparseable tsCol) land in the default partition and
+    * merge like any other date: when the batch contains null
+    * `part_date` rows, the pruning filter explicitly includes
+    * `part_date IS NULL` — `isInCollection` alone never matches null,
+    * which would drop the live default-partition rows from the merge
+    * and then overwrite their directory with batch-only rows.
     */
   def mergeWritePartitioned(spark: SparkSession, path: String,
       batch: DataFrame, key: String, tsCol: String,
       exclude: Seq[String] = Nil): Map[String, Long] = {
-    import org.apache.spark.sql.functions.{col, to_date}
+    import org.apache.spark.sql.functions.{col, lit, to_date}
     val fs = fsFor(spark, path)
     recoverPartitions(spark, path)
     val b = batch.withColumn("part_date", to_date(col(tsCol)))
@@ -137,10 +155,15 @@ object Lake {
     }
     // one value per day in the batch — bounded by the batch's date
     // span, not its row count
-    val dates = b.select("part_date").distinct().collect()
-      .map(_.getDate(0)).toSeq
-    val db = spark.read.parquet(path)
-      .filter(col("part_date").isInCollection(dates))
+    val dateRows = b.select("part_date").distinct().collect()
+    val batchHasNullDate = dateRows.exists(_.isNullAt(0))
+    val dates = dateRows.filterNot(_.isNullAt(0)).map(_.getDate(0)).toSeq
+    val inDates =
+      if (dates.nonEmpty) col("part_date").isInCollection(dates)
+      else lit(false)
+    val prune =
+      if (batchHasNullDate) inDates || col("part_date").isNull else inDates
+    val db = spark.read.parquet(path).filter(prune)
     val merged = MergeOps.merge(db, b, key, exclude).persist()
     try {
       val counts = merged.groupBy("merge_status").count().collect()

@@ -41,8 +41,11 @@ object DedupOps {
     * @param maxBucket drop buckets larger than this (rare-token
     *                  blocking: a bucket shared by "everyone" carries no
     *                  signal and would blow up quadratically). Truncation
-    *                  is never silent — [[bucketOverflow]] reports the
-    *                  dropped buckets from the same banded input.
+    *                  is never silent: every bucketPairs plan carries an
+    *                  `observe()` metric counting dropped buckets, and a
+    *                  session listener ([[BucketAudit]]) logs a warning
+    *                  whenever the cap actually bound — in addition to
+    *                  the on-demand [[bucketOverflow]] detail query.
     */
   private[operators] def bucketPairs(banded: DataFrame, keys: Seq[String],
       maxBucket: Int = MaxBucketDefault, minCoBuckets: Int = 1): DataFrame = {
@@ -77,12 +80,19 @@ object DedupOps {
     * partitioning on the full key set: one shuffle total. */
   private def cappedBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
+    BucketAudit.install(banded.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
     banded.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
       .groupBy(keys.map(col): _*)
       .agg(collect_list(col("doc_id")).as("ids"))
+      // free-rider metric on the already-materialized buckets: counts
+      // the buckets the next filter drops, surfaced per-query by the
+      // BucketAudit listener. No extra pass, no extra shuffle.
+      .observe(BucketAudit.nextMetricName(),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("overflowed_buckets"))
       .filter(size(col("ids")) <= maxBucket)
   }
 

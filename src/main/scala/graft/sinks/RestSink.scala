@@ -18,6 +18,17 @@ import org.apache.spark.sql.DataFrame
   * row must not kill a catalog-scale job, and the caller decides from
   * the counts. Counts travel back on accumulators.
   *
+  * Delivery is AT-LEAST-ONCE: a task that fails (or runs speculatively)
+  * after posting part of its partition is re-run in full, so the
+  * endpoint can see a row more than once. Every POST therefore carries
+  * an `idem` parameter — a deterministic hash of the row's content —
+  * for endpoint-side dedup; callers who cannot dedup server-side should
+  * run the job with `spark.speculation=false` and treat Result.posted
+  * as an upper bound. The accumulator COUNTS are exactly-once (Spark
+  * applies action-accumulator updates only for the first successful
+  * attempt of each task), so posted/failed reflect the winning
+  * attempts, not retries.
+  *
   * The transport is a trait so tests (and alternate auth schemes) can
   * inject; [[HttpTransport]] is the JDK-only production default,
   * exercised end-to-end in SourcesSinksSpec against a local HTTP stub.
@@ -80,10 +91,16 @@ object RestSink {
               String.valueOf(row.get(ridIdx)) == "0") {
             skipped.add(1) // do_dicom.py:114-116
           } else {
-            val params = fields.indices.map(i => fields(i) ->
-              (if (row.isNullAt(i)) "" else String.valueOf(row.get(i)))) ++
+            val vals = fields.indices.map(i =>
+              if (row.isNullAt(i)) "" else String.valueOf(row.get(i)))
+            // content-derived, so identical across retries, speculative
+            // attempts, and whole-job re-runs of the same batch
+            val idem = java.security.MessageDigest.getInstance("MD5")
+              .digest(vals.mkString("\u0000").getBytes(UTF_8))
+              .map("%02x".format(_)).mkString
+            val params = fields.indices.map(i => fields(i) -> vals(i)) ++
               Seq("range" -> "100", "log" -> "2", "token" -> token,
-                "test" -> (if (test) "1" else "0"))
+                "test" -> (if (test) "1" else "0"), "idem" -> idem)
             var attempt = 0
             var done = false
             while (!done) {

@@ -68,9 +68,15 @@ object ExcelSource {
           val cells = rows.item(r).asInstanceOf[Element]
             .getElementsByTagName("c")
           val m = Map.newBuilder[Int, String]
+          // the `r` cell-reference attribute is optional in OOXML;
+          // writers that omit it emit cells in sequential column order,
+          // so an unreferenced cell sits one right of its predecessor
+          var nextIdx = 0
           (0 until cells.getLength).foreach { ci =>
             val c = cells.item(ci).asInstanceOf[Element]
-            val idx = colIndex(c.getAttribute("r"))
+            val ref = c.getAttribute("r")
+            val idx = if (ref.isEmpty) nextIdx else colIndex(ref)
+            nextIdx = idx + 1
             val t = c.getAttribute("t")
             val v = t match {
               case "inlineStr" => textOf(c)

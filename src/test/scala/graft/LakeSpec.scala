@@ -144,6 +144,36 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("partitioned merge keeps live null-date rows when the batch " +
+      "also has null dates") {
+    val path = Files.createTempDirectory("graft_lake_nulldate")
+      .resolve("t").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 08:00:00")
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    // live table: one dated row, one null-date row (unparseable AcqTime
+    // → default partition)
+    Lake.mergeWritePartitioned(spark, path,
+      Seq((1L, "a", 1.0, ts("2024-04-01")), (9L, "z", 9.0, nullTs))
+        .toDF("id", "name", "price", "acq"), "id", "acq")
+    // batch inserts ANOTHER null-date row: the merge must read the live
+    // default partition (isInCollection alone never matches null) or
+    // row 9 would be silently replaced by batch-only rows
+    val counts = Lake.mergeWritePartitioned(spark, path,
+      Seq((10L, "y", 10.0, nullTs)).toDF("id", "name", "price", "acq"),
+      "id", "acq")
+    assert(counts == Map("inserted" -> 1L, "kept" -> 1L))
+    val state = spark.read.parquet(path).orderBy("id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(state == Seq((1L, "a"), (9L, "z"), (10L, "y")))
+    // and a null-date UPDATE round-trips too
+    val c2 = Lake.mergeWritePartitioned(spark, path,
+      Seq((9L, "z2", 9.5, nullTs)).toDF("id", "name", "price", "acq"),
+      "id", "acq")
+    assert(c2 == Map("updated" -> 1L, "kept" -> 1L))
+    assert(spark.read.parquet(path).filter(col("id") === 9L)
+      .select("name").as[String].head() == "z2")
+  }
+
   test("bvec rotation: identity and axis swap goldens") {
     val id = BvecMath.rotationFromOrientation((1, 0, 0), (0, 1, 0))
     assert(BvecMath.rotate(id, (0.5, -0.5, 0.7)) == ((0.5, -0.5, 0.7)))

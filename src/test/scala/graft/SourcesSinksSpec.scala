@@ -265,6 +265,34 @@ class SourcesSinksSpec extends AnyFunSuite {
     zos.close()
   }
 
+  test("S11 xlsx cells without r attributes map to sequential columns") {
+    val dir = Files.createTempDirectory("graft_xlsx_nor")
+    val f = dir.resolve("nor.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    // row 2: no r anywhere (pure sequential); row 3: B3 anchored, the
+    // next unreferenced cell must land in C, not -1
+    zos.write(
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row><c t="inlineStr"><is><t>h</t></is></c></row>
+        |<row><c t="inlineStr"><is><t>p1</t></is></c>
+        |  <c><v>45000</v></c>
+        |  <c t="inlineStr"><is><t>s1</t></is></c>
+        |  <c t="inlineStr"><is><t>ok</t></is></c></row>
+        |<row><c r="B3"><v>45001</v></c>
+        |  <c t="inlineStr"><is><t>s2</t></is></c>
+        |  <c t="inlineStr"><is><t>fine</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val rows = ExcelSource.readXlsxRows(f.toString).head
+    assert(rows(1) == Map(0 -> "p1", 1 -> "45000", 2 -> "s1", 3 -> "ok"))
+    assert(rows(2) == Map(1 -> "45001", 2 -> "s2", 3 -> "fine"))
+    // and the review-sheet reader keeps both data rows (col 4 non-empty)
+    val df = ExcelSource.readReviewSheet(spark, f.toString)
+    assert(df.count() == 2)
+  }
+
   test("S11 xlsx review sheet: header skipped, col-4 filter, all sheets") {
     val f = Files.createTempDirectory("graft_xlsx").resolve("review.xlsx")
     writeXlsx(f)

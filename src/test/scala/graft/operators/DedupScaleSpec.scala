@@ -38,6 +38,18 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(ov.head.getLong(1) == 10000L)
   }
 
+  test("bucketPairs plans observe cap truncation (BucketAudit fires)") {
+    val before = BucketAudit.totalOverflowed.get()
+    DedupOps.bucketPairs(banded, Seq("band_key"), maxBucket = 50).collect()
+    // QueryExecutionListener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (BucketAudit.totalOverflowed.get() == before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(BucketAudit.totalOverflowed.get() > before,
+      "the observe() metric for the dropped hot bucket never reached " +
+        "the BucketAudit listener")
+  }
+
   test("connected components: chains, isolated pairs, convergence") {
     // one 5-node chain (diameter 4), one pair, one triangle
     val edges = Seq(
