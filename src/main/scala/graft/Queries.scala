@@ -265,7 +265,7 @@ object Queries {
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       })
-    ) ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
+    ) ++ TpchOps.queries ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
       DeriveOps.queries ++ graft.streaming.EventStream.queries ++
@@ -409,7 +409,7 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |GROUP BY 1,2,3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
-  ) ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
+  ) ++ TpchOps.oracle ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
     DeriveOps.oracle ++ graft.streaming.EventStream.oracle ++
