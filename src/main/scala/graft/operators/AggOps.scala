@@ -27,6 +27,24 @@ import graft.functions.Fns._
 object AggOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A14 — ROLLUP over (returnflag, linestatus): subtotal rows per
+    // flag and a grand total in ONE aggregate pass (Spark expands the
+    // grouping sets before the shuffle; map-side partials cover all
+    // three levels). Null group keys from the rollup are materialized
+    // as 'ALL' + an explicit level so the output carries no nulls.
+    "a14_rollup" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSumD(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("lvl"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"), col("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // A1 — duplicate groups by truncated timestamp (Cenir_DB.py:453).
     // Hour-truncation (substr 1,13) plays the reference's substr(ts,1,19):
     // same string-prefix bucketing, density tuned to the synthetic data.
@@ -183,6 +201,18 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // GROUPING(a)*2 + GROUPING(b) reproduces Spark's grouping_id bitmask
+    // (first rollup column = most significant bit).
+    "a14_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(*) AS n,
+        |  GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS lvl
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
     "a1_dup_exam_groups" ->
       """SELECT substr(CAST(ts AS VARCHAR),1,13) AS ttime, event_type,
         |       COUNT(*) AS doublon

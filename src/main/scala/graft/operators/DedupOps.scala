@@ -113,9 +113,18 @@ object DedupOps {
       : DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist() // probed once per round; don't rescan the edge source
     val nodes = und.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).persist()
-    labels.count()
+    // Convergence probe without a labels⋈next join: labels only ever
+    // shrink (min-propagation is monotone), so the label-sum is strictly
+    // decreasing until the fixpoint — equal sums ⇔ no label moved. One
+    // single-row aggregate per round, and that same job is what
+    // materializes the round's persist.
+    def labelSumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
+    var labelSum = labelSumOf(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -124,16 +133,14 @@ object DedupOps {
       val next = labels.select(col("node"), col("label")).union(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .persist()
-      // convergence probe: any node whose label still shrank?
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = labelSumOf(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
       i += 1
     }
+    und.unpersist()
     labels
   }
 

@@ -171,10 +171,63 @@ object JoinOps {
       r.join(n, Seq("idx"))
         .select(col("idx"), col("r_name"), col("n_name"))
         .orderBy(col("idx"))
+    }),
+
+    // J11 — as-of join: each purchase event picks up the latest click
+    // of the same user at or before its timestamp. Implemented as the
+    // scale-right union-merge: tag both sides, ONE shuffle on user_id,
+    // a single ordered window pass carrying the last click forward
+    // (`last(_, ignoreNulls)` over rows-unbounded-preceding). A range
+    // join would fan out per (user, purchase×click); this is linear in
+    // input and never materializes candidate pairs. Clicks sort before
+    // purchases at equal ts (is_click desc) so ties honor ts_click <=
+    // ts_purchase; among equal-ts clicks the max event_id wins (the
+    // unique tie-break both engines replay).
+    "j11_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), lit(1).as("is_click"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      val tagged = clicks
+        .withColumn("purchase_id", lit(null).cast("long"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          col("is_click"), col("purchase_id"))
+        .union(purchases.select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("click_id"), lit(0).as("is_click"),
+          col("purchase_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_click").desc, col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_click",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("asof_click"), lit(-1L)).as("click_id"))
+        .orderBy(col("purchase_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // CASTs to TIMESTAMP (µs) everywhere: the parquet carries ns, which
+    // Spark truncates on load — comparing or tie-breaking at ns would
+    // diverge from the µs the Spark side sees.
+    "j11_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  COALESCE((SELECT c.event_id FROM events c
+        |            WHERE c.event_type = 'click'
+        |              AND c.user_id = p.user_id
+        |              AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |            ORDER BY CAST(c.ts AS TIMESTAMP) DESC,
+        |                     c.event_id DESC
+        |            LIMIT 1), -1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
     "j1_examseries_join" ->
       """SELECT o_orderkey, l_linenumber, o_custkey, o_orderdate,
         |       l_partkey, l_quantity

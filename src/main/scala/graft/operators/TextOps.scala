@@ -16,6 +16,40 @@ import graft.Tables.load
 object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher/C4-style repetition signals per document: duplicate
+    // word-bigram fraction (near-1 = boilerplate loops) and top-word
+    // coverage (near-1 = one token dominates). The bigram stats are
+    // per-row array expressions inside codegen; the top-word count is
+    // the one genuinely relational piece (explode → per-(doc,word)
+    // count → per-doc max), shuffling (doc_id, word) counts only —
+    // partial aggregation eats the fan-out map-side. Ratios are exact
+    // small-int divisions, so both engines agree bitwise.
+    "t10_repetition" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bi = docs.select(col("doc_id"), size(col("w")).as("n_words"),
+        expr("""transform(sequence(1, size(w)-1), i ->
+                  concat_ws(' ', element_at(w,i), element_at(w,i+1)))""")
+          .as("bigrams"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("bigrams")).as("n_bi"),
+          size(array_distinct(col("bigrams"))).as("n_bi_d"))
+      val top = docs.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+      bi.join(top, "doc_id")
+        .select(col("doc_id"),
+          ((col("n_bi") - col("n_bi_d")).cast("double") / col("n_bi"))
+            .as("dup_bigram_frac"),
+          (col("top_cnt").cast("double") / col("n_words"))
+            .as("top_word_frac"))
+        .withColumn("flagged",
+          col("dup_bigram_frac") > 0.2 || col("top_word_frac") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus stats per language: counts + exact char sums + avg.
     "t1_lang_stats" -> ((s, dir) => {
       load(s, dir, "documents")
@@ -150,6 +184,28 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t10_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bi AS (SELECT doc_id, len(w) AS n_words,
+        |         len([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+        |           AS n_bi,
+        |         len(list_distinct(
+        |           [w[i] || ' ' || w[i+1] for i in range(1, len(w))]))
+        |           AS n_bi_d
+        |       FROM w),
+        |top AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+        |          SELECT doc_id, COUNT(*) AS c
+        |          FROM (SELECT doc_id, unnest(w) AS word FROM w)
+        |          GROUP BY doc_id, word)
+        |        GROUP BY 1)
+        |SELECT bi.doc_id,
+        |  CAST(n_bi - n_bi_d AS DOUBLE) / n_bi AS dup_bigram_frac,
+        |  CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+        |  (CAST(n_bi - n_bi_d AS DOUBLE) / n_bi > 0.2
+        |   OR CAST(top_cnt AS DOUBLE) / n_words > 0.2) AS flagged
+        |FROM bi JOIN top ON bi.doc_id = top.doc_id
+        |ORDER BY bi.doc_id""".stripMargin,
     "t1_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,

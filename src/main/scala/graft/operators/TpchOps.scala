@@ -149,7 +149,7 @@ object TpchOps {
     // scalar-subquery-as-broadcast pattern, never a rescan.
     "q11_important_parts" -> ((s, dir) => {
       val sn = load(s, dir, "nation")
-        .filter(col("n_name") === "NATION_5").select(col("n_nationkey"))
+        .filter(col("n_name") === "NATION_19").select(col("n_nationkey"))
       val su = load(s, dir, "supplier")
         .join(broadcast(sn), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
@@ -296,7 +296,7 @@ object TpchOps {
         .filter(col("pair_qty") > col("part_threshold"))
         .select(col("l_suppkey")).distinct()
       val sn = load(s, dir, "nation")
-        .filter(col("n_name") === "NATION_2").select(col("n_nationkey"))
+        .filter(col("n_name") === "NATION_18").select(col("n_nationkey"))
       load(s, dir, "supplier")
         .join(broadcast(sn), col("s_nationkey") === col("n_nationkey"))
         .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -402,7 +402,7 @@ object TpchOps {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_5')
+        |  WHERE n_name = 'NATION_19')
         |SELECT l_partkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
         |    AS value
@@ -502,7 +502,7 @@ object TpchOps {
         |SELECT s_name, s_acctbal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_2'
+        |WHERE n_name = 'NATION_18'
         |  AND s_suppkey IN (SELECT l_suppkey FROM winners)
         |ORDER BY s_name""".stripMargin,
 

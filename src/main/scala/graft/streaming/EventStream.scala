@@ -45,6 +45,27 @@ object EventStream {
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id"))
 
+  /** Sliding 2-hour windows advancing hourly, per event type — every
+    * event lands in exactly two windows. Spark's `window()` generates
+    * the window set inline (a generator, not a join), so the only
+    * shuffle is the group-by on (window, type); at 100 TB the 2×
+    * row fan-out is absorbed by map-side partial aggregation. */
+  private def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSumD(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  def slidingCountsBatch(events: DataFrame): DataFrame =
+    sliding(events).orderBy(col("win_start"), col("event_type"))
+
+  /** Streaming twin of [[slidingCountsBatch]]; the watermark closes a
+    * sliding window once event time passes win_end + 2 h, bounding
+    * state to (watermark / slide) open windows per type. */
+  def slidingCountsStream(events: DataFrame): DataFrame =
+    sliding(events.withWatermark("ts", "2 hours"))
+
   /** Batch high-watermark selection (`--days N` analog): only rows newer
     * than the cutoff flow; pushed to the scan as a range filter. */
   def incrementalSince(events: DataFrame, cutoff: String): DataFrame =
@@ -75,7 +96,9 @@ object EventStream {
     "s1_tumbling_window" -> ((s, dir) =>
       hourlyCountsBatch(load(s, dir, "events"))),
     "s2_sessionize" -> ((s, dir) =>
-      sessionizeBatch(load(s, dir, "events"), 7200L))
+      sessionizeBatch(load(s, dir, "events"), 7200L)),
+    "s3_sliding_window" -> ((s, dir) =>
+      slidingCountsBatch(load(s, dir, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +130,22 @@ object EventStream {
         |  MIN(CAST(ts AS TIMESTAMP)) AS session_start,
         |  MAX(CAST(ts AS TIMESTAMP)) AS session_end,
         |  COUNT(*) AS n_events
-        |FROM sessed GROUP BY 1,2 ORDER BY user_id, sess""".stripMargin
+        |FROM sessed GROUP BY 1,2 ORDER BY user_id, sess""".stripMargin,
+
+    // Each event belongs to the two hourly-advancing 2-hour windows
+    // starting at trunc(ts)-1h and trunc(ts); the unnest replays
+    // Spark's window generator exactly.
+    "s3_sliding_window" ->
+      """WITH fan AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR])
+        |           AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |         AS total_value
+        |FROM fan GROUP BY 1,2 ORDER BY win_start, event_type""".stripMargin
   )
 }

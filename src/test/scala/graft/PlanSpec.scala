@@ -72,6 +72,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("q6: every predicate reaches the parquet scan, columns pruned") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // assert on the leading entries (the full list was inspected once:
+    // all five range predicates reach the scan)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"q6 predicates not pushed:\n${p.take(2000)}")
+    assert(!p.contains("l_partkey"), "q6 scan reads unreferenced columns")
+  }
+
+  test("q2/q9: dimension slivers are broadcast") {
+    assert(plan("q2_best_supplier").contains("BroadcastHashJoin"))
+    assert(plan("q9_product_profit").contains("BroadcastHashJoin"))
+  }
+
+  test("q11/q15/q22: scalar subqueries are one-row broadcasts") {
+    // a 1-row aggregate joined with no key planes as a broadcast
+    // nested-loop (1 probe row), never a shuffle or a rescan
+    Seq("q11_important_parts", "q15_top_supplier", "q22_global_sales")
+      .foreach { name =>
+        val p = plan(name)
+        assert(p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin"),
+          s"$name scalar subquery is not broadcast")
+      }
+  }
+
+  test("q13: both aggregate levels are partial+final") {
+    val p = plan("q13_count_distribution")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "q13 histogram lost its partial aggregation")
+  }
+
+  test("q20/q22: existence probes are semi/anti joins") {
+    assert(plan("q20_excess_share").contains("LeftSemi"))
+    assert(plan("q22_global_sales").contains("LeftAnti"))
+  }
+
   test("dedup signatures use the native codegen expressions, not HOFs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

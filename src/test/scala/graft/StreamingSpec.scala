@@ -56,6 +56,33 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("streaming sliding windows == batch sliding windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.slidingCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+
+    val streamed = canon(spark.table("sliding"))
+    // the streaming side counts the late duplicate of event 2 twice
+    // (sliding() applies no dedup) — feed the identical multiset
+    val batch = canon(EventStream.slidingCountsBatch(events.toDF()))
+    assert(streamed == batch)
+    // every event lands in exactly two hourly-advancing 2 h windows
+    val fanout = streamed.map(_._3).sum
+    assert(fanout == 2L * events.size)
+  }
+
   test("incrementalSince prunes to the watermark cutoff") {
     import spark.implicits._
     val out = EventStream.incrementalSince(events.toDF(),
