@@ -45,6 +45,25 @@ object AggOps {
         .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // A15 — exact interpolated quantiles per group (doc-length
+    // distribution per language). Exact `percentile` sorts each group's
+    // values once for all three cut points; inputs are integers, so the
+    // rank interpolation (g·hi + (1−g)·lo with g ∈ {0,¼,½,¾}) is exact
+    // in double and both engines agree bitwise. At corpus scale the
+    // same call sites switch to [[SketchOps.quantileEstimate]]
+    // (percentile_approx: one mergeable sketch per group crosses the
+    // shuffle instead of every value).
+    "a15_quantiles" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // A1 — duplicate groups by truncated timestamp (Cenir_DB.py:453).
     // Hour-truncation (substr 1,13) plays the reference's substr(ts,1,19):
     // same string-prefix bucketing, density tuned to the synthetic data.
@@ -201,6 +220,16 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont == Spark percentile: both interpolate at rank
+    // p·(n−1); integer inputs keep the arithmetic exact.
+    "a15_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5)  AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // GROUPING(a)*2 + GROUPING(b) reproduces Spark's grouping_id bitmask
     // (first rollup column = most significant bit).
     "a14_rollup" ->

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over a vector column — the real fit
+  * behind an IVF coarse quantizer (v3 uses deterministic stand-in
+  * centroids so its oracle stays SQL-replicable; production IVF builds
+  * its quantizer with this).
+  *
+  * Scale design: the model (k × d doubles) is the ONLY driver-side
+  * state — the same contract as Spark ML's KMeans, where per-iteration
+  * centroids are collected and re-broadcast. Each iteration is
+  *  - assignment: one narrow projection — the centroid set rides into
+  *    codegen as an array literal, each row loops over k centroids
+  *    inline (no join, no fan-out, no shuffle);
+  *  - update: posexplode to (cid, dim, x) then ONE partial+final hash
+  *    aggregate — map-side combine reduces each partition to ≤ k·d
+  *    partial sums before the shuffle, so the wire carries k·d rows
+  *    per partition regardless of corpus size.
+  * Iterations are driver-sequenced but each pass is a full-cluster
+  * scan; nothing per-row ever reaches the driver.
+  *
+  * Determinism: init = vectors of the k smallest ids; distances in
+  * double; argmin ties break to the lowest centroid index
+  * (array_position returns the first minimum); empty clusters keep
+  * their previous centroid.
+  */
+object KMeans {
+
+  /** Squared-L2 distances from `v` to each centroid, as an array col. */
+  private def distsTo(cents: Array[Array[Double]]): Column =
+    expr(s"""transform(${centArraySql(cents)}, c ->
+             |  aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)),
+             |            cast(0 as double), (a, b) -> a + b))"""
+      .stripMargin)
+
+  /** Render the centroid matrix as a SQL array literal (k and d are
+    * model-sized — the rendered expression is small and constant-folded
+    * into codegen). */
+  private def centArraySql(cents: Array[Array[Double]]): String =
+    cents.map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** Nearest-centroid id for the `v` column. */
+  private def cidFor(cents: Array[Array[Double]]): Column = {
+    val d = distsTo(cents)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Fit k centroids. `df` must expose `idCol` (unique, orderable —
+    * seeds the deterministic init) and `vecCol` (array<float|double>).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val d = df.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .persist()
+    var cents: Array[Array[Double]] = d.orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val sums = d.select(cidFor(cents).as("cid"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        rows.foreach { r =>
+          next(cid)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        }
+      }
+      cents = next
+    }
+    d.unpersist()
+    cents
+  }
+
+  /** Assign every row its nearest-centroid id (the IVF cluster key). */
+  def assign(df: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("v",
+        expr(s"transform($vecCol, x -> cast(x as double))"))
+      .withColumn("cid", cidFor(cents))
+      .drop("v")
+}
