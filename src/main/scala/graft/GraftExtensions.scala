@@ -14,8 +14,10 @@ import graft.functions.expressions.{CosineSim, Md5Shingle60, MinHashSig, Shingle
   *    driver hands us its session — queries call this lazily).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.TimeBucketPruneRule)
+  }
 }
 
 object GraftFunctions {
@@ -37,10 +39,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Md5Shingle60].getName, "md5_shingle60"),
       (es: Seq[Expression]) => Md5Shingle60(es.head)))
 
-  /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration (functions + the bucket-prune
+    * optimizer rule — extraOptimizations is the live-session analog of
+    * injectOptimizerRule). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
+    val rule = graft.plans.TimeBucketPruneRule
+    if (!spark.experimental.extraOptimizations.contains(rule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
+  }
 }

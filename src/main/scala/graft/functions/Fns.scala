@@ -43,6 +43,12 @@ object Fns {
   def hourBucket(ts: Column): Column =
     substring(ts.cast("string"), 1, 13)
 
+  /** Day-truncation bucket (substr(ts, 1, 10)). As a filter, both
+    * bucket forms are rewritten to pushable timestamp ranges by
+    * [[graft.plans.TimeBucketPruneRule]]. */
+  def dayBucket(ts: Column): Column =
+    substring(ts.cast("string"), 1, 10)
+
   /** Ceil(seconds/60) minutes via integer arithmetic (no float div). */
   def ceilMinutes(seconds: Column): Column =
     ((seconds + 59L) / 60L).cast("long")

@@ -68,6 +68,23 @@ object SetOps {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // P10 — the reference's opaque string-prefix day bucket as a
+    // filter (substr(ts,1,10) = literal, Cenir_DB.py:453).
+    // TimeBucketPruneRule derives the equivalent timestamp range so
+    // the parquet scan prunes row groups on o_orderdate min/max stats
+    // — PlanSpec asserts the PushedFilters; the oracle checks the
+    // rewrite changed nothing semantically.
+    "p10_day_bucket_prune" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      load(s, dir, "orders")
+        .filter(graft.functions.Fns.dayBucket(col("o_orderdate"))
+          === "1996-03-15")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Fns.decSumD(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -104,6 +121,14 @@ object SetOps {
     "p8_year_filter" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE date_part('year', o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "p10_day_bucket_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 10) = '1996-03-15'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

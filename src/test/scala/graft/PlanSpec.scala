@@ -111,6 +111,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q22_global_sales").contains("LeftAnti"))
   }
 
+  test("p10: the day-bucket prefix filter becomes a pushed ts range") {
+    val p = plan("p10_day_bucket_prune")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"TimeBucketPruneRule range not pushed to the scan:\n${p.take(3000)}")
+  }
+
   test("dedup signatures use the native codegen expressions, not HOFs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
