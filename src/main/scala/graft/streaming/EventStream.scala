@@ -66,6 +66,43 @@ object EventStream {
   def slidingCountsStream(events: DataFrame): DataFrame =
     sliding(events.withWatermark("ts", "2 hours"))
 
+  /** Click→purchase attribution: every (purchase, click) pair of the
+    * same user with the click inside the hour before the purchase.
+    * The join is an equi-join on user_id with a time-range residual —
+    * one shuffle on the key, per-user fan-out bounded by the window
+    * (never a cartesian). The streaming twin is a watermarked
+    * stream-stream interval join: the range condition plus both
+    * watermarks lets Spark evict click state older than one hour past
+    * the watermark, so state is bounded at any input rate. */
+  private def attributionJoin(purchases: DataFrame, clicks: DataFrame)
+      : DataFrame =
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        clicks("c_ts") <= purchases("p_ts") &&
+        clicks("c_ts") > purchases("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"))
+
+  def attributionBatch(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    attributionJoin(p, c).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Streaming form: both sides watermarked so join state is evicted
+    * once event time passes the range bound. */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame)
+      : DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")).withWatermark("p_ts", "2 hours")
+    val c = clicks.select(col("user_id"), col("ts").as("c_ts"),
+      col("event_id").as("click_id")).withWatermark("c_ts", "2 hours")
+    attributionJoin(p, c)
+  }
+
   /** Batch high-watermark selection (`--days N` analog): only rows newer
     * than the cutoff flow; pushed to the scan as a range filter. */
   def incrementalSince(events: DataFrame, cutoff: String): DataFrame =
@@ -98,7 +135,9 @@ object EventStream {
     "s2_sessionize" -> ((s, dir) =>
       sessionizeBatch(load(s, dir, "events"), 7200L)),
     "s3_sliding_window" -> ((s, dir) =>
-      slidingCountsBatch(load(s, dir, "events")))
+      slidingCountsBatch(load(s, dir, "events"))),
+    "s4_click_attribution" -> ((s, dir) =>
+      attributionBatch(load(s, dir, "events")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +185,18 @@ object EventStream {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
         |         AS total_value
-        |FROM fan GROUP BY 1,2 ORDER BY win_start, event_type""".stripMargin
+        |FROM fan GROUP BY 1,2 ORDER BY win_start, event_type""".stripMargin,
+
+    // µs CASTs: the raw parquet is ns; Spark compares at the µs the
+    // load truncates to.
+    "s4_click_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >
+        |     CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

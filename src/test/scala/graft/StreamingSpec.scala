@@ -83,6 +83,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(fanout == 2L * events.size)
   }
 
+  test("stream-stream attribution join == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val purchases = Seq(
+      TestEvent(100, ts("2024-01-01 10:30:00"), "purchase", 9.0),
+      TestEvent(101, ts("2024-01-01 12:00:00"), "purchase", 9.0))
+    val clicks = Seq(
+      TestEvent(1, ts("2024-01-01 09:31:00"), "click", 1.0), // in window of 100
+      TestEvent(2, ts("2024-01-01 10:30:00"), "click", 1.0), // boundary: ==
+      TestEvent(3, ts("2024-01-01 09:29:00"), "click", 1.0), // too early
+      TestEvent(4, ts("2024-01-01 11:30:00"), "click", 1.0)) // in window of 101
+    // the batch form takes one events table with both types mixed
+    val all = (purchases ++ clicks).map(e =>
+      (e.event_id, e.ts, 7L, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventStream.attributionBatch(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val pm = MemoryStream[TestEvent]
+    val cm = MemoryStream[TestEvent]
+    def side(m: MemoryStream[TestEvent]) =
+      m.toDF().withColumn("user_id", lit(7L))
+    val q = EventStream.attributionStream(side(pm), side(cm))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    pm.addData(purchases: _*)
+    cm.addData(clicks: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    assert(batch.sorted == streamed)
+    assert(streamed == Seq((100L, 1L), (100L, 2L), (101L, 4L)))
+  }
+
   test("incrementalSince prunes to the watermark cutoff") {
     import spark.implicits._
     val out = EventStream.incrementalSince(events.toDF(),
