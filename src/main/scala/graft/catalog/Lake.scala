@@ -191,6 +191,63 @@ object Lake {
     } finally merged.unpersist()
   }
 
+  /** Small-file compaction, one date partition at a time — the
+    * OPTIMIZE-style maintenance a merge-maintained lake needs: every
+    * [[mergeWritePartitioned]] batch rewrites its partitions at the
+    * session's parallelism, so a hot partition accumulates far more
+    * files than its bytes warrant and scans pay per-file open cost.
+    *
+    * Each partition holding more files than `ceil(bytes/targetBytes)`
+    * is rewritten to exactly that many (optionally sorted within
+    * partitions on `sortCol`, clustering the merge key so row-group
+    * min/max stats prune point probes) and swapped in under the same
+    * `.bak_parts` crash protocol as MERGE — readers see the old or the
+    * new file set, never a mix, and [[recoverPartitions]] heals a
+    * crash mid-swap. Already-compact partitions are never opened.
+    *
+    * Driver work is one listing per partition (bounded by the date
+    * span, like every table-maintenance job); row data moves only for
+    * the partitions actually rewritten.
+    *
+    * @return partition name → (files before, files after) for the
+    *         rewritten partitions
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCol: Option[String] = None): Map[String, (Int, Int)] = {
+    val fs = fsFor(spark, path)
+    recoverPartitions(spark, path)
+    val cur = new Path(path)
+    if (!fs.exists(cur)) return Map.empty
+    val bakRoot = new Path(path + ".bak_parts")
+    val tmpRoot = new Path(path + ".tmp_compact")
+    val done = scala.collection.mutable.Map[String, (Int, Int)]()
+    fs.listStatus(cur).map(_.getPath)
+      .filter(_.getName.startsWith("part_date=")).foreach { p =>
+        val files = fs.listStatus(p)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L,
+          (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.length > want) {
+          val df = spark.read.parquet(p.toString).repartition(want)
+          val clustered = sortCol
+            .map(c => df.sortWithinPartitions(c)).getOrElse(df)
+          val tmp = new Path(tmpRoot, p.getName)
+          clustered.write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(bakRoot)
+          val bakP = new Path(bakRoot, p.getName)
+          if (fs.exists(bakP)) fs.delete(bakP, true)
+          require(fs.rename(p, bakP), s"compact swap failed: $p")
+          require(fs.rename(tmp, p), s"compact swap failed: $tmp -> $p")
+          fs.delete(bakP, true)
+          done(p.getName) = (files.length, want)
+        }
+      }
+    fs.delete(tmpRoot, true)
+    done.toMap
+  }
+
   /** Writer-side recovery for [[mergeWritePartitioned]]: restore any
     * partition whose swap died between the two renames (bak'd copy
     * exists, live partition missing). */

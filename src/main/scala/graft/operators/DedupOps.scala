@@ -308,6 +308,11 @@ object DedupOps {
         .cache() // reused by the inverted index and both verify sides
       val inv = tg.select(col("doc_id"), size(col("shingles")).as("sz"),
         explode(col("shingles")).as("t"))
+      // df via groupBy + join-back, NOT count-over-window on t: a
+      // window would buffer the hottest trigram's whole partition in
+      // one task, while the groupBy's map-side partials absorb skew
+      // (measured ~0.6 s slower at sf0.1 — the price of the shape that
+      // survives a boilerplate trigram shared by millions of docs)
       val dfT = inv.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("t"))

@@ -174,6 +174,36 @@ class LakeSpec extends AnyFunSuite {
       .select("name").as[String].head() == "z2")
   }
 
+  test("compaction shrinks fragmented partitions, preserves data, " +
+      "skips compact ones") {
+    val path = Files.createTempDirectory("graft_lake_compact")
+      .resolve("t").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 10:00:00")
+    // day 1: 8 tiny files; day 2: already a single file
+    val day1 = (1L to 80L).map(i => (i, s"n$i", ts("2024-01-01")))
+      .toDF("id", "name", "acq").repartition(8)
+    val day2 = Seq((100L, "x", ts("2024-01-02")))
+      .toDF("id", "name", "acq").coalesce(1)
+    Lake.writePartitionedByDay(day1.union(day2), "acq", path)
+    val before1 = partFiles(s"$path/part_date=2024-01-01")
+    val before2 = partFiles(s"$path/part_date=2024-01-02")
+    assert(before1.size >= 8)
+
+    val stats = Lake.compactPartitions(spark, path,
+      targetBytes = 1L << 30, sortCol = Some("id"))
+    assert(stats.keySet == Set("part_date=2024-01-01"))
+    assert(stats("part_date=2024-01-01") == (before1.size, 1))
+    assert(partFiles(s"$path/part_date=2024-01-01").size == 1)
+    // the already-compact partition was never touched
+    assert(partFiles(s"$path/part_date=2024-01-02") == before2)
+    // data identical after the rewrite
+    val state = spark.read.parquet(path).orderBy("id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(state == (1L to 80L).map(i => (i, s"n$i")) :+ ((100L, "x")))
+    // idempotence: a second pass finds nothing to do
+    assert(Lake.compactPartitions(spark, path, 1L << 30).isEmpty)
+  }
+
   test("bvec rotation: identity and axis swap goldens") {
     val id = BvecMath.rotationFromOrientation((1, 0, 0), (0, 1, 0))
     assert(BvecMath.rotate(id, (0.5, -0.5, 0.7)) == ((0.5, -0.5, 0.7)))
