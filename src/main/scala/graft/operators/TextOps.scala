@@ -50,6 +50,33 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PII masking: email/phone redaction with per-doc redaction counts
+    // — pure row-level regex projections (whole-stage codegen, no
+    // shuffle beyond the final sort). The corpus is synthetic words,
+    // so PII is planted deterministically (every 10th doc an email,
+    // every 7th a phone) to prove the masking actually fires; the
+    // masked text leaves the query as an md5 so row width stays small.
+    "t11_pii_mask" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              lit(" contact bob@example.com")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" call 555-123-4567")).otherwise(lit("")))
+            .as("txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(phone), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
+            phone, "<PHONE>").cast("binary")).as("masked_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus stats per language: counts + exact char sums + avg.
     "t1_lang_stats" -> ((s, dir) => {
       load(s, dir, "documents")
@@ -184,6 +211,27 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regexp_replace is first-match-only without the 'g' flag;
+    // Spark's is global by default.
+    "t11_pii_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN ' contact bob@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' call 555-123-4567' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(txt, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(txt,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS masked_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "t10_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents WHERE len(string_split(text,' ')) >= 2),
