@@ -59,15 +59,36 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
-    val qs = times.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = times.values.sum
+    def render(qmap: Seq[(String, Double)], omitted: Int): String = {
+      val qs = qmap.map { case (k, v) => f"${q(k)}:$v%.3f" }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        s""""errors":$es,"n_ok":${times.size},"n_err":${errors.size}$omit,""" +
+        s""""sf":${q(sfDir)}}"""
+    }
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line out of that window; sbt appends its own ~90-char
+    // "[success] Total time" trailer. A full-precision map of 67+ queries
+    // is ~2400 chars and silently fails to parse (BENCH_r03/r04). Keep
+    // the stdout line under 1700 chars by dropping the FASTEST queries
+    // first (the slow ones are the ones worth grading); the full-precision
+    // map always lands in $BENCH_OUT.
+    val bySlowest = times.toSeq.sortBy(-_._2)
+    val line = Iterator.range(0, times.size + 1)
+      .map(drop => render(bySlowest.dropRight(drop).sortBy(_._1), drop))
+      .find(_.length <= 1700)
+      .getOrElse(render(Seq.empty, times.size))
+    println(line)
+    val full = times.map { case (k, v) => s"${q(k)}:$v" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
       s""""errors":$es,"n_ok":${times.size},"n_err":${errors.size},""" +
       s""""sf":${q(sfDir)}}"""
-    println(json)
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
