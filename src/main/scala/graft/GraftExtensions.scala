@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSim, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
+import graft.functions.expressions.{BloomContains, CosineSim, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -37,7 +37,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => ShingleHash64(es.head)),
     (FunctionIdentifier("md5_shingle60"),
       new ExpressionInfo(classOf[Md5Shingle60].getName, "md5_shingle60"),
-      (es: Seq[Expression]) => Md5Shingle60(es.head)))
+      (es: Seq[Expression]) => Md5Shingle60(es.head)),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (es: Seq[Expression]) => BloomContains(es.head, es(1))))
 
   /** Idempotent per-session registration (functions + the bucket-prune
     * optimizer rule — extraOptimizations is the live-session analog of

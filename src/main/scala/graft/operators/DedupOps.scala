@@ -284,6 +284,30 @@ object DedupOps {
         .orderBy(col("label"))
     }),
 
+    // Benchmark decontamination: flag every training doc that shares
+    // at least one 8-token n-gram with the benchmark set (here: every
+    // 50th doc plays the benchmark). The benchmark side is tiny by
+    // construction — eval sets are MBs against a 100 TB corpus — so its
+    // distinct-gram table BROADCASTS and the corpus is never shuffled:
+    // one scan, explode, broadcast-hash probe, partial+final count per
+    // doc. Grams join on md5 hex (shared Spark/DuckDB hash) — at scale
+    // the 32-byte key keeps the exploded corpus rows narrow.
+    "d7_decontaminate" -> ((s, dir) => {
+      val grams = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w)-7), i ->
+            |  md5(concat_ws(' ', slice(w, i, 8)))))""".stripMargin)).as("g"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram Jaccard with PREFIX FILTERING (the AllPairs/PPJoin idea):
     // order every doc's trigrams by global rarity (df asc, hash asc)
     // and block only on each doc's first |d| − ⌈0.7·|d|⌉ + 1 tokens.
@@ -409,6 +433,19 @@ object DedupOps {
         |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)
         |SELECT label, COUNT(*) AS size FROM lab
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "d7_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([md5(array_to_string(w[i:i+7], ' '))
+        |          for i in range(1, len(w)-6)])) AS g
+        |      FROM d WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_shared
+        |FROM g JOIN bench USING (g)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w

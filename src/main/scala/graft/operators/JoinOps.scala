@@ -209,6 +209,44 @@ object JoinOps {
         .select(col("purchase_id"), col("user_id"),
           coalesce(col("asof_click"), lit(-1L)).as("click_id"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // J12 — bloom-pruned join: build a bloom filter over the dim keys
+    // on the driver (df.stat.bloomFilter = treeAggregate — only the
+    // bitset moves, never rows), probe it as a native codegen'd
+    // predicate (bloom_contains) on the fact side BEFORE the shuffle,
+    // then exact-join to drop the false positives. Composed result is
+    // exactly the plain join (the oracle), but at 100 TB the fact rows
+    // that survive to the shuffle are |dim-matched| + fp·N instead of
+    // N — the manual form of Spark's runtime row-level filtering,
+    // usable where InjectRuntimeFilter won't fire (non-equi residuals,
+    // pre-aggregation pruning, reuse across several queries).
+    "j12_bloom_prune" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val dim = load(s, dir, "supplier")
+        .filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      // stat.bloomFilter NPEs on an empty build side (its aggregate
+      // returns a null buffer) — an empty dim means an empty join, so
+      // probe with constant-false instead of building a filter
+      val nDim = dim.count()
+      val probe =
+        if (nDim == 0) lit(false)
+        else {
+          val bf = dim.stat.bloomFilter("s_suppkey", nDim, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          call_function("bloom_contains",
+            lit(bos.toByteArray), col("l_suppkey"))
+        }
+      load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+        .filter(probe)
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(decSumD(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -216,6 +254,15 @@ object JoinOps {
     // CASTs to TIMESTAMP (µs) everywhere: the parquet carries ns, which
     // Spark truncates on load — comparing or tie-breaking at ns would
     // diverge from the µs the Spark side sees.
+    "j12_bloom_prune" ->
+      """SELECT s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 7 = 0
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
     "j11_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  COALESCE((SELECT c.event_id FROM events c

@@ -49,6 +49,34 @@ object SetOps {
       a.intersect(b).orderBy(col("user_id"))
     }),
 
+    // X6 — multiset difference (EXCEPT ALL): per-occurrence diff, the
+    // multiplicity-aware variant of X2 — "how many MORE finished orders
+    // than early orders does each customer have". Spark's exceptAll
+    // plans as a single shuffle on the value with a count-difference
+    // generator (no pairwise join); the aggregate on top reuses the
+    // same hash partitioning.
+    "x6_except_all" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderdate") <
+          lit("1997-01-01").cast("timestamp")).select(col("o_custkey"))
+      a.exceptAll(b)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("surplus"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // X7 — multiset intersection (INTERSECT ALL): occurrences present
+    // in both streams, min-multiplicity semantics.
+    "x7_intersect_all" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderdate") <
+          lit("1997-01-01").cast("timestamp")).select(col("o_custkey"))
+      a.intersectAll(b)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_common"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // P3/P1 — predicate + projection surface (Cenir_DB.py:224,284): LIKE,
     // BETWEEN, regexp extraction from a semi-structured text column.
     "p3_predicate_filters" -> ((s, dir) => {
@@ -109,6 +137,22 @@ object SetOps {
         |SELECT DISTINCT user_id FROM events
         |WHERE event_type = 'error' AND value > 95
         |ORDER BY user_id""".stripMargin,
+
+    "x6_except_all" ->
+      """SELECT o_custkey, COUNT(*) AS surplus FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01') t
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "x7_intersect_all" ->
+      """SELECT o_custkey, COUNT(*) AS n_common FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01') t
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "p3_predicate_filters" ->
       """SELECT event_id, event_type, value,

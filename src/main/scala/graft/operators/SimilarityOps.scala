@@ -151,6 +151,43 @@ object SimilarityOps {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // Multi-probe IVF: same coarse quantizer as v3, but each query
+    // probes its TOP-2 centroids instead of 1 — the standard
+    // recall/latency knob (nprobe) of an IVF index. Corpus assignment
+    // is unchanged (one cluster per vector, so probed clusters are
+    // disjoint and candidates never duplicate); the probe list is 2
+    // rows per query, still a broadcast into the cluster-id equi-join.
+    // At 100 TB: cost scales as nprobe/nlist of the corpus per query,
+    // recall climbs steeply with nprobe — the tradeoff is explicit and
+    // tunable, and nothing in the plan changes shape.
+    "v5_ann_ivf_multiprobe" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val e = withV(load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("v"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val simToCent = e.join(broadcast(cent))
+        .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("r").desc, col("cid"))
+      val ranked = simToCent.withColumn("rk", row_number().over(w))
+      val assign = ranked.filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val probes = ranked.filter(col("vec_id") < 20 && col("rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("cid"), col("v").as("va"))
+      val c = assign.select(col("vec_id").as("n_id"), col("cid"),
+        col("v").as("vb"))
+      val scored = c.join(broadcast(probes), Seq("cid"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // Sign-LSH ANN: candidates = corpus vectors sharing ≥1 of the
     // query's 4 band keys (the tiny query-side band list broadcasts
     // into the corpus band scan); top-3 by exact cosine among
@@ -213,6 +250,36 @@ object SimilarityOps {
         |      JOIN n qa ON qa.vec_id = q.vec_id
         |      JOIN n ca ON ca.vec_id = c.vec_id
         |      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, rk, n_id, r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY r DESC, n_id) AS rk FROM p) s
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "v5_ann_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id < 16),
+        |rkd AS (
+        |  SELECT n.vec_id, cent.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY round(list_sum([n.v[i]*cent.cv[i]
+        |                 for i in range(1,65)])/(n.nrm*cent.cnrm), 6)
+        |        DESC, cent.cid) AS rk
+        |  FROM n CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cid FROM rkd WHERE rk = 1),
+        |probe AS (SELECT vec_id, cid FROM rkd
+        |          WHERE rk <= 2 AND vec_id < 20),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
+        |              / (qa.nrm * ca.nrm), 6) AS r
+        |      FROM probe q JOIN assign c ON q.cid = c.cid
+        |      JOIN n qa ON qa.vec_id = q.vec_id
+        |      JOIN n ca ON ca.vec_id = c.vec_id
+        |      WHERE c.vec_id <> q.vec_id)
         |SELECT q_id, rk, n_id, r FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY r DESC, n_id) AS rk FROM p) s

@@ -196,6 +196,28 @@ object TextOps {
         .limit(20)
     }),
 
+    // Deterministic stratified sample: 20% of each language, selected
+    // by md5-of-id order (not rand()) so the sample is identical across
+    // runs, engines, and cluster sizes — and a rerun over a grown
+    // corpus keeps previously-sampled docs only if they still win on
+    // hash order, which is the reproducibility contract a training-mix
+    // builder needs. One window per stratum (partition-local sort);
+    // count-over-partition rides the same sort, so the whole query is a
+    // single shuffle on lang.
+    "t12_stratified_sample" -> ((s, dir) => {
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      val w = byLang.orderBy(col("pick"), col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("pick"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -254,6 +276,17 @@ object TextOps {
         |   OR CAST(top_cnt AS DOUBLE) / n_words > 0.2) AS flagged
         |FROM bi JOIN top ON bi.doc_id = top.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    "t12_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= CEIL(n_lang * 0.2)
+        |ORDER BY doc_id""".stripMargin,
+
     "t1_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,

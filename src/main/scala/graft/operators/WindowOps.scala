@@ -56,6 +56,25 @@ object WindowOps {
         .orderBy(col("event_id"))
     }),
 
+    // W8 — rank-distribution functions (ntile/percent_rank/cume_dist)
+    // over per-language size order: the quartile/percentile labeling a
+    // curriculum or quality-binning pass puts on each document. All
+    // three functions ride ONE window (same partition+order → one
+    // shuffle, one per-partition sort); doc_id tie-break keeps ranks
+    // deterministic. percent_rank/cume_dist are exact rationals
+    // computed identically by both engines, rounded to 6 places only
+    // to guard against future engine-side formatting drift.
+    "w8_rank_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // W7 — max-instance scan via max_by (Exam_info.py:1269-1282); the
     // unique packed key makes the argmax deterministic under value ties.
     "w7_max_by_scan" -> ((s, dir) => {
@@ -86,6 +105,15 @@ object WindowOps {
         |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
         |  FROM events) t
         |WHERE next_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "w8_rank_distribution" ->
+      """SELECT doc_id, lang, n_chars,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "w7_max_by_scan" ->
       """SELECT event_type,

@@ -127,4 +127,31 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(d3.contains("simhash60"))
   }
+
+  test("d7: benchmark gram table is broadcast; corpus side never shuffles " +
+      "before the probe") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams not broadcast:\n${p.take(2000)}")
+  }
+
+  test("j12: bloom probe filters the fact scan before the join") {
+    val p = plan("j12_bloom_prune")
+    val probeAt = p.indexOf("bloom_contains")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0, "bloom_contains missing from the physical plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      // executedPlan prints top-down: the probe must appear BELOW (after)
+      // the join node, i.e. on the scan side, not above the join output
+      s"bloom probe is not below the join:\n${p.take(2000)}")
+  }
+
+  test("w8: all three rank functions share one window (single sort)") {
+    val p = plan("w8_rank_distribution")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 1)
+    // one Window operator computes ntile+percent_rank+cume_dist together
+    assert("ntile".r.findAllIn(p).nonEmpty)
+    val windowOps = "Window ".r.findAllIn(p).size
+    assert(windowOps <= 1, s"expected a single Window operator, got $windowOps")
+  }
 }
