@@ -284,6 +284,52 @@ object DedupOps {
         .orderBy(col("label"))
     }),
 
+    // Incremental (batch-vs-corpus) dedup: admit/reject each INCOMING
+    // doc (doc_id % 5 == 0 plays the new crawl batch) against the
+    // HISTORICAL corpus (the rest) — the shape a continuously-fed
+    // training pipeline runs on every ingest. Same minhash banding as
+    // d2, but candidates come from an ASYMMETRIC join (incoming bands
+    // × corpus bands): no corpus-corpus pairs are ever generated, so
+    // the per-batch cost scales with the batch, not the corpus. At
+    // 100 TB the corpus band table is the precomputed signature store
+    // and the (tiny) incoming band list broadcasts into it — expressed
+    // here with the broadcast hint. Output is one row per incoming doc
+    // (n_dups, is_dup), never empty.
+    "d8_incremental_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sh = docsWithHashedShingles(s, dir)
+      val banded = sh.select(col("doc_id"),
+        expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
+          .as("sig"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
+          .as(Seq("band", "band_key")))
+      val newB = banded.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+      val oldB = banded.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("old_id"), col("band"), col("band_key"))
+      val cand = oldB.join(broadcast(newB), Seq("band", "band_key"))
+        .select(col("new_id"), col("old_id")).distinct()
+      val a = sh.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("old_id"),
+        col("shingles").as("sh_b"))
+      val dup = cand.join(a, "new_id").join(b, "old_id")
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("uni").cast("double")
+          >= 0.8)
+        .groupBy(col("new_id")).agg(count(lit(1)).as("n_dups"))
+      sh.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .join(dup, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag every training doc that shares
     // at least one 8-token n-gram with the benchmark set (here: every
     // 50th doc plays the benchmark). The benchmark side is tiny by
@@ -433,6 +479,41 @@ object DedupOps {
         |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)
         |SELECT label, COUNT(*) AS size FROM lab
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "d8_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)])) AS s FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS x
+        |      FROM sh),
+        |perm AS (SELECT unnest(range(128)) AS j),
+        |sig AS (SELECT doc_id, j,
+        |          MIN(((2*j+1)*x + j*j + 7919) % 2147483647) AS m
+        |        FROM h CROSS JOIN perm GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 8 AS b,
+        |           list(m ORDER BY j) AS key
+        |         FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |         FROM band n JOIN band o
+        |           ON n.b = o.b AND n.key = o.key
+        |         WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+        |ss AS (SELECT doc_id,
+        |         list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)]) AS ss FROM d),
+        |dup AS (SELECT new_id, COUNT(*) AS n_dups FROM cand
+        |        JOIN ss a ON a.doc_id = new_id
+        |        JOIN ss b ON b.doc_id = old_id
+        |        WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+        |          / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
+        |          >= 0.8
+        |        GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_dups, 0) AS n_dups,
+        |       COALESCE(n_dups, 0) > 0 AS is_dup
+        |FROM d LEFT JOIN dup ON dup.new_id = d.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d7_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
