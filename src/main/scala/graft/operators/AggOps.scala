@@ -45,6 +45,24 @@ object AggOps {
         .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // A16 — CUBE over (lang, source): all four grouping levels in one
+    // pass. Like ROLLUP, Spark plans a single Expand + partial+final
+    // hash aggregate — the input is scanned once and each row fans to
+    // its 4 grouping sets map-side, so the shuffle carries partials,
+    // not the corpus.
+    "a16_cube" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          grouping_id().as("lvl"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("chars"), col("lvl"))
+        .orderBy(col("lvl"), col("lang"), col("source"))
+    }),
+
     // A15 — exact interpolated quantiles per group (doc-length
     // distribution per language). Exact `percentile` sorts each group's
     // values once for all three cut points; inputs are integers, so the
@@ -242,6 +260,16 @@ object AggOps {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "a16_cube" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang,
+        |       COALESCE(source, 'ALL') AS source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  GROUPING(lang)*2 + GROUPING(source) AS lvl
+        |FROM documents
+        |GROUP BY CUBE(lang, source)
+        |ORDER BY lvl, lang, source""".stripMargin,
+
     "a1_dup_exam_groups" ->
       """SELECT substr(CAST(ts AS VARCHAR),1,13) AS ttime, event_type,
         |       COUNT(*) AS doublon

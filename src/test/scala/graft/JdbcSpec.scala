@@ -35,6 +35,16 @@ class JdbcSpec extends AnyFunSuite {
       r.getString(1))).toSeq == Seq(1L -> "alice", 2L -> "bob", 3L -> "carol"))
   }
 
+  test("filters push into the JDBC source query (not evaluated in Spark)") {
+    seed("t_push")
+    val df = JdbcCatalog.scan(spark, url, "t_push").filter(col("id") > 1L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") &&
+      "(?i)GreaterThan\\(\"?id\"?,1\\)".r.findFirstIn(p).nonEmpty,
+      s"id > 1 not pushed to the JDBC scan:\n${p.take(1500)}")
+    assert(df.count() == 2)
+  }
+
   test("partitioned scan splits the key range across N partitions") {
     seed("PART")
     val scanned = JdbcCatalog.scan(spark, url, "PART",

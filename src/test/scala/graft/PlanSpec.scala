@@ -146,6 +146,12 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe is not below the join:\n${p.take(2000)}")
   }
 
+  test("d8: incoming band list broadcasts into the corpus band scan") {
+    val p = plan("d8_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"incoming bands not broadcast:\n${p.take(2000)}")
+  }
+
   test("w8: all three rank functions share one window (single sort)") {
     val p = plan("w8_rank_distribution")
     assert("\\bWindow\\b".r.findAllIn(p).size >= 1)
