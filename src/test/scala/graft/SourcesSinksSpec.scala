@@ -230,6 +230,56 @@ class SourcesSinksSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("K12 tar sink: stock tar reads the archives; payloads round-trip") {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("tar_sink").toString
+    val rows = (1 to 7).map(i =>
+      (f"series_$i%03d/img_$i%03d.bin", Array.fill(100 * i)(i.toByte)))
+    val df = rows.toDF("path", "payload").repartition(2)
+    val n = graft.sinks.TarSink.writeTar(df, "path", "payload", dir,
+      mtimeSec = 1700000000L)
+    assert(n == 2)
+    val tars = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(tars.length == 2)
+    // the system binary must accept our USTAR bytes and see every entry
+    val listed = tars.flatMap(t =>
+      Seq("tar", "-tf", t.getPath).!!.linesIterator).toSet
+    assert(listed == rows.map(_._1).toSet)
+    // extract and byte-compare one payload
+    val ex = Files.createTempDirectory("tar_x").toString
+    tars.foreach(t => assert(Seq("tar", "-xf", t.getPath, "-C", ex).! == 0))
+    rows.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(java.nio.file.Paths.get(ex, p)), bytes),
+        s"payload mismatch for $p")
+    }
+  }
+
+  test("K12 tar sink: re-run writes byte-identical archives (retry-safe)") {
+    val d1 = Files.createTempDirectory("tar_a").toString
+    val d2 = Files.createTempDirectory("tar_b").toString
+    val df = Seq(("a.bin", Array.fill(700)(7.toByte)),
+      ("b.bin", Array.fill(13)(9.toByte))).toDF("path", "payload")
+      .repartition(1)
+    graft.sinks.TarSink.writeTar(df, "path", "payload", d1, 42L)
+    graft.sinks.TarSink.writeTar(df, "path", "payload", d2, 42L)
+    val f1 = Files.readAllBytes(
+      java.nio.file.Paths.get(d1, "part-00000.tar"))
+    val f2 = Files.readAllBytes(
+      java.nio.file.Paths.get(d2, "part-00000.tar"))
+    assert(java.util.Arrays.equals(f1, f2))
+  }
+
+  test("K12 tar sink: over-long entry names fail fast, not truncate") {
+    val dir = Files.createTempDirectory("tar_long").toString
+    val df = Seq(("x" * 101, Array[Byte](1))).toDF("path", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sinks.TarSink.writeTar(df, "path", "payload", dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   /** Builds a minimal multi-sheet .xlsx (zip + XML) with shared,
     * inline, and numeric cells. */
   private def writeXlsx(path: java.nio.file.Path): Unit = {
