@@ -63,10 +63,46 @@ object MultimodalOps {
           base64(substring(col("text"), 1, 12).cast("binary"))
             .as("head_b64"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Chunk sampling: split each payload into fixed 64-byte chunks and
+    // keep every 4th — the frame-sampling batch shape (video: every
+    // k-th frame; audio: every k-th window) expressed relationally.
+    // The chunk list is generated per row and exploded; only sampled
+    // chunk hashes flow downstream, the payload never crosses a
+    // shuffle. Payload here is the ASCII text column standing in for
+    // opaque bytes (no codecs in this container — see the STUB note).
+    "m2_chunk_sample" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("n_chunks",
+          ceil(length(col("text")) / lit(64.0)).cast("int"))
+        .filter(col("n_chunks") > 0)
+        .withColumn("chunk_idx",
+          explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
+        .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+          expr("md5(substring(text, chunk_idx * 64 + 1, 64))")
+            .as("chunk_hash"),
+          expr("length(substring(text, chunk_idx * 64 + 1, 64))")
+            .as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "m2_chunk_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, text, n_chunks,
+        |    unnest([i for i in range(0, n_chunks) if i % 4 = 0])
+        |      AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, n_chunks, chunk_idx,
+        |  md5(substring(text, chunk_idx * 64 + 1, 64)) AS chunk_hash,
+        |  CAST(length(substring(text, chunk_idx * 64 + 1, 64)) AS INT)
+        |    AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "m1_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

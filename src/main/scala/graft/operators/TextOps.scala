@@ -218,6 +218,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Composite quality filter — the C4/Gopher-style keep/drop gate a
+    // corpus passes through before training, with the FIRST failing
+    // rule as the drop reason: length window (10..5000 words), a
+    // language signal (≥1 English stopword), repetition (dup-bigram
+    // fraction ≤ 0.2, the t10 signal). One projection pass, no joins,
+    // no shuffle until the final ORDER BY — at 100 TB this runs at
+    // scan speed and the filter decision travels instead of the text.
+    "t13_quality_filter" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("n_stop", expr(
+          "size(filter(w, t -> t = 'the' OR t = 'a'))"))
+        .withColumn("bi", expr(
+          """case when size(w) >= 2 then
+            |  transform(sequence(1, size(w)-1), i ->
+            |    concat_ws(' ', element_at(w,i), element_at(w,i+1)))
+            |else cast(array() as array<string>) end""".stripMargin))
+        .withColumn("dup_bi_frac",
+          when(size(col("bi")) > 0,
+            (size(col("bi")) - size(array_distinct(col("bi"))))
+              .cast("double") / size(col("bi")).cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("reason",
+          when(col("n_words") < 10 || col("n_words") > 5000, "length")
+            .when(col("n_stop") < 1, "language")
+            .when(col("dup_bi_frac") > 0.2, "repetition"))
+        .select(col("doc_id"), col("n_words"),
+          col("reason").isNull.as("keep"),
+          coalesce(col("reason"), lit("ok")).as("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -276,6 +309,28 @@ object TextOps {
         |   OR CAST(top_cnt AS DOUBLE) / n_words > 0.2) AS flagged
         |FROM bi JOIN top ON bi.doc_id = top.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    "t13_quality_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |f AS (SELECT doc_id, len(w) AS n_words,
+        |        len([t for t in w if t = 'the' OR t = 'a']) AS n_stop,
+        |        CASE WHEN len(w) >= 2 THEN
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END AS bi
+        |      FROM d),
+        |r AS (SELECT doc_id, n_words,
+        |        CASE
+        |          WHEN n_words < 10 OR n_words > 5000 THEN 'length'
+        |          WHEN n_stop < 1 THEN 'language'
+        |          WHEN len(bi) > 0 AND
+        |               CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE)
+        |                 / len(bi) > 0.2 THEN 'repetition'
+        |        END AS reason
+        |      FROM f)
+        |SELECT doc_id, n_words, reason IS NULL AS keep,
+        |       COALESCE(reason, 'ok') AS reason
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "t12_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
