@@ -188,6 +188,52 @@ object SimilarityOps {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    // cluster the corpus with the coarse quantizer, then compare ONLY
+    // within clusters — the cluster assignment shards the would-be N²
+    // pairwise work into k independent buckets, which is the whole
+    // scaling argument of the method. A vector is dropped when a
+    // lower-id cluster-mate sits at cosine ≥ 0.999 (the near-identical
+    // band; the corpus is unioned with scaled copies as in d5 so real
+    // drops exist). Output: one row per vector, keep/drop + its
+    // cluster — never empty.
+    "d9_semantic_dedup" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val base = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.01 as float))")
+          .as("embedding"))
+      val all = base.union(scaled)
+        .repartition(col("vec_id"))
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .select(col("vec_id"), col("v"))
+        .cache()
+      val cent = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("r").desc, col("cid"))
+      val assign = all.join(broadcast(cent))
+        .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val lhs = assign.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val rhs = assign.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("vb"))
+      val dropped = lhs.join(rhs, Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr("round(cosine_sim(va, vb), 6)") >= 0.999)
+        .select(col("id_b").as("vec_id")).distinct()
+      assign.select(col("vec_id"), col("cid"))
+        .join(dropped.withColumn("is_dropped", lit(true)),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("is_dropped"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Sign-LSH ANN: candidates = corpus vectors sharing ≥1 of the
     // query's 4 band keys (the tiny query-side band list broadcasts
     // into the corpus band scan); top-3 by exact cosine among
@@ -254,6 +300,42 @@ object SimilarityOps {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY r DESC, n_id) AS rk FROM p) s
         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "d9_semantic_dedup" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         [CAST(x * CAST(1.01 AS FLOAT) AS FLOAT) for x in embedding]
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |        [CAST(x AS DOUBLE) for x in embedding] AS v FROM allv),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT n.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY round(list_sum([n.v[i]*cent.cv[i]
+        |                   for i in range(1,65)])/(n.nrm*cent.cnrm), 6)
+        |          DESC, cent.cid) AS rk
+        |    FROM n CROSS JOIN cent) t
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE round(list_sum([na.v[i]*nb.v[i] for i in range(1,65)])
+        |        / (na.nrm * nb.nrm), 6) >= 0.999)
+        |SELECT a.vec_id, a.cid,
+        |       EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = a.vec_id)
+        |         AS dropped
+        |FROM assign a
+        |ORDER BY a.vec_id""".stripMargin,
 
     "v5_ann_ivf_multiprobe" ->
       """WITH e AS (SELECT vec_id,
