@@ -218,6 +218,32 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-corpus novelty: the fraction of a doc's DISTINCT trigrams
+    // that appear nowhere else in the corpus (df == 1) — the
+    // complementary signal to t10's intra-doc repetition, used for
+    // boilerplate-vs-original curriculum weighting. One explode + one
+    // partial+final df aggregate + a join back keyed on the trigram;
+    // at 100 TB the join key becomes a 64-bit hash (as in d4) so the
+    // shuffle carries 8-byte keys, not strings — the string key here
+    // keeps the oracle engine-exact.
+    "t14_novelty" -> ((s, dir) => {
+      val tg = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w)-2), i ->
+            |  concat_ws(' ', element_at(w,i), element_at(w,i+1),
+            |            element_at(w,i+2))))""".stripMargin)).as("t"))
+      val dfT = tg.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      tg.join(dfT, "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", round(
+          col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Composite quality filter — the C4/Gopher-style keep/drop gate a
     // corpus passes through before training, with the FIRST failing
     // rule as the drop reason: length window (10..5000 words), a
@@ -309,6 +335,22 @@ object TextOps {
         |   OR CAST(top_cnt AS DOUBLE) / n_words > 0.2) AS flagged
         |FROM bi JOIN top ON bi.doc_id = top.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    "t14_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tg AS (SELECT doc_id,
+        |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                               for i in range(1, len(w)-1)])) AS t
+        |       FROM d WHERE len(w) >= 3),
+        |dft AS (SELECT t, COUNT(*) AS df FROM tg GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS novelty
+        |FROM tg JOIN dft USING (t)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "t13_quality_filter" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
