@@ -15,7 +15,8 @@ import graft.Tables.load
   */
 object TextOps {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Gopher/C4-style repetition signals per document: duplicate
     // word-bigram fraction (near-1 = boilerplate loops) and top-word
     // coverage (near-1 = one token dominates). The bigram stats are
@@ -216,8 +217,38 @@ object TextOps {
         .filter(col("rn") <= ceil(col("n_lang") * 0.2))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
-    }),
+    })
+  ) ++ queriesExtra
 
+  /** The t13 gate as an input-agnostic transformation: one stateless
+    * projection (`doc_id`, `n_words`, `keep`, `reason`), so the SAME
+    * function runs over a batch table or a `readStream` source with no
+    * watermark or state — parity asserted in StreamingSpec. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_stop", expr(
+        "size(filter(w, t -> t = 'the' OR t = 'a'))"))
+      .withColumn("bi", expr(
+        """case when size(w) >= 2 then
+          |  transform(sequence(1, size(w)-1), i ->
+          |    concat_ws(' ', element_at(w,i), element_at(w,i+1)))
+          |else cast(array() as array<string>) end""".stripMargin))
+      .withColumn("dup_bi_frac",
+        when(size(col("bi")) > 0,
+          (size(col("bi")) - size(array_distinct(col("bi"))))
+            .cast("double") / size(col("bi")).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("reason",
+        when(col("n_words") < 10 || col("n_words") > 5000, "length")
+          .when(col("n_stop") < 1, "language")
+          .when(col("dup_bi_frac") > 0.2, "repetition"))
+      .select(col("doc_id"), col("n_words"),
+        col("reason").isNull.as("keep"),
+        coalesce(col("reason"), lit("ok")).as("reason"))
+
+  private def queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus novelty: the fraction of a doc's DISTINCT trigrams
     // that appear nowhere else in the corpus (df == 1) — the
     // complementary signal to t10's intra-doc repetition, used for
@@ -251,31 +282,8 @@ object TextOps {
     // fraction ≤ 0.2, the t10 signal). One projection pass, no joins,
     // no shuffle until the final ORDER BY — at 100 TB this runs at
     // scan speed and the filter decision travels instead of the text.
-    "t13_quality_filter" -> ((s, dir) => {
-      load(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_words", size(col("w")))
-        .withColumn("n_stop", expr(
-          "size(filter(w, t -> t = 'the' OR t = 'a'))"))
-        .withColumn("bi", expr(
-          """case when size(w) >= 2 then
-            |  transform(sequence(1, size(w)-1), i ->
-            |    concat_ws(' ', element_at(w,i), element_at(w,i+1)))
-            |else cast(array() as array<string>) end""".stripMargin))
-        .withColumn("dup_bi_frac",
-          when(size(col("bi")) > 0,
-            (size(col("bi")) - size(array_distinct(col("bi"))))
-              .cast("double") / size(col("bi")).cast("double"))
-            .otherwise(lit(0.0)))
-        .withColumn("reason",
-          when(col("n_words") < 10 || col("n_words") > 5000, "length")
-            .when(col("n_stop") < 1, "language")
-            .when(col("dup_bi_frac") > 0.2, "repetition"))
-        .select(col("doc_id"), col("n_words"),
-          col("reason").isNull.as("keep"),
-          coalesce(col("reason"), lit("ok")).as("reason"))
-        .orderBy(col("doc_id"))
-    }),
+    "t13_quality_filter" -> ((s, dir) =>
+      qualityGate(load(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes

@@ -127,6 +127,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").as[Long].collect().toSet == Set(4L, 5L))
   }
 
+  test("streaming quality gate == batch quality gate (stateless op)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog and runs on")),
+      (2L, ("spam spam spam spam spam spam spam spam spam spam spam")),
+      (3L, ("too short")),
+      (4L, ("le renard brun saute par dessus le chien paresseux dormant"))
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.qualityGate(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate")
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().toSet
+    val batch = graft.operators.TextOps.qualityGate(
+        docs.toDF("doc_id", "text"))
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, true, "ok"), (2L, false, "language"),
+      (3L, false, "length"), (4L, false, "language")))
+  }
+
   test("stream drains into the partitioned lake via foreachBatch merge") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
