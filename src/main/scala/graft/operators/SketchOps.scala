@@ -35,4 +35,22 @@ object SketchOps {
       .agg(percentile_approx(col(target), parr, lit(accuracy))
         .as("quantiles"))
   }
+
+  /** Count-min frequency estimates for a set of probe values: builds
+    * ONE mergeable sketch over the whole column (the shuffle carries
+    * `d×w` counters, never rows) and reads the probes out of it.
+    * Count-min guarantees `true ≤ estimate ≤ true + eps·N` with
+    * probability `1 − confidence` — the one-sided bound SketchSpec
+    * asserts against exact counts. `eps`/`confidence` size the sketch
+    * as w = ⌈e/eps⌉, d = ⌈ln(1/conf)⌉. */
+  def freqEstimate(df: DataFrame, target: String, probes: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.01): Map[String, Long] = {
+    val sketchBytes = df
+      .agg(count_min_sketch(col(target), lit(eps), lit(confidence),
+        lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    probes.map(p => p -> cms.estimateCount(p)).toMap
+  }
 }

@@ -42,6 +42,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min estimates are one-sided bounded: true <= est <= true+eps*N") {
+    val ev = Tables.load(spark, dir, "events")
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val est = SketchOps.freqEstimate(ev, "event_type", exact.keys.toSeq)
+    exact.foreach { case (k, e) =>
+      val a = est(k)
+      assert(a >= e, s"$k: count-min undercounted $a < $e")
+      assert(a <= e + math.ceil(0.001 * n).toLong + 1,
+        s"$k: estimate $a exceeds the eps*N bound over $e")
+    }
+  }
+
   test("sketches partial-aggregate: shuffle carries merged state") {
     val ev = Tables.load(spark, dir, "events")
     val p = SketchOps.distinctEstimate(ev, Seq("event_type"), "user_id")
