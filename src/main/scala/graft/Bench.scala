@@ -59,7 +59,11 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
-    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+    // the stdout line must stay short (see below) — cap it at 3 error
+    // entries with hard-truncated messages; the full text is in the
+    // BENCH_OUT file
+    val es = errors.take(3)
+      .map { case (k, v) => s"${q(k)}:${q(v.take(60))}" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     def render(qmap: Seq[(String, Double)], omitted: Int): String = {
@@ -85,9 +89,11 @@ object Bench {
     println(line)
     val full = times.map { case (k, v) => s"${q(k)}:$v" }
       .mkString("{", ",", "}")
+    val esFull = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
-      s""""errors":$es,"n_ok":${times.size},"n_err":${errors.size},""" +
+      s""""errors":$esFull,"n_ok":${times.size},"n_err":${errors.size},""" +
       s""""sf":${q(sfDir)}}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")

@@ -218,6 +218,10 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("cid"), col("v"))
+        // feeds both pair sides AND the final keep/drop projection —
+        // cache the slim (id, cid, v) result instead of re-running the
+        // centroid join + window three times
+        .cache()
       val lhs = assign.select(col("cid"), col("vec_id").as("id_a"),
         col("v").as("va"))
       val rhs = assign.select(col("cid"), col("vec_id").as("id_b"),
