@@ -23,8 +23,9 @@ import org.apache.spark.sql.DataFrame
   * byte-identical archives — the property that makes the sink safely
   * retryable/speculative (a re-run overwrites with identical bytes).
   *
-  * Input contract: `pathCol` string (entry name, ≤100 bytes — the
-  * USTAR name field; longer paths fail fast rather than truncating
+  * Input contract: `pathCol` string (entry name; names over 100 bytes
+  * use the USTAR `prefix` field — up to 255 bytes split at a '/', a
+  * name that cannot be split fails fast rather than truncating
   * silently), `payloadCol` binary.
   */
 object TarSink {
@@ -62,13 +63,36 @@ object TarSink {
     written.value.toInt
   }
 
+  /** Splits a path over 100 bytes into USTAR (prefix, name) at a '/'
+    * such that name ≤ 100 and prefix ≤ 155 (the reader rejoins them as
+    * `prefix + "/" + name`). Fails when no split point exists. */
+  private[sinks] def splitName(path: String): (String, String) = {
+    // ASCII-only so char offsets == byte offsets (a non-ASCII name
+    // would be silently mangled by the US_ASCII encoder otherwise)
+    require(path.forall(c => c >= ' ' && c < 127),
+      s"tar entry name must be printable ASCII: $path")
+    if (path.length <= 100) ("", path)
+    else {
+      // longest prefix ≤ 155 ending at a slash whose remainder ≤ 100
+      val cut = path.zipWithIndex
+        .filter { case (c, i) => c == '/' && i <= 155 &&
+          path.length - i - 1 <= 100 }
+        .map(_._2).lastOption
+      cut match {
+        case Some(i) => (path.substring(0, i), path.substring(i + 1))
+        case None => throw new IllegalArgumentException(
+          s"tar entry name not splittable into 155+100 at a '/': $path")
+      }
+    }
+  }
+
   /** One 512-byte USTAR header. Numeric fields are zero-padded octal
     * ASCII; checksum is the byte sum with the checksum field itself
     * counted as spaces. */
   private[sinks] def header(name: String, size: Long,
       mtime: Long): Array[Byte] = {
-    val nameB = name.getBytes(US_ASCII)
-    require(nameB.length <= 100, s"tar entry name over 100 bytes: $name")
+    val (prefix, base) = splitName(name)
+    val nameB = base.getBytes(US_ASCII)
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes(US_ASCII); System.arraycopy(b, 0, h, off, b.length)
@@ -76,6 +100,7 @@ object TarSink {
     def oct(off: Int, width: Int, v: Long): Unit =
       put(off, ("%0" + (width - 1) + "o").format(v))
     System.arraycopy(nameB, 0, h, 0, nameB.length)
+    if (prefix.nonEmpty) put(345, prefix)
     oct(100, 8, 420)          // mode 0644
     oct(108, 8, 0)            // uid
     oct(116, 8, 0)            // gid

@@ -271,7 +271,23 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(f1, f2))
   }
 
-  test("K12 tar sink: over-long entry names fail fast, not truncate") {
+  test("K12 tar sink: long names use the ustar prefix; stock tar rejoins") {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("tar_prefix").toString
+    val long = ("d" * 60) + "/" + ("e" * 60) + "/" + ("f" * 40) + ".bin"
+    assert(long.length > 100)
+    val df = Seq((long, Array.fill(10)(3.toByte))).toDF("path", "payload")
+      .repartition(1)
+    graft.sinks.TarSink.writeTar(df, "path", "payload", dir)
+    val tarF = s"$dir/part-00000.tar"
+    assert(Seq("tar", "-tf", tarF).!!.trim == long)
+    val ex = Files.createTempDirectory("tar_px").toString
+    assert(Seq("tar", "-xf", tarF, "-C", ex).! == 0)
+    assert(Files.readAllBytes(java.nio.file.Paths.get(ex, long))
+      .forall(_ == 3.toByte))
+  }
+
+  test("K12 tar sink: unsplittable over-long names fail fast, not truncate") {
     val dir = Files.createTempDirectory("tar_long").toString
     val df = Seq(("x" * 101, Array[Byte](1))).toDF("path", "payload")
     val e = intercept[org.apache.spark.SparkException] {
