@@ -178,6 +178,22 @@ object DedupOps {
       // of recomputing the subtree three times
       .cache()
 
+  /** The (doc_id, band, band_key) table of a 128-perm minhash signature
+    * in 16 bands of 8 — the SIGNATURE STORE of an LSH dedup index.
+    * Shared by the all-pairs path (d2) and the incremental path (d8);
+    * persisted once per corpus (parquet, partitioned however the
+    * postings are probed) it turns every later dedup batch into a
+    * band-key join against this table with no corpus re-scan —
+    * DedupScaleSpec drives that store→probe→merge lifecycle. Input =
+    * [[docsWithHashedShingles]]-shaped (doc_id, shingles). */
+  def minhashBanded(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
+        .as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
+        .as(Seq("band", "band_key")))
+
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection. */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
@@ -220,13 +236,8 @@ object DedupOps {
     "d2_minhash_lsh" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
-      val banded = sh.select(col("doc_id"),
-        expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
-          .as("sig"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
-          .as(Seq("band", "band_key")))
-      verifyJaccard(bucketPairs(banded, Seq("band", "band_key")), sh, 0.8)
+      verifyJaccard(
+        bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
     }),
 
     // SimHash: 60-bit signature (majority vote per bit over shingle
@@ -298,12 +309,7 @@ object DedupOps {
     "d8_incremental_dedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
-      val banded = sh.select(col("doc_id"),
-        expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
-          .as("sig"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
-          .as(Seq("band", "band_key")))
+      val banded = minhashBanded(sh)
       val newB = banded.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
       val oldB = banded.filter(col("doc_id") % 5 =!= 0)

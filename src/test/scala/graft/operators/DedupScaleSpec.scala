@@ -64,6 +64,41 @@ class DedupScaleSpec extends AnyFunSuite {
     assert((30L to 32L).forall(labels(_) == 30L))
   }
 
+  test("signature store lifecycle: persist bands, probe a batch, merge") {
+    graft.GraftFunctions.register(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("sig_store").resolve("bands").toString
+    def shingled(docs: Seq[(Long, String)]) =
+      docs.toDF("doc_id", "text")
+        .filter(length(col("text")) >= 8)
+        .withColumn("shingles", expr("md5_shingle60(text)"))
+        .select(col("doc_id"), col("shingles"))
+    // corpus: two docs; persist their band table ONCE
+    val corpus = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "an entirely different document about spark engines")
+    DedupOps.minhashBanded(shingled(corpus))
+      .write.parquet(store)
+    // batch 1: a near-copy of doc 1 + a novel doc; probe = band join
+    // against the STORE, no corpus re-scan
+    val batch = Seq(10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "completely novel text that matches nothing else here")
+    val hits = DedupOps.minhashBanded(shingled(batch))
+      .join(spark.read.parquet(store)
+          .withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "band_key"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 1L)), "exact copy must collide in bands")
+    assert(!hits.exists(_._1 == 11L), "novel doc must not collide")
+    // merge: admitted (non-dup) batch docs extend the store for the
+    // NEXT batch — the incremental index maintenance step
+    DedupOps.minhashBanded(shingled(Seq(batch(1))))
+      .write.mode("append").parquet(store)
+    val storedDocs = spark.read.parquet(store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(storedDocs == Set(1L, 2L, 11L))
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
