@@ -63,6 +63,21 @@ object AggOps {
         .orderBy(col("lvl"), col("lang"), col("source"))
     }),
 
+    // A17 — PIVOT: per-language counts spread across a FIXED source
+    // list (explicit values, so no extra distinct-collection job on
+    // the driver — the form that scales; an open-ended pivot would
+    // first scan for distinct keys). One partial+final aggregate;
+    // absent combinations filled with 0 to match the FILTER-count
+    // oracle.
+    "a17_pivot" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("lang"))
+    }),
+
     // A15 — exact interpolated quantiles per group (doc-length
     // distribution per language). Exact `percentile` sorts each group's
     // values once for all three cut points; inputs are integers, so the
@@ -260,6 +275,14 @@ object AggOps {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "a17_pivot" ->
+      """SELECT lang,
+        |  COUNT(*) FILTER (source = 'src0') AS src0,
+        |  COUNT(*) FILTER (source = 'src1') AS src1,
+        |  COUNT(*) FILTER (source = 'src2') AS src2,
+        |  COUNT(*) FILTER (source = 'src3') AS src3
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "a16_cube" ->
       """SELECT COALESCE(lang, 'ALL') AS lang,
         |       COALESCE(source, 'ALL') AS source,

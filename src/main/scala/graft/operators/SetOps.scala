@@ -98,6 +98,20 @@ object SetOps {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // P11 — null-safe equality (`<=>` / IS NOT DISTINCT FROM): the
+    // comparison MERGE change-detection needs (null == null must be
+    // "unchanged", not "unknown"). Two derived columns go null at
+    // different thresholds, so all three cases occur: equal non-null,
+    // null-vs-value, null-vs-null.
+    "p11_null_safe_eq" -> ((s, dir) => {
+      load(s, dir, "events")
+        .withColumn("a", when(col("value") <= 90, col("event_type")))
+        .withColumn("b", when(col("value") <= 95, col("event_type")))
+        .groupBy(col("a").eqNullSafe(col("b")).as("same"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("same"))
+    }),
+
     // P10 — the reference's opaque string-prefix day bucket as a
     // filter (substr(ts,1,10) = literal, Cenir_DB.py:453).
     // TimeBucketPruneRule derives the equivalent timestamp range so
@@ -166,6 +180,13 @@ object SetOps {
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE date_part('year', o_orderdate) = 1995
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "p11_null_safe_eq" ->
+      """SELECT a IS NOT DISTINCT FROM b AS same, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN value <= 90 THEN event_type END AS a,
+        |         CASE WHEN value <= 95 THEN event_type END AS b
+        |  FROM events) t
+        |GROUP BY 1 ORDER BY same""".stripMargin,
 
     "p10_day_bucket_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
