@@ -398,6 +398,39 @@ object DedupOps {
           col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
         .select(col("doc_id"), col("t").as("band_key"))
       verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
+    }),
+
+    // Chunk-level exact dedup — the C4 "drop duplicated paragraphs"
+    // signal. The corpus is single-line synthetic text, so "paragraph"
+    // = non-overlapping 20-word window (the stand-in for newline
+    // splitting); each chunk is md5-hashed and counted across DISTINCT
+    // docs, then every doc reports how many of its chunks appear
+    // elsewhere. Planted overlap: every 5th doc gains a re-keyed copy
+    // holding only its first 40 words, so copies share their leading
+    // chunks with the source while the source's tail chunks stay
+    // unique — partial overlap, not just whole-doc dup. Scale shape:
+    // the only shuffles are a hash groupBy on the chunk hash (map-side
+    // partials absorb a boilerplate chunk shared by millions of docs)
+    // and the equi-join back on that hash — no windows, no all-pairs.
+    "d10_chunk_dedup" -> ((s, dir) => {
+      val base = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val copies = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          slice(col("w"), 1, 40).as("w"))
+      val chunks = base.union(copies)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, cast(floor((size(w)-1)/20) as int)),
+            |  i -> md5(cast(concat_ws(' ', slice(w, i*20+1, 20))
+            |           as binary)))""".stripMargin)).as("h"))
+        .cache() // feeds both the per-hash doc counts and the join-back
+      val hc = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(hc, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -413,6 +446,27 @@ object DedupOps {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents) t
         |GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "d10_chunk_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |allw AS (SELECT doc_id, w FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 100000, w[1:40] FROM base
+        |         WHERE doc_id % 5 = 0),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(w[i*20+1 : i*20+20], ' ')) AS h
+        |  FROM allw
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+        |  WHERE i*20 < len(w)),
+        |hc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |       FROM chunks GROUP BY h)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup_chunks
+        |FROM chunks c JOIN hc USING (h)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d2_minhash_lsh" ->
       """WITH d AS (SELECT doc_id, text FROM documents

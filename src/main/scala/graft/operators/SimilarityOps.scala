@@ -263,6 +263,59 @@ object SimilarityOps {
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("rk"), col("n_id"), col("r"))
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011, public): the 64-dim
+    // space splits into 8 subspaces of 8 dims; each subspace gets a
+    // 16-codeword codebook (deterministic stand-in: the subvectors of
+    // vec_id < 16 — in production a per-subspace k-means fit, see
+    // operators/KMeans). Every corpus vector is ENCODED as 8 small
+    // codes (its nearest codeword per subspace); a query's distance to
+    // a corpus vector is the ADC approximation — the sum of 8
+    // query-to-codeword distances looked up by the corpus codes. Scale
+    // story: the corpus is stored as 8 bytes/vector instead of 256,
+    // the per-query distance table is 8×16 entries computed once, and
+    // the scan is a broadcast-join + 8-row sum — no full-width vector
+    // ever crosses a shuffle after encoding. Determinism: each
+    // subspace L2² is micro-scaled to a long immediately (round(d*1e6))
+    // so every downstream sum/argmin is exact integer arithmetic —
+    // no float accumulation order anywhere.
+    "v6_ann_pq" -> ((s, dir) => {
+      val e = withV(load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("v"))
+      val books = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), posexplode(expr(
+          "transform(sequence(0,7), b -> slice(v, b*8+1, 8))"))
+          .as(Seq("b", "cw")))
+      // (vec, subspace, codeword) → micro-int L2²; serves corpus
+      // encoding AND the query distance tables
+      val dist = e.join(broadcast(books))
+        .select(col("vec_id"), col("b"), col("cid"),
+          expr("""cast(round(aggregate(zip_with(slice(v, b*8+1, 8), cw,
+                 |  (x, y) -> (x - y) * (x - y)), 0D,
+                 |  (acc, z) -> acc + z) * 1e6) as long)""".stripMargin)
+            .as("dm"))
+      // argmin codeword per (vector, subspace) — min over (dm, cid)
+      // structs so the groupBy keeps map-side partial aggregation
+      // (a window here would shuffle all 16 candidate rows per key)
+      val codes = dist
+        .groupBy(col("vec_id"), col("b"))
+        .agg(min(struct(col("dm"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("b"), col("m.cid").as("cid"))
+      val qd = dist.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("b"), col("cid"),
+          col("dm"))
+      val adc = codes.join(broadcast(qd), Seq("b", "cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("dm")).as("adc"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      adc.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id").as("n_id"),
+          col("adc"))
+        .orderBy(col("q_id"), col("rk"))
     })
   )
 
@@ -275,6 +328,40 @@ object SimilarityOps {
         |FROM embeddings
         |CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    "v6_ann_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |books AS (
+        |  SELECT vec_id AS cid, b, v[b*8+1 : b*8+8] AS cw
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS b) t
+        |  WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT e.vec_id, bk.b, bk.cid,
+        |    CAST(round(list_sum([(e.v[bk.b*8+i] - bk.cw[i])
+        |                       * (e.v[bk.b*8+i] - bk.cw[i])
+        |                         for i in range(1, 9)]) * 1e6)
+        |         AS BIGINT) AS dm
+        |  FROM e CROSS JOIN books bk),
+        |codes AS (
+        |  SELECT vec_id, b, cid FROM (
+        |    SELECT vec_id, b, cid,
+        |      row_number() OVER (PARTITION BY vec_id, b
+        |                         ORDER BY dm, cid) AS rk
+        |    FROM dist) s WHERE rk = 1),
+        |qd AS (SELECT vec_id AS q_id, b, cid, dm FROM dist
+        |       WHERE vec_id < 20),
+        |adc AS (
+        |  SELECT qd.q_id, c.vec_id AS n_id,
+        |         CAST(SUM(qd.dm) AS BIGINT) AS adc
+        |  FROM codes c JOIN qd ON c.b = qd.b AND c.cid = qd.cid
+        |  WHERE c.vec_id <> qd.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rk, n_id, adc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adc, n_id) AS rk FROM adc) s
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "v3_ann_ivf" ->
       """WITH e AS (SELECT vec_id,
