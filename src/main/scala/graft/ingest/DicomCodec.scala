@@ -1,0 +1,409 @@
+package graft.ingest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dependency-free DICOM header codec — the real S6/S7 implementation
+  * (the container ships no DICOM library, so this parses the public
+  * file format directly, the same way TarSink hand-rolls USTAR and
+  * ExcelSource hand-rolls xlsx).
+  *
+  * What it reads (all public-format structures):
+  *  - 128-byte preamble + 'DICM' magic (the is_dicom check,
+  *    Exam_info.py:1673-1679);
+  *  - the File Meta group (0002,xxxx — always explicit VR little
+  *    endian) including TransferSyntaxUID, then the dataset in either
+  *    explicit (1.2.840.10008.1.2.1) or implicit (1.2.840.10008.1.2)
+  *    VR little endian;
+  *  - scalar elements decode to strings in a flat map keyed by DICOM
+  *    keyword (for the dictionary below — the tags the reference reads,
+  *    Exam_info.py:356-760) or `gggg,eeee` hex for everything else
+  *    (the reference's own `p1[0x19,0x109c]` probe shape);
+  *  - sequences (SQ) are structurally skipped, defined or undefined
+  *    length, including nested items — header walks never misparse a
+  *    sequence body as top-level tags;
+  *  - parsing STOPS at PixelData (7FE0,0010) — the stop_before_pixels
+  *    discipline (Exam_info.py:130): pixel bytes are never touched, so
+  *    a header read of a 500 MB multiframe costs a few KB;
+  *  - Siemens CSA private blocks (0029,1010 image / 0029,1020 series,
+  *    SV10 layout — public, documented by the nibabel project's
+  *    csareader) flatten to `CsaImage.<name>` / `CsaSeries.<name>`
+  *    dotted keys, and the MrPhoenixProtocol ASCCONV text block
+  *    flattens to `CsaSeries.MrPhoenixProtocol.<key>` including indexed
+  *    keys like `sSliceArray.asSlice[0].sPosition.dTra`
+  *    (Exam_info.py:458-461,556-565) — the MetaExtractor surface.
+  *
+  * Truncation contract: parsing a PREFIX of a file (the DSv2 source
+  * reads headers incrementally — 4 KB first, growing only if the
+  * header straddles the boundary) returns `complete = false` instead
+  * of throwing, so the caller can fetch more bytes and retry. A file
+  * that ends before PixelData (header-only files) is complete.
+  */
+object DicomCodec {
+
+  final case class Result(meta: Map[String, String], complete: Boolean)
+
+  private final val Undefined = 0xFFFFFFFFL
+
+  /** Control-flow signal for "ran out of bytes mid-structure" — no
+    * stack trace (thrown per truncated prefix attempt, caught once). */
+  private object Truncated
+    extends RuntimeException(null, null, false, false)
+
+  /** Explicit-VR long form: 2 reserved bytes + 4-byte length. */
+  private val longFormVRs = Set(
+    "OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN",
+    "SV", "UV")
+
+  /** Text VRs decoded to (multi-)string values verbatim. */
+  private val stringVRs = Set(
+    "AE", "AS", "CS", "DA", "DS", "DT", "IS", "LO", "LT", "PN", "SH",
+    "ST", "TM", "UC", "UI", "UR", "UT")
+
+  /** Keyword + VR dictionary for the tags the reference consumes
+    * (keyword naming matches the public standard, so `meta['EchoTime']`
+    * reads the same as the reference's `p1.EchoTime`). Everything else
+    * keys as `gggg,eeee`. */
+  private val dict: Map[Int, (String, String)] = Map(
+    0x00020010 -> ("TransferSyntaxUID", "UI"),
+    0x00080008 -> ("ImageType", "CS"),
+    0x00080018 -> ("SOPInstanceUID", "UI"),
+    0x00080020 -> ("StudyDate", "DA"),
+    0x00080022 -> ("AcquisitionDate", "DA"),
+    0x00080030 -> ("StudyTime", "TM"),
+    0x00080032 -> ("AcquisitionTime", "TM"),
+    0x00080050 -> ("AccessionNumber", "SH"),
+    0x00080060 -> ("Modality", "CS"),
+    0x00080070 -> ("Manufacturer", "LO"),
+    0x00080080 -> ("InstitutionName", "LO"),
+    0x00081010 -> ("StationName", "SH"),
+    0x0008103E -> ("SeriesDescription", "LO"),
+    0x00081090 -> ("ManufacturerModelName", "LO"),
+    0x00100010 -> ("PatientName", "PN"),
+    0x00100020 -> ("PatientID", "LO"),
+    0x00100030 -> ("PatientBirthDate", "DA"),
+    0x00100040 -> ("PatientSex", "CS"),
+    0x00101010 -> ("PatientAge", "AS"),
+    0x00101030 -> ("PatientWeight", "DS"),
+    0x00180015 -> ("BodyPartExamined", "CS"),
+    0x00180020 -> ("ScanningSequence", "CS"),
+    0x00180021 -> ("SequenceVariant", "CS"),
+    0x00180022 -> ("ScanOptions", "CS"),
+    0x00180023 -> ("MRAcquisitionType", "CS"),
+    0x00180024 -> ("SequenceName", "SH"),
+    0x00180050 -> ("SliceThickness", "DS"),
+    0x00180080 -> ("RepetitionTime", "DS"),
+    0x00180081 -> ("EchoTime", "DS"),
+    0x00180082 -> ("InversionTime", "DS"),
+    0x00180083 -> ("NumberOfAverages", "DS"),
+    0x00180086 -> ("EchoNumbers", "IS"),
+    0x00180088 -> ("SpacingBetweenSlices", "DS"),
+    0x00180089 -> ("NumberOfPhaseEncodingSteps", "IS"),
+    0x00180091 -> ("EchoTrainLength", "IS"),
+    0x00180095 -> ("PixelBandwidth", "DS"),
+    0x00181000 -> ("DeviceSerialNumber", "LO"),
+    0x00181020 -> ("SoftwareVersions", "LO"),
+    0x00181030 -> ("ProtocolName", "LO"),
+    0x00181251 -> ("TransmitCoilName", "SH"),
+    0x00181314 -> ("FlipAngle", "DS"),
+    0x0020000D -> ("StudyInstanceUID", "UI"),
+    0x0020000E -> ("SeriesInstanceUID", "UI"),
+    0x00200010 -> ("StudyID", "SH"),
+    0x00200011 -> ("SeriesNumber", "IS"),
+    0x00200013 -> ("InstanceNumber", "IS"),
+    0x00200032 -> ("ImagePositionPatient", "DS"),
+    0x00200037 -> ("ImageOrientationPatient", "DS"),
+    0x00201002 -> ("ImagesInAcquisition", "IS"),
+    0x00204000 -> ("ImageComments", "LT"),
+    0x00280010 -> ("Rows", "US"),
+    0x00280011 -> ("Columns", "US"),
+    0x00280030 -> ("PixelSpacing", "DS"))
+
+  /** Little-endian cursor with truncation-signalling bounds checks. */
+  private final class Buf(val a: Array[Byte], val limit: Int) {
+    var pos = 0
+    def remaining: Int = limit - pos
+    def need(n: Int): Unit = if (remaining < n) throw Truncated
+    def u16(): Int = {
+      need(2)
+      val v = (a(pos) & 0xFF) | ((a(pos + 1) & 0xFF) << 8)
+      pos += 2; v
+    }
+    def u32(): Long = {
+      need(4)
+      val v = (a(pos) & 0xFFL) | ((a(pos + 1) & 0xFFL) << 8) |
+        ((a(pos + 2) & 0xFFL) << 16) | ((a(pos + 3) & 0xFFL) << 24)
+      pos += 4; v
+    }
+    def i32(): Int = u32().toInt
+    def skip(n: Int): Unit = { need(n); pos += n }
+    def bytes(n: Int): Array[Byte] = {
+      need(n)
+      val out = java.util.Arrays.copyOfRange(a, pos, pos + n)
+      pos += n; out
+    }
+    /** Two-char VR code; anything non-alphabetic means we've lost tag
+      * alignment (corrupt bytes) — treated as truncation. */
+    def vr2(): String = {
+      need(2)
+      val c1 = a(pos).toChar; val c2 = a(pos + 1).toChar
+      pos += 2
+      if (c1 < 'A' || c1 > 'Z' || c2 < 'A' || c2 > 'Z') throw Truncated
+      new String(Array(c1, c2))
+    }
+  }
+
+  /** Exam_info.py:1673-1679 — magic at offset 128. */
+  def isDicom(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 132 &&
+      bytes(128) == 'D' && bytes(129) == 'I' &&
+      bytes(130) == 'C' && bytes(131) == 'M'
+
+  /** Parse header tags from (a prefix of) a DICOM file. Non-DICOM
+    * bytes → empty complete result (callers gate on [[isDicom]]). */
+  def parse(bytes: Array[Byte]): Result = {
+    if (!isDicom(bytes)) return Result(Map.empty, complete = true)
+    val b = new Buf(bytes, bytes.length)
+    b.pos = 132
+    val meta = mutable.LinkedHashMap.empty[String, String]
+    var complete = true
+    try {
+      // File Meta group: always explicit VR LE, self-terminating on the
+      // first non-0002 group (group length element optional).
+      while (b.remaining >= 8 &&
+          ((b.a(b.pos) & 0xFF) | ((b.a(b.pos + 1) & 0xFF) << 8)) == 0x0002)
+        readElement(b, explicitVr = true, meta, emit = true)
+      val ts = meta.getOrElse("TransferSyntaxUID", "1.2.840.10008.1.2.1")
+      val explicitVr = ts != "1.2.840.10008.1.2"
+      var stop = false
+      while (!stop && b.remaining >= 8)
+        stop = readElement(b, explicitVr, meta, emit = true)
+    } catch { case Truncated => complete = false }
+    Result(meta.toMap, complete)
+  }
+
+  /** Codegen entry for the `dicom_parse` expression: null for
+    * non-DICOM bytes, else the flat key→value map (truncated input
+    * yields the tags present in the prefix — over full file contents
+    * truncation cannot occur). */
+  def parseToMapData(bytes: Array[Byte]): MapData = {
+    if (!isDicom(bytes)) return null
+    val m = parse(bytes).meta
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    m.foreach { case (k, v) =>
+      keys(i) = UTF8String.fromString(k)
+      vals(i) = UTF8String.fromString(v)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys),
+      new GenericArrayData(vals))
+  }
+
+  /** One dataset element. Returns true iff the element is PixelData
+    * (cursor left at its tag — nothing of the value is read). */
+  private def readElement(b: Buf, explicitVr: Boolean,
+      meta: mutable.LinkedHashMap[String, String], emit: Boolean)
+      : Boolean = {
+    b.need(8)
+    val group = b.u16()
+    val elem = b.u16()
+    if (group == 0x7FE0 && elem == 0x0010) { b.pos -= 4; return true }
+    if (group == 0xFFFE) { // stray delimiter at this level: skip
+      b.u32(); return false
+    }
+    val tagKey = (group << 16) | elem
+    var vr: String = null
+    var len: Long = 0L
+    if (explicitVr) {
+      vr = b.vr2()
+      len = if (longFormVRs(vr)) { b.skip(2); b.u32() } else b.u16().toLong
+    } else {
+      vr = dict.get(tagKey).map(_._2).getOrElse("UN")
+      len = b.u32()
+    }
+    // SQ (either length form) and undefined-length OB/OW (encapsulated
+    // frames) are structural: walk past them, never stringify
+    if (vr == "SQ" || len == Undefined) {
+      skipSequence(b, explicitVr, len)
+      return false
+    }
+    if (len < 0 || len > b.remaining) throw Truncated
+    val n = len.toInt
+    if (!emit) { b.skip(n); return false }
+    // Siemens CSA private blocks — magic-gated, so a non-Siemens
+    // (0029,10xx) simply falls through to the hex-keyed default
+    if (group == 0x0029 && (elem == 0x1010 || elem == 0x1020)) {
+      val blob = b.bytes(n)
+      val prefix = if (elem == 0x1010) "CsaImage" else "CsaSeries"
+      if (!parseCsa(blob, prefix, meta))
+        () // non-SV10 payload: binary, left un-stringified
+      return false
+    }
+    val key = dict.get(tagKey).map(_._1).getOrElse(f"$group%04x,$elem%04x")
+    val value: String =
+      if (stringVRs(vr)) trimPad(DicomLike.decodeUtf8OrLatin1(b.bytes(n)))
+      else vr match {
+        case "US" => decodeInts(b, n, 2, signed = false)
+        case "SS" => decodeInts(b, n, 2, signed = true)
+        case "UL" => decodeInts(b, n, 4, signed = false)
+        case "SL" => decodeInts(b, n, 4, signed = true)
+        case "FL" =>
+          (0 until n / 4).map(_ => java.lang.Float
+            .intBitsToFloat(b.i32()).toString).mkString("\\")
+        case "FD" =>
+          (0 until n / 8).map { _ =>
+            val lo = b.u32(); val hi = b.u32()
+            java.lang.Double.longBitsToDouble((hi << 32) | lo).toString
+          }.mkString("\\")
+        case "AT" =>
+          (0 until n / 4).map(_ => f"${b.u16()}%04x${b.u16()}%04x")
+            .mkString("\\")
+        case _ => b.skip(n); null // OB/OW/UN payloads stay binary
+      }
+    if (value != null) meta(key) = value
+    false
+  }
+
+  private def decodeInts(b: Buf, n: Int, w: Int, signed: Boolean)
+      : String =
+    (0 until n / w).map { _ =>
+      val raw = if (w == 2) b.u16().toLong else b.u32()
+      val v =
+        if (!signed) raw
+        else if (w == 2) raw.toShort.toLong
+        else raw.toInt.toLong
+      v.toString
+    }.mkString("\\")
+
+  /** Trailing NUL/space padding strip (DICOM pads values to even
+    * length); leading whitespace also dropped for sanity. */
+  private def trimPad(s: String): String = {
+    var end = s.length
+    while (end > 0 && (s(end - 1) == '\u0000' || s(end - 1) == ' '))
+      end -= 1
+    var start = 0
+    while (start < end && s(start) == ' ') start += 1
+    s.substring(start, end)
+  }
+
+  /** Structurally skip a sequence (or encapsulated pixel items):
+    * defined length skips in one hop; undefined length walks item
+    * tags — nested undefined-length items recurse through the element
+    * reader with emit off — until the (FFFE,E0DD) delimiter. */
+  private def skipSequence(b: Buf, explicitVr: Boolean, len: Long)
+      : Unit = {
+    if (len != Undefined) {
+      if (len < 0 || len > b.remaining) throw Truncated
+      b.skip(len.toInt)
+      return
+    }
+    var done = false
+    while (!done) {
+      b.need(8)
+      val group = b.u16(); val elem = b.u16()
+      val itemLen = b.u32()
+      if (group == 0xFFFE && elem == 0xE0DD) done = true
+      else if (group == 0xFFFE && elem == 0xE000) {
+        if (itemLen == Undefined) {
+          // item dataset: read (skip) elements until its delimiter
+          var itemDone = false
+          while (!itemDone) {
+            b.need(8)
+            val g2 = (b.a(b.pos) & 0xFF) | ((b.a(b.pos + 1) & 0xFF) << 8)
+            val e2 = (b.a(b.pos + 2) & 0xFF) |
+              ((b.a(b.pos + 3) & 0xFF) << 8)
+            if (g2 == 0xFFFE && e2 == 0xE00D) {
+              b.skip(8); itemDone = true
+            } else readElement(b, explicitVr, null, emit = false)
+          }
+        } else {
+          if (itemLen > b.remaining) throw Truncated
+          b.skip(itemLen.toInt)
+        }
+      } else throw Truncated // lost alignment inside the sequence
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Siemens CSA block (SV10 "CSA2" layout — public format, documented
+  // by nibabel's csareader): magic 'SV10' + 4 unused bytes, uint32
+  // n_tags, uint32 check (77), then per tag: name char[64] (NUL
+  // terminated), int32 vm, char[4] vr, int32 syngodt, int32 n_items,
+  // int32 check; per item: 4×int32 header whose SECOND field is the
+  // item byte length, then the value padded to a 4-byte boundary.
+  // ------------------------------------------------------------------
+
+  /** @return true iff the blob carried the SV10 magic (parsed). */
+  private def parseCsa(blob: Array[Byte], prefix: String,
+      meta: mutable.LinkedHashMap[String, String]): Boolean = {
+    if (blob.length < 16 || blob(0) != 'S' || blob(1) != 'V' ||
+      blob(2) != '1' || blob(3) != '0') return false
+    val b = new Buf(blob, blob.length)
+    b.pos = 8
+    try {
+      val nTags = b.i32()
+      b.skip(4) // check word (77)
+      if (nTags <= 0 || nTags > 4096) return true
+      var t = 0
+      while (t < nTags) {
+        val name = asciiz(b.bytes(64))
+        b.skip(4) // vm
+        b.skip(4) // vr chars
+        b.skip(4) // syngodt
+        val nItems = b.i32()
+        b.skip(4) // check
+        val vals = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < nItems) {
+          b.skip(4)
+          val itemLen = b.i32()
+          b.skip(8)
+          if (itemLen < 0 || itemLen > b.remaining) throw Truncated
+          val v = trimPad(DicomLike.decodeUtf8OrLatin1(b.bytes(itemLen)))
+          if (v.nonEmpty) vals += v
+          b.skip((4 - itemLen % 4) % 4)
+          i += 1
+        }
+        if (name == "MrPhoenixProtocol" && vals.nonEmpty)
+          parseAscconv(vals.head, prefix + ".MrPhoenixProtocol.", meta)
+        else if (vals.nonEmpty && name.nonEmpty)
+          meta(prefix + "." + name) = vals.mkString("\\")
+        t += 1
+      }
+    } catch { case Truncated => () } // keep what parsed; blob was CSA
+    true
+  }
+
+  private def asciiz(bytes: Array[Byte]): String = {
+    var end = 0
+    while (end < bytes.length && bytes(end) != 0) end += 1
+    new String(bytes, 0, end,
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+  }
+
+  /** MrPhoenixProtocol ASCCONV text block → dotted keys (the
+    * `sSliceArray.asSlice[0].sPosition.dTra` shapes the reference's
+    * fallback chains read, Exam_info.py:556-565). Values strip
+    * surrounding quotes; lines outside BEGIN/END are ignored. */
+  private def parseAscconv(text: String, prefix: String,
+      meta: mutable.LinkedHashMap[String, String]): Unit = {
+    val begin = text.indexOf("### ASCCONV BEGIN")
+    val end = text.indexOf("### ASCCONV END")
+    if (begin < 0 || end < 0 || end <= begin) return
+    val body = text.substring(text.indexOf('\n', begin) + 1, end)
+    body.split('\n').foreach { line =>
+      val eq = line.indexOf('=')
+      if (eq > 0) {
+        val key = line.substring(0, eq).trim
+        var v = line.substring(eq + 1).trim
+        if (v.length >= 2 && v.head == '"' && v.last == '"')
+          v = v.substring(1, v.length - 1)
+        if (key.nonEmpty) meta(prefix + key) = v
+      }
+    }
+  }
+}

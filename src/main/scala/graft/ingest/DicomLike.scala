@@ -3,26 +3,23 @@ package graft.ingest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** DICOM-shaped binary ingest — SURVEY §2.1 S5/S6 + §2.5 A9-A11 over
+/** DICOM binary ingest — SURVEY §2.1 S5/S6/S7 + §2.5 A9-A11 over
   * binary records.
   *
-  * The real parser (dcm4che-class header decode incl. CSA private tags,
-  * Exam_info.py:356,458-461) is STUBBED — this container ships no DICOM
-  * lib — but the Spark plumbing is the real design:
+  * The header decode is REAL: [[DicomCodec]] parses explicit/implicit
+  * VR little-endian tag streams (the public file format) including the
+  * Siemens CSA private blocks and MrPhoenixProtocol ASCCONV text
+  * (Exam_info.py:356,458-461), stopping before PixelData
+  * (Exam_info.py:130). Spark surface:
   *  - magic-byte sniff at offset 128 ('DICM', Exam_info.py:1673-1679)
   *    as a pure binary expression over `binaryFile` rows;
-  *  - header-only decode (fixed-offset reads; pixel bytes untouched —
-  *    the stop_before_pixels discipline, Exam_info.py:130) in one
-  *    projection;
+  *  - `dicom_parse(content)` — a native codegen'd Catalyst expression —
+  *    yields the flat keyword→value map in one pass, NULL for
+  *    non-DICOM bytes (sniff and parse fuse into one projection);
   *  - stack grouping by (series_uid, echo) with sorted instance lists
   *    (get_group_stack_from_dic, Exam_info.py:881-922);
   *  - first/last instance + corrupt flags: expected-vs-actual file
   *    counts, gaps (Exam_info.py:1316-1378).
-  *
-  * Header layout of the synthetic fixture (written by IngestSpec):
-  * bytes 0-127 preamble, 128-131 'DICM', then fixed ASCII fields:
-  * 132-141 series_uid, 142-145 instance_number (zero-padded),
-  * 146-149 echo, 150-153 expected_count.
   */
 object DicomLike {
 
@@ -31,21 +28,35 @@ object DicomLike {
     binary.filter(
       expr("substring(content, 129, 4)") === lit("DICM".getBytes))
 
-  /** S6 — header-only decode: fixed-offset fields, pixel data unread.
-    * try_cast + null filter: a truncated or malformed header is skipped
-    * like non-DICOM junk instead of crashing the scan (ANSI casts
-    * throw). */
+  /** S6/S7 — full header parse: (path, length, meta) where meta is the
+    * flat keyword→value map (incl. CsaImage./CsaSeries. dotted keys).
+    * Non-DICOM rows drop via the NULL contract — no separate sniff
+    * pass over the bytes. */
+  def parseMeta(binary: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(binary.sparkSession)
+    binary.select(col("path"), col("length"),
+        expr("dicom_parse(content)").as("meta"))
+      .filter(col("meta").isNotNull)
+  }
+
+  /** S6 — the stack-grouping header projection over the parsed meta
+    * map. try_cast + null filter: a file with malformed numeric tags is
+    * skipped like non-DICOM junk instead of crashing the scan (ANSI
+    * casts throw). EchoNumbers is optional in real headers (defaults
+    * to echo 1, as pydicom consumers assume). */
   def parseHeaders(binary: DataFrame): DataFrame =
-    sniff(binary).select(
+    parseMeta(binary).select(
       col("path"),
       col("length"),
-      expr("cast(substring(content, 133, 10) as string)").as("series_uid"),
-      expr("try_cast(cast(substring(content, 143, 4) as string) as int)")
+      element_at(col("meta"), "SeriesInstanceUID").as("series_uid"),
+      expr("try_cast(element_at(meta, 'InstanceNumber') as int)")
         .as("instance_number"),
-      expr("cast(substring(content, 147, 4) as string)").as("echo"),
-      expr("try_cast(cast(substring(content, 151, 4) as string) as int)")
+      coalesce(element_at(col("meta"), "EchoNumbers"), lit("1"))
+        .as("echo"),
+      expr("try_cast(element_at(meta, 'ImagesInAcquisition') as int)")
         .as("expected_count"))
-      .filter(col("instance_number").isNotNull &&
+      .filter(col("series_uid").isNotNull &&
+        col("instance_number").isNotNull &&
         col("expected_count").isNotNull)
 
   /** A10/A11 — stack grouping with first/last instance and corrupt

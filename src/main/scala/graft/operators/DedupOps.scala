@@ -303,9 +303,13 @@ object DedupOps {
     // × corpus bands): no corpus-corpus pairs are ever generated, so
     // the per-batch cost scales with the batch, not the corpus. At
     // 100 TB the corpus band table is the precomputed signature store
-    // and the (tiny) incoming band list broadcasts into it — expressed
-    // here with the broadcast hint. Output is one row per incoming doc
-    // (n_dups, is_dup), never empty.
+    // and the incoming band list broadcasts into it. NOTE: the 20%
+    // doc_id%5 split here is a TEST STAND-IN so the oracle sees real
+    // dups — a production batch is MBs against the corpus and genuinely
+    // broadcast-sized; a batch too big to broadcast would instead
+    // shuffle-join the band keys (flip the hint), with the asymmetric
+    // no-corpus-pairs property unchanged. Output is one row per
+    // incoming doc (n_dups, is_dup), never empty.
     "d8_incremental_dedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
@@ -458,7 +462,8 @@ object DedupOps {
         |  SELECT doc_id,
         |         md5(array_to_string(w[i*20+1 : i*20+20], ' ')) AS h
         |  FROM allw
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+        |  CROSS JOIN (SELECT unnest(range(0,
+        |    (SELECT MAX(len(w)) // 20 + 1 FROM allw))) AS i) t
         |  WHERE i*20 < len(w)),
         |hc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd
         |       FROM chunks GROUP BY h)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Scale design: the model (k × d doubles) is the ONLY driver-side
   * state — the same contract as Spark ML's KMeans, where per-iteration
   * centroids are collected and re-broadcast. Each iteration is
-  *  - assignment: one narrow projection — the centroid set rides into
-  *    codegen as an array literal, each row loops over k centroids
-  *    inline (no join, no fan-out, no shuffle);
+  *  - assignment: one narrow projection — the centroid set rides along
+  *    as a typed literal (one ArrayData reference, safe at any k·d),
+  *    each row loops over k centroids inline (no join, no fan-out, no
+  *    shuffle);
   *  - update: posexplode to (cid, dim, x) then ONE partial+final hash
   *    aggregate — map-side combine reduces each partition to ≤ k·d
   *    partial sums before the shuffle, so the wire carries k·d rows
@@ -28,19 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Squared-L2 distances from `v` to each centroid, as an array col. */
-  private def distsTo(cents: Array[Array[Double]]): Column =
-    expr(s"""transform(${centArraySql(cents)}, c ->
-             |  aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)),
-             |            cast(0 as double), (a, b) -> a + b))"""
-      .stripMargin)
-
-  /** Render the centroid matrix as a SQL array literal (k and d are
-    * model-sized — the rendered expression is small and constant-folded
-    * into codegen). */
-  private def centArraySql(cents: Array[Array[Double]]): String =
-    cents.map(_.mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+  /** Squared-L2 distances from `v` to each centroid, as an array col.
+    * The centroid matrix travels as ONE typed literal — a single
+    * ArrayData object in the generated code's references array, not a
+    * rendered SQL expression. At production IVF sizes (k=4096, d=768 ≈
+    * 3M doubles) a rendered `array(array(...))` literal would be tens
+    * of MB of SQL and blow the codegen/constant-pool limits; the typed
+    * literal stays O(1) in the generated source regardless of k·d and
+    * ships to executors inside the serialized plan exactly once. */
+  private def distsTo(cents: Array[Array[Double]]): Column = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    transform(centLit, c =>
+      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b))
+  }
 
   /** Nearest-centroid id for the `v` column. */
   private def cidFor(cents: Array[Array[Double]]): Column = {

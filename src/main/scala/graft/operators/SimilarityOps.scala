@@ -222,14 +222,21 @@ object SimilarityOps {
         // cache the slim (id, cid, v) result instead of re-running the
         // centroid join + window three times
         .cache()
-      val lhs = assign.select(col("cid"), col("vec_id").as("id_a"),
-        col("v").as("va"))
-      val rhs = assign.select(col("cid"), col("vec_id").as("id_b"),
-        col("v").as("vb"))
-      val dropped = lhs.join(rhs, Seq("cid"))
-        .filter(col("id_a") < col("id_b"))
+      // pair generation routes through the capped bucketPairs machinery
+      // (band = cid): at this sf the default cap never binds, so the
+      // oracle is unchanged — but a hot cluster at corpus scale now
+      // truncates LOUDLY (observe() audit + bucketOverflow) instead of
+      // exploding quadratically. The production path with a real
+      // KMeans quantizer and scaled k is [[semanticDedup]].
+      val pairs = DedupOps.bucketPairs(
+        assign.select(col("cid"), col("vec_id").as("doc_id")), Seq("cid"))
+      val dropped = pairs
+        .join(assign.select(col("vec_id").as("doc_a"), col("v").as("va")),
+          "doc_a")
+        .join(assign.select(col("vec_id").as("doc_b"), col("v").as("vb")),
+          "doc_b")
         .filter(expr("round(cosine_sim(va, vb), 6)") >= 0.999)
-        .select(col("id_b").as("vec_id")).distinct()
+        .select(col("doc_b").as("vec_id")).distinct()
       assign.select(col("vec_id"), col("cid"))
         .join(dropped.withColumn("is_dropped", lit(true)),
           Seq("vec_id"), "left")
@@ -526,4 +533,55 @@ object SimilarityOps {
         |    ORDER BY r DESC, n_id) AS rk FROM p) s
         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   )
+
+  /** SemDeDup (Abbas et al. 2023, public) with a REAL quantizer and
+    * capped clusters — the production path behind the d9 query (which
+    * keeps deterministic stand-in centroids so its DuckDB oracle stays
+    * expressible).
+    *
+    * Scale design, the two answers to quadratic within-cluster blowup:
+    *  - '''k scales with corpus size''' (SemDeDup's own remedy: many
+    *    small clusters): k ≈ N / targetClusterSize, fitted with
+    *    [[KMeans.fit]] — so expected cluster population stays constant
+    *    as the corpus grows;
+    *  - '''hot clusters truncate loudly''': pair generation routes
+    *    through [[DedupOps.bucketPairs]] (band = cid), so a cluster
+    *    that still exceeds `maxCluster` (skewed data, degenerate fit)
+    *    is dropped under the cap with the `observe()` audit firing and
+    *    [[DedupOps.bucketOverflow]] naming the cluster — bounded
+    *    memory, never an OOM, never silent.
+    *
+    * @return one row per doc: (doc_id, cid, dropped) — `dropped` =
+    *         a lower-id cluster-mate sits at cosine ≥ simThreshold
+    */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double, targetClusterSize: Int = 200,
+      maxCluster: Int = DedupOps.MaxBucketDefault,
+      fitIters: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val n = docs.count()
+    val k = math.max(2,
+      (n / math.max(1L, targetClusterSize.toLong)).toInt + 1)
+    val cents = KMeans.fit(docs, idCol, vecCol, k, fitIters)
+    val assign = KMeans.assign(
+        docs.select(col(idCol).as("doc_id"), col(vecCol).as("vec")),
+        "vec", cents)
+      .withColumn("v", expr("transform(vec, x -> cast(x as double))"))
+      .select(col("doc_id"), col("cid"), col("v"))
+      .cache()
+    val pairs = DedupOps.bucketPairs(
+      assign.select(col("cid"), col("doc_id")), Seq("cid"), maxCluster)
+    val dropped = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("v").as("va")),
+        "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("v").as("vb")),
+        "doc_b")
+      .filter(expr("cosine_sim(va, vb)") >= simThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    assign.select(col("doc_id"), col("cid"))
+      .join(dropped.withColumn("is_dropped", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cid"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+  }
 }

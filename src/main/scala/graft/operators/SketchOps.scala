@@ -40,11 +40,14 @@ object SketchOps {
     * ONE mergeable sketch over the whole column (the shuffle carries
     * `d×w` counters, never rows) and reads the probes out of it.
     * Count-min guarantees `true ≤ estimate ≤ true + eps·N` with
-    * probability `1 − confidence` — the one-sided bound SketchSpec
-    * asserts against exact counts. `eps`/`confidence` size the sketch
-    * as w = ⌈e/eps⌉, d = ⌈ln(1/conf)⌉. */
+    * probability `confidence` — the one-sided bound SketchSpec asserts
+    * against exact counts. Spark's `confidence` is the SUCCESS
+    * probability and sizes the sketch as w = ⌈2/eps⌉,
+    * d = ⌈−log₂(1−confidence)⌉ — so the 0.99 default builds depth 7;
+    * a low value like 0.01 would build a depth-1 sketch whose bound
+    * holds only 1% of the time. */
   def freqEstimate(df: DataFrame, target: String, probes: Seq[String],
-      eps: Double = 0.001, confidence: Double = 0.01): Map[String, Long] = {
+      eps: Double = 0.001, confidence: Double = 0.99): Map[String, Long] = {
     val sketchBytes = df
       .agg(count_min_sketch(col(target), lit(eps), lit(confidence),
         lit(42)).as("s"))

@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 for the DICOM-shaped binary format (fixed-offset
-  * header at byte 128, see graft.ingest.DicomLike) with **projection
-  * pushdown into the file reader**: when the `content` column is not in
-  * the required schema, each file read stops after the 154-byte header —
+/** DataSource V2 for DICOM files (real explicit/implicit-VR header
+  * decode via graft.ingest.DicomCodec) with **projection pushdown into
+  * the file reader**: when the `content` column is not in the required
+  * schema, each file read pulls only an initial 4 KB header window —
+  * growing geometrically in the rare case the header straddles it —
   * the reference's `stop_before_pixels` (Exam_info.py:130) enforced at
   * the source instead of hoped-for in a UDF.
   *
@@ -58,7 +59,10 @@ object DicomLikeSource {
     StructField("length", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
-  final val HeaderLen = 154
+  /** First header-only read window; doubles (×4) until the tag stream
+    * parses complete, so a fat CSA header costs one short re-read while
+    * the common case stays a single 4 KB pull. */
+  final val InitialHeaderRead = 4096
 
   /** Size target per input partition and per-file open cost — the same
     * dials as spark.sql.files.maxPartitionBytes / openCostInBytes. */
@@ -136,7 +140,9 @@ class DicomLikeScan(path: String, required: StructType)
     val maxPart = DicomLikeSource.MaxPartitionBytes
     val openCost = DicomLikeSource.OpenCostInBytes
     def cost(len: Long): Long =
-      math.max(if (needContent) len else DicomLikeSource.HeaderLen.toLong,
+      math.max(
+        if (needContent) len
+        else math.min(len, DicomLikeSource.InitialHeaderRead.toLong),
         openCost)
     val sorted = (topFiles ++ nested).sortBy(_._1)
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
@@ -177,33 +183,53 @@ class DicomLikeReader(part: DicomLikeInputPartition, required: StructType)
   private var idx = 0
   private var row: InternalRow = _
 
-  /** Parse one file; None = skip (bad magic, short, or malformed header
-    * digits — consistent with DicomLike.parseHeaders' try_cast stance). */
+  /** Read the first `n` bytes of a file (or all of it if shorter). */
+  private def readPrefix(p: java.nio.file.Path, n: Int): Array[Byte] = {
+    val ch = java.nio.file.Files.newByteChannel(p)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(n)
+      var r = 0
+      while (r >= 0 && buf.hasRemaining) r = ch.read(buf)
+      if (buf.position() == buf.capacity()) buf.array()
+      else java.util.Arrays.copyOf(buf.array(), buf.position())
+    } finally ch.close()
+  }
+
+  /** Parse one file; None = skip (bad magic, or required header tags
+    * missing/malformed — consistent with DicomLike.parseHeaders'
+    * try_cast stance). Header-only projections read an initial window
+    * and grow it only when the tag stream straddles the boundary. */
   private def parse(file: String, len: Long): Option[InternalRow] = {
     val p = java.nio.file.Paths.get(file)
-    val bytes =
-      if (needContent) java.nio.file.Files.readAllBytes(p)
-      else { // header-only read: the pushdown payoff
-        val ch = java.nio.file.Files.newByteChannel(p)
-        try {
-          val buf = java.nio.ByteBuffer.allocate(DicomLikeSource.HeaderLen)
-          var n = 0
-          while (n >= 0 && buf.hasRemaining) n = ch.read(buf)
-          buf.array().take(buf.position())
-        } finally ch.close()
+    var bytes: Array[Byte] = null
+    var meta: Map[String, String] = null
+    if (needContent) {
+      bytes = java.nio.file.Files.readAllBytes(p)
+      BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
+      if (!graft.ingest.DicomCodec.isDicom(bytes)) return None
+      meta = graft.ingest.DicomCodec.parse(bytes).meta
+    } else {
+      var readLen = math.min(len,
+        DicomLikeSource.InitialHeaderRead.toLong).toInt
+      var done = false
+      while (!done) {
+        bytes = readPrefix(p, readLen)
+        BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
+        if (!graft.ingest.DicomCodec.isDicom(bytes)) return None
+        val res = graft.ingest.DicomCodec.parse(bytes)
+        if (res.complete || readLen >= len) { meta = res.meta; done = true }
+        else readLen = math.min(len, readLen.toLong * 4).toInt
       }
-    BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
-    if (bytes.length < DicomLikeSource.HeaderLen ||
-        new String(bytes, 128, 4) != "DICM") return None
-    def str(off: Int, n: Int) = new String(bytes, off, n)
-    val instOpt = str(142, 4).trim.toIntOption
-    val expOpt = str(150, 4).trim.toIntOption
-    if (instOpt.isEmpty || expOpt.isEmpty) return None
+    }
+    val series = meta.get("SeriesInstanceUID")
+    val instOpt = meta.get("InstanceNumber").flatMap(_.toIntOption)
+    val expOpt = meta.get("ImagesInAcquisition").flatMap(_.toIntOption)
+    if (series.isEmpty || instOpt.isEmpty || expOpt.isEmpty) return None
     val values: Array[Any] = required.fieldNames.map {
       case "path" => UTF8String.fromString(file)
-      case "series_uid" => UTF8String.fromString(str(132, 10))
+      case "series_uid" => UTF8String.fromString(series.get)
       case "instance_number" => instOpt.get
-      case "echo" => UTF8String.fromString(str(146, 4))
+      case "echo" => UTF8String.fromString(meta.getOrElse("EchoNumbers", "1"))
       case "expected_count" => expOpt.get
       case "length" => len
       case "content" => bytes

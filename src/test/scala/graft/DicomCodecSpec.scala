@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{DicomCodec, DicomLike}
+import graft.DicomFixture._
+
+/** Golden tests for the dependency-free DICOM codec (S6) and CSA /
+  * MrPhoenixProtocol flattening (S7): explicit+implicit VR tag streams,
+  * sequence skipping, stop-before-pixels, truncation/regrow contract,
+  * and the dotted-key surface the reference's fallback chains read
+  * (Exam_info.py:458-461,556-565,617-624). */
+class DicomCodecSpec extends AnyFunSuite {
+
+  test("explicit-VR tags decode to keyword-keyed strings") {
+    val f = file(
+      elS(0x0008, 0x0060, "CS", "MR") ++
+        elS(0x0008, 0x0070, "LO", "SIEMENS") ++
+        elS(0x0008, 0x103E, "LO", "t1_mpr_sag") ++
+        elS(0x0020, 0x000E, "UI", "1.2.840.999.1") ++
+        elS(0x0020, 0x0013, "IS", "7") ++
+        elS(0x0018, 0x0081, "DS", "2.98") ++
+        el(0x0028, 0x0010, "US", Array[Byte](0, 1)) ++ // 256 LE
+        elS(0x0028, 0x0030, "DS", "1.25\\1.25"))
+    val r = DicomCodec.parse(f)
+    assert(r.complete)
+    assert(r.meta("Modality") == "MR")
+    assert(r.meta("Manufacturer") == "SIEMENS")
+    assert(r.meta("SeriesDescription") == "t1_mpr_sag")
+    assert(r.meta("SeriesInstanceUID") == "1.2.840.999.1")
+    assert(r.meta("InstanceNumber") == "7")
+    assert(r.meta("EchoTime") == "2.98")
+    assert(r.meta("Rows") == "256")
+    assert(r.meta("PixelSpacing") == "1.25\\1.25")
+  }
+
+  test("unknown tags key as gggg,eeee hex (the [0x19,0x109c] GE probe)") {
+    val f = file(elS(0x0019, 0x109C, "LO", "epi_pepolar") ++
+      elS(0x0020, 0x000E, "UI", "1.2.3"))
+    val m = DicomCodec.parse(f).meta
+    assert(m("0019,109c") == "epi_pepolar")
+    assert(m("SeriesInstanceUID") == "1.2.3")
+  }
+
+  test("implicit-VR transfer syntax parses via the dictionary") {
+    val f = file(
+      elI(0x0008, 0x0060, "MR") ++
+        elI(0x0020, 0x000E, "1.2.840.999.2") ++
+        elI(0x0020, 0x0013, "42"),
+      transferSyntax = "1.2.840.10008.1.2")
+    val m = DicomCodec.parse(f).meta
+    assert(m("Modality") == "MR")
+    assert(m("SeriesInstanceUID") == "1.2.840.999.2")
+    assert(m("InstanceNumber") == "42")
+  }
+
+  test("sequences skip structurally, defined and undefined length") {
+    val inner = elS(0x0008, 0x0060, "CS", "XX") // would clobber if read
+    val f = file(
+      elS(0x0008, 0x0060, "CS", "MR") ++
+        sq(0x0008, 0x1140, inner) ++
+        sqUndefined(0x0008, 0x1115, inner) ++
+        elS(0x0020, 0x000E, "UI", "1.9.9"))
+    val m = DicomCodec.parse(f).meta
+    assert(m("Modality") == "MR") // not overwritten by sequence bodies
+    assert(m("SeriesInstanceUID") == "1.9.9") // tags after the SQs parse
+  }
+
+  test("parse stops before PixelData — garbage pixels never misparse") {
+    // pixel payload full of bytes that would decode as nonsense tags
+    val junk = Array.fill[Byte](4096)(0xFE.toByte)
+    val f = file(elS(0x0020, 0x000E, "UI", "1.5.5"), pixel = junk)
+    val r = DicomCodec.parse(f)
+    assert(r.complete)
+    assert(r.meta("SeriesInstanceUID") == "1.5.5")
+    assert(!r.meta.contains("7fe0,0010"))
+  }
+
+  test("a prefix cut mid-header reports incomplete; full bytes complete") {
+    val f = file(
+      elS(0x0020, 0x000E, "UI", "1.7.7") ++
+        elS(0x0008, 0x103E, "LO", "x" * 300),
+      pixel = Array.fill[Byte](64)(1))
+    val cut = java.util.Arrays.copyOf(f, 200) // inside the LO value
+    val partial = DicomCodec.parse(cut)
+    assert(!partial.complete)
+    assert(partial.meta("SeriesInstanceUID") == "1.7.7")
+    assert(DicomCodec.parse(f).complete)
+  }
+
+  test("CSA image + series blocks flatten to dotted keys") {
+    val img = csaBlob(Seq(
+      "PixelSpacing" -> Seq("1.25", "1.25"),
+      "SliceThickness" -> Seq("3.0"),
+      "PhaseEncodingDirection" -> Seq("COL"),
+      "EmptyTag" -> Seq()))
+    val ser = csaBlob(Seq(
+      "MrPhoenixProtocol" -> Seq(ascconv(Seq(
+        "sSliceArray.asSlice[0].sPosition.dTra" -> "-10.5",
+        "sSliceArray.asSlice[0].sPosition.dSag" -> "0.25",
+        "sSliceArray.asSlice[1].sPosition.dTra" -> "-7.5",
+        "tSequenceFileName" -> "\"%SiemensSeq%\\ep2d_diff\"",
+        "sKSpace.lBaseResolution" -> "128"))),
+      "NumberOfPrescans" -> Seq("2")))
+    val f = file(
+      elS(0x0020, 0x000E, "UI", "1.3.3") ++
+        el(0x0029, 0x1010, "OB", img) ++
+        el(0x0029, 0x1020, "OB", ser))
+    val m = DicomCodec.parse(f).meta
+    assert(m("CsaImage.PixelSpacing") == "1.25\\1.25")
+    assert(m("CsaImage.SliceThickness") == "3.0")
+    assert(m("CsaImage.PhaseEncodingDirection") == "COL")
+    assert(!m.contains("CsaImage.EmptyTag"))
+    assert(m("CsaSeries.NumberOfPrescans") == "2")
+    assert(m("CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[0].sPosition.dTra")
+      == "-10.5")
+    assert(m("CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[1].sPosition.dTra")
+      == "-7.5")
+    // quoted strings unquote (the tSequenceFileName shape)
+    assert(m("CsaSeries.MrPhoenixProtocol.tSequenceFileName")
+      == "%SiemensSeq%\\ep2d_diff")
+    assert(m("CsaSeries.MrPhoenixProtocol.sKSpace.lBaseResolution") == "128")
+  }
+
+  test("non-SV10 private 0029 payloads stay binary (no garbage keys)") {
+    val f = file(
+      elS(0x0020, 0x000E, "UI", "1.4.4") ++
+        el(0x0029, 0x1010, "OB", Array[Byte](1, 2, 3, 4, 5, 6)))
+    val m = DicomCodec.parse(f).meta
+    assert(m.keys.forall(k => !k.startsWith("CsaImage")))
+  }
+
+  test("metaFallback + indexed probe read parser-produced keys") {
+    val spark = SharedSpark.spark
+    val ser = csaBlob(Seq(
+      "MrPhoenixProtocol" -> Seq(ascconv(Seq(
+        "sSliceArray.asSlice[0].sPosition.dTra" -> "-10.5",
+        "sDiffusion.alBValue[0]" -> "0",
+        "sDiffusion.alBValue[1]" -> "1000",
+        "sCoilSelectMeas.asList[0].sCoilElementID.tCoilID" -> "\"HeadMatrix\""
+      )))))
+    val bytes = file(elS(0x0020, 0x000E, "UI", "1.6.6") ++
+      el(0x0029, 0x1020, "OB", ser))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.GraftFunctions.register(spark)
+    val df = Seq(bytes).toDF("content")
+      .select(expr("dicom_parse(content)").as("meta"))
+    // the CoilName fallback chain (Exam_info.py:617-624) over real keys
+    val coil = df.select(DicomLike.metaFallback(col("meta"), Seq(
+      "CsaSeries.MrPhoenixProtocol.sCoilSelectMeas.asList[0].sCoilElementID.tCoilID",
+      "TransmitCoilName"), "unknown")).head().getString(0)
+    assert(coil == "HeadMatrix")
+    // the alBValue[%d] while-probe loop (Exam_info.py:694-728),
+    // vectorized over the parser's indexed ASCCONV keys
+    val bvals = df.select(DicomLike.metaIndexedProbe(col("meta"),
+      "CsaSeries.MrPhoenixProtocol.sDiffusion.alBValue", 4))
+      .head().getSeq[String](0)
+    assert(bvals == Seq("0", "1000"))
+  }
+
+  test("dicom_parse is NULL on non-DICOM bytes (sniff fused into parse)") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.GraftFunctions.register(spark)
+    val rows = Seq("junk".getBytes,
+        file(elS(0x0020, 0x000E, "UI", "1.8.8")))
+      .toDF("content")
+      .select(expr("dicom_parse(content)").as("meta"))
+      .selectExpr("meta IS NULL").as[Boolean].collect().sorted
+    assert(rows.toSeq == Seq(false, true))
+  }
+}

@@ -2,21 +2,19 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Path}
-import graft.sources.dicomlike.BytesReadCounter
+import graft.sources.dicomlike.{BytesReadCounter, DicomLikeSource}
 
 /** DataSource V2 with header-only projection pushdown: reading metadata
-  * columns must not read payload bytes. */
+  * columns must not read payload bytes (files are real explicit-VR
+  * DICOM; the reader parses them with DicomCodec). */
 class DicomSourceSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
   private def writeDicom(dir: Path, name: String, seriesUid: String,
-      instance: Int, payloadKb: Int): Unit = {
-    val header = new Array[Byte](128) ++ "DICM".getBytes ++
-      seriesUid.getBytes ++ f"$instance%04d".getBytes ++
-      "E1  ".getBytes ++ f"${3}%04d".getBytes
-    val payload = Array.fill[Byte](payloadKb * 1024)(7)
-    Files.write(dir.resolve(name), header ++ payload)
-  }
+      instance: Int, payloadKb: Int): Unit =
+    Files.write(dir.resolve(name), DicomFixture.simpleFile(
+      seriesUid, instance, echo = 1, expected = 3,
+      pixelBytes = payloadKb * 1024))
 
   private def mkFixture(): Path = {
     val dir = Files.createTempDirectory("graft_dsv2")
@@ -37,7 +35,9 @@ class DicomSourceSpec extends AnyFunSuite {
       .collect()
     val headerOnlyBytes = BytesReadCounter.bytes.get()
     assert(metas.length == 3)
-    assert(headerOnlyBytes < 4 * 1024,
+    // 3 files × one initial 4 KB window (+ the 9-byte junk probe),
+    // far below the 64 KB payloads
+    assert(headerOnlyBytes <= 3L * DicomLikeSource.InitialHeaderRead + 64,
       s"pruned read still pulled $headerOnlyBytes bytes")
 
     BytesReadCounter.reset()
@@ -74,20 +74,46 @@ class DicomSourceSpec extends AnyFunSuite {
     BytesReadCounter.reset()
     assert(df.count() == 1000)
     // header-only even through the multi-file reader
-    assert(BytesReadCounter.bytes.get() <= 1000L * 154)
+    assert(BytesReadCounter.bytes.get() <=
+      1000L * DicomLikeSource.InitialHeaderRead)
   }
 
   test("malformed header digits skip the file, not the scan") {
     val dir = Files.createTempDirectory("graft_dsv2_bad")
     writeDicom(dir, "good.dcm", "EXAM01SERA", 1, 1)
-    // passes the DICM sniff but has junk where digits belong
-    val bad = new Array[Byte](128) ++ "DICM".getBytes ++
-      "EXAM01SERB".getBytes ++ "XXXX".getBytes ++
-      "E1  ".getBytes ++ "YYYY".getBytes
+    // passes the DICM sniff but has junk where the IS digits belong
+    val bad = DicomFixture.file(
+      DicomFixture.elS(0x0020, 0x000E, "UI", "EXAM01SERB") ++
+        DicomFixture.elS(0x0020, 0x0013, "IS", "XXXX") ++
+        DicomFixture.elS(0x0020, 0x1002, "IS", "YYYY"))
     Files.write(dir.resolve("bad.dcm"), bad)
     val rows = spark.read.format("dicomlike").load(dir.toString)
       .select("series_uid", "instance_number").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("EXAM01SERA"))
+  }
+
+  test("header straddling the initial window triggers a grown re-read") {
+    val dir = Files.createTempDirectory("graft_dsv2_fat")
+    // a CSA blob larger than the 4 KB initial window pushes the
+    // stack-grouping tags past it: the reader must retry with a
+    // bigger prefix and still parse, reading far less than the payload
+    val fat = DicomFixture.csaBlob(
+      (1 to 200).map(i => s"Tag$i" -> Seq("x" * 60)))
+    assert(fat.length > DicomLikeSource.InitialHeaderRead)
+    val body =
+      DicomFixture.el(0x0029, 0x1020, "OB", fat) ++
+        DicomFixture.elS(0x0020, 0x000E, "UI", "EXAM07SERF") ++
+        DicomFixture.elS(0x0020, 0x0013, "IS", "1") ++
+        DicomFixture.elS(0x0020, 0x1002, "IS", "1")
+    Files.write(dir.resolve("fat.dcm"), DicomFixture.file(body,
+      pixel = Array.fill[Byte](1024 * 1024)(9)))
+    BytesReadCounter.reset()
+    val rows = spark.read.format("dicomlike").load(dir.toString)
+      .select("series_uid", "instance_number").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("EXAM07SERF"))
+    val read = BytesReadCounter.bytes.get()
+    assert(read > DicomLikeSource.InitialHeaderRead &&
+      read < 256 * 1024, s"grown header read pulled $read bytes")
   }
 
   test("source feeds the ingest aggregates end-to-end") {

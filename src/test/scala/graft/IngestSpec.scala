@@ -5,34 +5,31 @@ import java.nio.file.{Files, Path}
 import graft.ingest.DicomLike
 import graft.sources.FileScans
 
-/** End-to-end binary ingest: synthetic DICOM-shaped fixtures on disk →
-  * binaryFile source → sniff → header parse → stacks → exams, with the
-  * corrupt-flag branches exercised (bad count, instance gap, non-DICOM
-  * junk filtered by the sniff). */
+/** End-to-end binary ingest over REAL explicit-VR DICOM files (written
+  * by DicomFixture, parsed by DicomCodec): binaryFile source → sniff →
+  * header parse → stacks → exams, with the corrupt-flag branches
+  * exercised (bad count, instance gap, non-DICOM junk filtered by the
+  * sniff). */
 class IngestSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
-  /** series_uid must be 10 ASCII bytes, exam uid = first 6. */
+  /** series_uid: exam uid = first 6 chars (the fixture's exam key). */
   private def writeDicom(dir: Path, name: String, seriesUid: String,
-      instance: Int, echo: String, expected: Int): Unit = {
-    val header = new Array[Byte](128) ++ "DICM".getBytes ++
-      seriesUid.getBytes ++ f"$instance%04d".getBytes ++
-      echo.padTo(4, ' ').getBytes ++ f"$expected%04d".getBytes ++
-      "PIXELDATA-NOT-TO-BE-READ".getBytes
-    Files.write(dir.resolve(name), header)
-  }
+      instance: Int, echo: Int, expected: Int): Unit =
+    Files.write(dir.resolve(name),
+      DicomFixture.simpleFile(seriesUid, instance, echo, expected))
 
   test("sniff → parse → stacks → exams over fixture files") {
     val dir = Files.createTempDirectory("graft_ingest")
     // exam EXAM01: series A complete (3 files), series B bad count
-    writeDicom(dir, "a1.dcm", "EXAM01SERA", 1, "E1 ", 3)
-    writeDicom(dir, "a2.dcm", "EXAM01SERA", 2, "E1 ", 3)
-    writeDicom(dir, "a3.dcm", "EXAM01SERA", 3, "E1 ", 3)
-    writeDicom(dir, "b1.dcm", "EXAM01SERB", 1, "E1 ", 3)
-    writeDicom(dir, "b2.dcm", "EXAM01SERB", 2, "E1 ", 3)
+    writeDicom(dir, "a1.dcm", "EXAM01SERA", 1, 1, 3)
+    writeDicom(dir, "a2.dcm", "EXAM01SERA", 2, 1, 3)
+    writeDicom(dir, "a3.dcm", "EXAM01SERA", 3, 1, 3)
+    writeDicom(dir, "b1.dcm", "EXAM01SERB", 1, 1, 3)
+    writeDicom(dir, "b2.dcm", "EXAM01SERB", 2, 1, 3)
     // exam EXAM02: instance gap (1,3) with expected 2 → GAP only
-    writeDicom(dir, "c1.dcm", "EXAM02SERC", 1, "E2 ", 2)
-    writeDicom(dir, "c3.dcm", "EXAM02SERC", 3, "E2 ", 2)
+    writeDicom(dir, "c1.dcm", "EXAM02SERC", 1, 2, 2)
+    writeDicom(dir, "c3.dcm", "EXAM02SERC", 3, 2, 2)
     // junk without magic → dropped by sniff
     Files.write(dir.resolve("junk.dcm"), "not a dicom at all".getBytes)
 
@@ -56,9 +53,30 @@ class IngestSpec extends AnyFunSuite {
 
   test("pixel bytes beyond the header never affect results") {
     val dir = Files.createTempDirectory("graft_ingest2")
-    writeDicom(dir, "x1.dcm", "EXAM09SERX", 1, "E1 ", 1)
+    writeDicom(dir, "x1.dcm", "EXAM09SERX", 1, 1, 1)
     val n = DicomLike.stacks(DicomLike.parseHeaders(
       FileScans.binaryContent(spark, dir.toString, "*.dcm"))).count()
     assert(n == 1)
+  }
+
+  test("parseMeta surfaces the full keyword map incl. CSA dotted keys") {
+    val dir = Files.createTempDirectory("graft_ingest3")
+    val csaImage = DicomFixture.csaBlob(Seq(
+      "PixelSpacing" -> Seq("1.25", "1.25"),
+      "SliceThickness" -> Seq("3.0"),
+      "PhaseEncodingDirection" -> Seq("COL")))
+    val body =
+      DicomFixture.elS(0x0020, 0x000E, "UI", "EXAM05SERZ") ++
+        DicomFixture.elS(0x0020, 0x0013, "IS", "1") ++
+        DicomFixture.elS(0x0008, 0x0070, "LO", "SIEMENS") ++
+        DicomFixture.el(0x0029, 0x1010, "OB", csaImage)
+    Files.write(dir.resolve("m.dcm"),
+      DicomFixture.file(body, pixel = Array.fill[Byte](512)(1)))
+    val meta = DicomLike.parseMeta(
+        FileScans.binaryContent(spark, dir.toString, "*.dcm"))
+      .selectExpr("meta['Manufacturer']", "meta['CsaImage.PixelSpacing']",
+        "meta['CsaImage.SliceThickness']")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(meta.toSeq == Seq(("SIEMENS", "1.25\\1.25", "3.0")))
   }
 }

@@ -17,13 +17,10 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
   private def writeDicom(dir: Path, name: String, seriesUid: String,
-      instance: Int, expected: Int): Unit = {
-    val bytes = new Array[Byte](128) ++ "DICM".getBytes ++
-      seriesUid.getBytes ++ f"$instance%04d".getBytes ++
-      "E1  ".getBytes ++ f"$expected%04d".getBytes ++
-      Array.fill[Byte](256)(9)
-    Files.write(dir.resolve(name), bytes)
-  }
+      instance: Int, expected: Int): Unit =
+    Files.write(dir.resolve(name), DicomFixture.simpleFile(
+      seriesUid, instance, echo = 1, expected = expected,
+      pixelBytes = 256))
 
   test("ingest → lake merge → maintenance → script → idempotent rerun") {
     val dir = Files.createTempDirectory("graft_pipe")

@@ -99,6 +99,60 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(storedDocs == Set(1L, 2L, 11L))
   }
 
+  test("adversarial: a bucket past MaxBucketDefault truncates loudly " +
+      "at the DEFAULT cap; uncapped buckets are byte-identical") {
+    // one band key with MaxBucketDefault+1 members — the first fixture
+    // to exceed the cap nobody overrides
+    val hot = (1L to (DedupOps.MaxBucketDefault + 1).toLong)
+      .map(i => (999L, i))
+    val small = Seq((1L, 50001L), (1L, 50002L), (1L, 50003L))
+    val df = (hot ++ small).toDF("band_key", "doc_id")
+    val before = BucketAudit.totalOverflowed.get()
+    val pairs = DedupOps.bucketPairs(df, Seq("band_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the small bucket's answer is exactly what it would be alone
+    assert(pairs == Set((50001L, 50002L), (50001L, 50003L),
+      (50002L, 50003L)))
+    // the audit metric reaches the listener (async delivery)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (BucketAudit.totalOverflowed.get() == before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(BucketAudit.totalOverflowed.get() > before)
+    // and bucketOverflow names the key
+    val ov = DedupOps.bucketOverflow(df, Seq("band_key")).collect()
+    assert(ov.map(_.getLong(0)).toSeq == Seq(999L))
+  }
+
+  test("semanticDedup: hot cluster truncates loudly, cold cluster " +
+      "still deduplicates") {
+    graft.GraftFunctions.register(spark)
+    // cluster A: 51 identical vectors (a degenerate hot cluster);
+    // cluster B: 4 identical vectors, well separated. ids 0 and 1 seed
+    // the deterministic init with one vector from each cluster.
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val docs = (Seq((0L, a), (1L, b)) ++
+      (2L to 51L).map(i => (i, a)) ++
+      (52L to 54L).map(i => (i, b))).toDF("doc_id", "embedding")
+    val before = BucketAudit.totalOverflowed.get()
+    val res = SimilarityOps.semanticDedup(docs, "doc_id", "embedding",
+        simThreshold = 0.999, targetClusterSize = 28, maxCluster = 10)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // every doc is present in the output (keep/drop verdict per doc)
+    assert(res.size == 55)
+    // cold cluster B: all but the min id dropped
+    assert(Seq(52L, 53L, 54L).forall(res(_)))
+    assert(!res(1L))
+    // hot cluster A: truncated under the cap → no pairs → nothing
+    // dropped, but LOUDLY: the audit fired
+    assert((2L to 51L).forall(i => !res(i)))
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (BucketAudit.totalOverflowed.get() == before &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(BucketAudit.totalOverflowed.get() > before,
+      "hot semantic cluster was truncated silently")
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)

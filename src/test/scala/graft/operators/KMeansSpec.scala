@@ -48,6 +48,20 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("typed-literal centroid delivery survives production k·d") {
+    import spark.implicits._
+    // k=512, d=128 → 65,536 doubles: a rendered SQL array literal at
+    // this size blows codegen/constant-pool limits; the typed literal
+    // must plan and execute (one ArrayData reference in codegen)
+    val cents = Array.tabulate(512, 128)((i, j) => (i * 131 + j * 17).toDouble)
+    val rows = Seq((0L, cents(5).toSeq), (1L, cents(100).toSeq),
+      (2L, cents(511).toSeq)).toDF("id", "vec")
+    val got = KMeans.assign(rows, "vec", cents)
+      .select(col("id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(0L -> 5, 1L -> 100, 2L -> 511))
+  }
+
   test("assignment is deterministic and ties break to the lowest cid") {
     import spark.implicits._
     val two = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0))).toDF("id", "vec")
