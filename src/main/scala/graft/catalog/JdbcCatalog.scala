@@ -99,19 +99,35 @@ object JdbcCatalog {
     (if (ct.nonEmpty) w.option("createTableColumnTypes", ct) else w).save()
   }
 
-  /** K2/K3: staged MERGE upsert. Returns rows affected by the MERGE
-    * (inserted + updated; 0 on an idempotent re-run). */
-  def stagedUpsert(spark: SparkSession, url: String, table: String,
-      batch: DataFrame, key: String, exclude: Seq[String] = Nil,
-      colTypes: Map[String, String] = Map.empty): Long = {
-    val stage = table + "_STAGE"
-    write(batch, url, stage, SaveMode.Overwrite, colTypes)
-    val cols = batch.columns.toSeq
+  /** The upsert statement for a staged batch — dialect-branched:
+    *  - ANSI `MERGE INTO` (Derby-tested; runs on MySQL 8 HeatWave /
+    *    Postgres 15+ with only the quoting character changing);
+    *  - MySQL `INSERT … SELECT … ON DUPLICATE KEY UPDATE` for
+    *    `jdbc:mysql:` URLs — the reference's actual sink statement
+    *    (Cenir_DB.py:956-1024), with backtick quoting, `VALUES(c)`
+    *    new-row references (the 5.x-era form the reference targets)
+    *    and an `IF(changed, new, old)` guard per column so a row only
+    *    rewrites when a compared column really changed — the same
+    *    update-only-if-changed semantics as the MERGE's
+    *    `WHEN MATCHED AND <changed>` arm.
+    * Both forms share the null-aware per-column change predicate and
+    * the reference's round(x*1e5) double tolerance. */
+  private[graft] def upsertSql(url: String, table: String,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      key: String, exclude: Seq[String]): String = {
+    val mysql = url.startsWith("jdbc:mysql")
+    def qi(id: String) = if (mysql) s"`$id`" else q(id)
+    val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(_ == key)
     val cmpCols = nonKey.filterNot(exclude.contains)
+    // old-row vs new-row reference per dialect: MERGE sees aliases
+    // t/s; ON DUPLICATE KEY UPDATE sees the target by table name and
+    // the incoming row via VALUES(col)
+    def oldRef(c: String) = if (mysql) s"$table.${qi(c)}" else s"t.${qi(c)}"
+    def newRef(c: String) = if (mysql) s"VALUES(${qi(c)})" else s"s.${qi(c)}"
     def changedCol(c: String): String = {
-      val (t, s2) = (s"t.${q(c)}", s"s.${q(c)}")
-      val neq = batch.schema(c).dataType match {
+      val (t, s2) = (oldRef(c), newRef(c))
+      val neq = schema(c).dataType match {
         case DoubleType =>
           s"FLOOR($t * 100000 + 0.5) <> FLOOR($s2 * 100000 + 0.5)"
         case _ => s"$t <> $s2"
@@ -119,20 +135,48 @@ object JdbcCatalog {
       s"(($t IS NULL AND $s2 IS NOT NULL)" +
         s" OR ($t IS NOT NULL AND $s2 IS NULL) OR $neq)"
     }
-    val insCols = cols.map(q).mkString(", ")
-    val insVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    val insCols = cols.map(qi).mkString(", ")
     // key-only schema or all-excluded: nothing can ever count as
-    // changed, so the update arm is omitted entirely
-    val updateArm =
-      if (cmpCols.isEmpty || nonKey.isEmpty) ""
-      else {
-        val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
-        val sets = nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-        s"\nWHEN MATCHED AND $cond THEN UPDATE SET $sets"
-      }
-    val sql =
-      s"""MERGE INTO $table t USING $stage s ON t.${q(key)} = s.${q(key)}$updateArm
+    // changed, so the update arm is omitted entirely (MySQL: a
+    // no-op self-assignment of the key, the idiomatic "do nothing")
+    val haveUpdate = cmpCols.nonEmpty && nonKey.nonEmpty
+    if (mysql) {
+      val sel = cols.map(qi).mkString(", ")
+      val updates =
+        if (!haveUpdate) s"${qi(key)} = $table.${qi(key)}"
+        else {
+          val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
+          nonKey.map(c =>
+            s"${qi(c)} = IF($cond, ${newRef(c)}, ${oldRef(c)})")
+            .mkString(",\n  ")
+        }
+      s"""INSERT INTO $table ($insCols)
+         |SELECT $sel FROM $stage
+         |ON DUPLICATE KEY UPDATE
+         |  $updates""".stripMargin
+    } else {
+      val insVals = cols.map(c => s"s.${qi(c)}").mkString(", ")
+      val updateArm =
+        if (!haveUpdate) ""
+        else {
+          val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
+          val sets = nonKey.map(c => s"${qi(c)} = s.${qi(c)}")
+            .mkString(", ")
+          s"\nWHEN MATCHED AND $cond THEN UPDATE SET $sets"
+        }
+      s"""MERGE INTO $table t USING $stage s ON t.${qi(key)} = s.${qi(key)}$updateArm
          |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+    }
+  }
+
+  /** K2/K3: staged MERGE upsert. Returns rows affected by the MERGE
+    * (inserted + updated; 0 on an idempotent re-run). */
+  def stagedUpsert(spark: SparkSession, url: String, table: String,
+      batch: DataFrame, key: String, exclude: Seq[String] = Nil,
+      colTypes: Map[String, String] = Map.empty): Long = {
+    val stage = table + "_STAGE"
+    write(batch, url, stage, SaveMode.Overwrite, colTypes)
+    val sql = upsertSql(url, table, stage, batch.schema, key, exclude)
     ensureDriver(url)
     val conn = DriverManager.getConnection(url)
     try {

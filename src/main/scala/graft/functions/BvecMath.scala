@@ -45,6 +45,16 @@ object BvecMath {
       r._3 * g._1 + c._3 * g._2 + s._3 * g._3)
   }
 
+  def dot(a: Vec3, b: Vec3): Double =
+    a._1 * b._1 + a._2 * b._2 + a._3 * b._3
+
+  /** The reference's `bv · rot` (row-vector times matrix,
+    * Exam_info.py:1207-1210): express `g` in the rotation's column
+    * basis — component j = g · column_j (= rotᵀ·g, which differs from
+    * [[rotate]]'s rot·g unless the matrix is symmetric). */
+  def projectOnto(rot: (Vec3, Vec3, Vec3), g: Vec3): Vec3 =
+    (dot(g, rot._1), dot(g, rot._2), dot(g, rot._3))
+
   /** Manufacturer sign convention (the reference flips per axis). */
   def flipSigns(g: Vec3, flipX: Boolean, flipY: Boolean,
       flipZ: Boolean): Vec3 = (

@@ -112,6 +112,56 @@ object SetOps {
         .orderBy(col("same"))
     }),
 
+    // P4 — derived-series skip (Exam_info.py:1402-1418,417-455): the
+    // production filter is DicomLike.skipDerivedSeries; here a series
+    // table is synthesized from `part` so EVERY branch occurs — each
+    // derived marker, the mp2rage DERIVED+PRIMARY+UNI exception, the
+    // GE-never-shorten vendor branch, and the null-image_type keep.
+    // The oracle replicates the when-chain + boolean logic in SQL, so
+    // the filter's exact semantics (null handling included) are
+    // hash-checked, not just row-counted.
+    "p4_derived_skip" -> ((s, dir) => {
+      val series = load(s, dir, "part").select(
+        col("p_partkey").as("series_id"),
+        when(col("p_partkey") % 11 === 0, lit("DERIVED\\PRIMARY\\UNI"))
+          .when(col("p_partkey") % 11 === 1, lit("ORIGINAL\\PRIMARY\\FA\\ND"))
+          .when(col("p_partkey") % 11 === 2, lit("DERIVED\\SECONDARY\\ADC"))
+          .when(col("p_partkey") % 11 === 3, lit("ORIGINAL\\PRIMARY\\TENSOR_B0"))
+          .when(col("p_partkey") % 11 === 4, lit("ORIGINAL\\PRIMARY\\MOCO\\ND"))
+          .when(col("p_partkey") % 11 === 5, lit("DERIVED\\OTHER"))
+          .when(col("p_partkey") % 11 === 6, lit("ORIGINAL\\PRIMARY\\M\\ND"))
+          .when(col("p_partkey") % 11 === 7, lit("ORIGINAL\\PRIMARY\\TRACEW"))
+          .when(col("p_partkey") % 11 === 8, lit(null).cast("string"))
+          .otherwise(lit("ORIGINAL\\PRIMARY\\OTHER")).as("image_type"),
+        when(col("p_partkey") % 13 === 0, lit("GE MEDICAL SYSTEMS"))
+          .otherwise(lit("SIEMENS")).as("manufacturer"))
+      graft.ingest.DicomLike.skipDerivedSeries(series)
+        .groupBy(coalesce(col("image_type"), lit("(none)"))
+            .as("image_type"),
+          col("manufacturer"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("image_type"), col("manufacturer"))
+    }),
+
+    // X3 — scanner-vs-disk reconcile (do_results_DB.py:319-342) via
+    // FileScans.reconcile: a scanner manifest with planted count
+    // deviations (every 7th key expects one file too many) against a
+    // disk listing that drops low-quantity files entirely — both
+    // finding branches (missing_on_disk, count_mismatch) occur and
+    // 'ok' rows are filtered, exactly the reference's report shape.
+    "x3_reconcile_counts" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val disk = li.filter(col("l_quantity") > 10)
+        .select(col("l_partkey").as("series_key"))
+      val scanner = li.groupBy(col("l_partkey").as("series_key"))
+        .agg(count(when(col("l_quantity") > 10, 1)).as("base"))
+        .select(col("series_key"),
+          (col("base") + when(col("series_key") % 7 === 0, 1)
+            .otherwise(0)).as("n_expected"))
+      graft.sources.FileScans.reconcile(scanner, disk)
+        .orderBy(col("series_key"))
+    }),
+
     // P10 — the reference's opaque string-prefix day bucket as a
     // filter (substr(ts,1,10) = literal, Cenir_DB.py:453).
     // TimeBucketPruneRule derives the equivalent timestamp range so
@@ -187,6 +237,60 @@ object SetOps {
         |         CASE WHEN value <= 95 THEN event_type END AS b
         |  FROM events) t
         |GROUP BY 1 ORDER BY same""".stripMargin,
+
+    "p4_derived_skip" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS series_id,
+        |    CASE p_partkey % 11
+        |      WHEN 0 THEN 'DERIVED\PRIMARY\UNI'
+        |      WHEN 1 THEN 'ORIGINAL\PRIMARY\FA\ND'
+        |      WHEN 2 THEN 'DERIVED\SECONDARY\ADC'
+        |      WHEN 3 THEN 'ORIGINAL\PRIMARY\TENSOR_B0'
+        |      WHEN 4 THEN 'ORIGINAL\PRIMARY\MOCO\ND'
+        |      WHEN 5 THEN 'DERIVED\OTHER'
+        |      WHEN 6 THEN 'ORIGINAL\PRIMARY\M\ND'
+        |      WHEN 7 THEN 'ORIGINAL\PRIMARY\TRACEW'
+        |      WHEN 8 THEN NULL
+        |      ELSE 'ORIGINAL\PRIMARY\OTHER' END AS image_type,
+        |    CASE WHEN p_partkey % 13 = 0 THEN 'GE MEDICAL SYSTEMS'
+        |         ELSE 'SIEMENS' END AS manufacturer
+        |  FROM part),
+        |kept AS (
+        |  SELECT * FROM s
+        |  WHERE COALESCE(contains(upper(manufacturer),
+        |          'GE MEDICAL SYSTEMS'), FALSE)
+        |     OR COALESCE(contains(image_type, 'DERIVED')
+        |          AND contains(image_type, 'PRIMARY')
+        |          AND contains(image_type, 'UNI'), FALSE)
+        |     OR NOT COALESCE(
+        |          regexp_matches(image_type,
+        |            '\bFA\b|ADC|TENSOR|TRACEW|FSM|MOCO|DUMMY IMAGE|TTEST')
+        |          OR (contains(image_type, 'DERIVED')
+        |              AND contains(image_type, 'OTHER')), FALSE))
+        |SELECT COALESCE(image_type, '(none)') AS image_type, manufacturer,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM kept GROUP BY 1, 2 ORDER BY image_type, manufacturer""".stripMargin,
+
+    "x3_reconcile_counts" ->
+      """WITH disk AS (SELECT l_partkey AS series_key FROM lineitem
+        |              WHERE l_quantity > 10),
+        |scanner AS (
+        |  SELECT l_partkey AS series_key,
+        |    CAST(COUNT(CASE WHEN l_quantity > 10 THEN 1 END)
+        |      + CASE WHEN l_partkey % 7 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_expected
+        |  FROM lineitem GROUP BY 1),
+        |actual AS (SELECT series_key, CAST(COUNT(*) AS BIGINT) AS n_actual
+        |           FROM disk GROUP BY 1),
+        |r AS (
+        |  SELECT s.series_key, s.n_expected,
+        |    CAST(COALESCE(a.n_actual, 0) AS BIGINT) AS n_actual,
+        |    CASE WHEN a.n_actual IS NULL THEN 'missing_on_disk'
+        |         WHEN a.n_actual <> s.n_expected THEN 'count_mismatch'
+        |         ELSE 'ok' END AS finding
+        |  FROM scanner s LEFT JOIN actual a USING (series_key))
+        |SELECT series_key, n_expected, n_actual, finding FROM r
+        |WHERE finding <> 'ok' ORDER BY series_key""".stripMargin,
 
     "p10_day_bucket_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -61,6 +61,69 @@ object ActionSink {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
 
+  /** K7 — diffusion-direction text sink (write_diff_to_file,
+    * Exam_info.py:1148-1220): renders one series' gradient table as the
+    * reference's four text files in `dir`:
+    *  - `diffusion_dir.bvecs`  — rotated bvecs, transposed (3 rows ×
+    *    N cols, `%1.5f`, space-separated — np.savetxt(bvecnew.T));
+    *  - `diffusion_dir.dicom_vec` — bvecs in the DICOM patient frame
+    *    (rotation from ImageOrientationPatient row/col cosines, third
+    *    column = cross product), transposed, `%1.5f`;
+    *  - `diffusion_dir.bvals`  — b-values, one `%d` row;
+    *  - `diffusion_dir.txt`    — N rows of `bval bx by bz`, `%1.5f`.
+    * Vendor semantics (Exam_info.py:1183-1209): GE writes the raw
+    * bvecs (already in the bounding-box frame, no sign flip); everyone
+    * else rotates by the voxel-normalized affine basis with the
+    * diag(-1,-1,1) sign fix. No-clobber: an existing `.bvecs` file
+    * skips the whole write (returns "exists"; Exam_info.py:1214-1216).
+    *
+    * Per-series file emission — in the pipeline this runs inside
+    * foreachPartition on the series-grouped Dataset (tiny matrices,
+    * no shuffle, no driver collect), same as the tar/binary sinks. */
+  def writeDiffusionFiles(dir: java.nio.file.Path, manufacturer: String,
+      affineRow: graft.functions.BvecMath.Vec3,
+      affineCol: graft.functions.BvecMath.Vec3,
+      affineSlice: graft.functions.BvecMath.Vec3,
+      orientRow: graft.functions.BvecMath.Vec3,
+      orientCol: graft.functions.BvecMath.Vec3,
+      bvals: Seq[Long],
+      bvecs: Seq[graft.functions.BvecMath.Vec3]): String = {
+    import graft.functions.BvecMath._
+    import java.nio.file.Files
+    require(bvals.length == bvecs.length, "bvals/bvecs length mismatch")
+    val out = dir.resolve("diffusion_dir.bvecs")
+    if (Files.exists(out)) return "exists"
+    val isGe = manufacturer.toUpperCase.contains("GE MEDICAL SYSTEMS")
+    // rotnii: voxel-normalized affine columns; diag(-1,-1,1) unless GE
+    val rotNii = {
+      val base = (normalize(affineRow), normalize(affineCol),
+        normalize(affineSlice))
+      if (isGe) base
+      else (flipSigns(base._1, true, true, false),
+        flipSigns(base._2, true, true, false),
+        flipSigns(base._3, true, true, false))
+    }
+    val bvecNew = if (isGe) bvecs else bvecs.map(projectOnto(rotNii, _))
+    val rotDic = rotationFromOrientation(orientRow, orientCol)
+    val bvecDic = bvecs.map(projectOnto(rotDic, _))
+    def f5(v: Double) = f"$v%1.5f"
+    def writeT(name: String, vs: Seq[Vec3]): Unit = {
+      val rows = Seq(vs.map(v => f5(v._1)), vs.map(v => f5(v._2)),
+        vs.map(v => f5(v._3))).map(_.mkString(" "))
+      Files.write(dir.resolve(name),
+        (rows.mkString("\n") + "\n").getBytes)
+    }
+    writeT("diffusion_dir.bvecs", bvecNew)
+    writeT("diffusion_dir.dicom_vec", bvecDic)
+    Files.write(dir.resolve("diffusion_dir.bvals"),
+      (bvals.mkString(" ") + "\n").getBytes)
+    val txt = bvals.zip(bvecs).map { case (b, v) =>
+      s"${f5(b.toDouble)} ${f5(v._1)} ${f5(v._2)} ${f5(v._3)}"
+    }.mkString("\n") + "\n"
+    Files.write(dir.resolve("diffusion_dir.txt"), txt.getBytes)
+    "written"
+  }
+
   /** K6 — no-clobber binary sink with collision compare
     * (convert_series, Exam_info.py:1000-1025): if the target exists and
     * the content hash matches, skip; if it exists and differs, write

@@ -108,4 +108,51 @@ class JdbcSpec extends AnyFunSuite {
       .collect().map(r => Option(r.getString(1)))
     assert(out.toSeq == Seq(Some("filled"), None))
   }
+
+  test("mysql dialect emits INSERT .. ON DUPLICATE KEY UPDATE with " +
+      "change guards (Cenir_DB.py:956-1024 semantics)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, true),
+      StructField("price", DoubleType, true),
+      StructField("day", StringType, true)))
+    val sql = JdbcCatalog.upsertSql("jdbc:mysql://host/db", "EXAMS",
+      "EXAMS_STAGE", schema, "id", exclude = Seq("day"))
+    // statement shape: MySQL upsert, backtick quoting, stage SELECT
+    assert(sql.startsWith("INSERT INTO EXAMS (`id`, `name`, `price`, `day`)"))
+    assert(sql.contains("SELECT `id`, `name`, `price`, `day` FROM EXAMS_STAGE"))
+    assert(sql.contains("ON DUPLICATE KEY UPDATE"))
+    // update-only-if-changed: every non-key column is IF-guarded with
+    // old-row references by table name and new-row via VALUES()
+    assert(sql.contains("`name` = IF("))
+    assert(sql.contains("VALUES(`name`)") && sql.contains("EXAMS.`name`"))
+    // the double column compares under the reference's 1e5 tolerance
+    assert(sql.contains("FLOOR(EXAMS.`price` * 100000 + 0.5) <> " +
+      "FLOOR(VALUES(`price`) * 100000 + 0.5)"))
+    // excluded column: never part of the change predicate, still SET
+    assert(!sql.contains("VALUES(`day`) IS NOT NULL"))
+    assert(sql.contains("`day` = IF("))
+    // null-aware inequality present for the compared string column
+    assert(sql.contains("(EXAMS.`name` IS NULL AND VALUES(`name`) IS NOT NULL)"))
+  }
+
+  test("mysql dialect with nothing comparable degrades to a no-op update") {
+    val schema = StructType(Seq(StructField("id", LongType, false)))
+    val sql = JdbcCatalog.upsertSql("jdbc:mysql://host/db", "T",
+      "T_STAGE", schema, "id", Nil)
+    assert(sql.contains("ON DUPLICATE KEY UPDATE"))
+    assert(sql.contains("`id` = T.`id`")) // idiomatic "do nothing"
+  }
+
+  test("ansi dialect emission is unchanged by the dialect branch") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, true)))
+    val sql = JdbcCatalog.upsertSql("jdbc:derby:memory:x", "T",
+      "T_STAGE", schema, "id", Nil)
+    assert(sql.startsWith("MERGE INTO T t USING T_STAGE s"))
+    assert(sql.contains("WHEN MATCHED AND") &&
+      sql.contains("WHEN NOT MATCHED THEN INSERT"))
+    assert(sql.contains("\"name\" = s.\"name\""))
+  }
 }

@@ -378,4 +378,40 @@ class SourcesSinksSpec extends AnyFunSuite {
       Seq("suj"), "left_semi")
     assert(reviewed.collect().map(_.getInt(1)).toSeq == Seq(1))
   }
+
+  test("K7 diffusion sink: golden four-file render, vendor branches, " +
+      "no-clobber") {
+    val dir = Files.createTempDirectory("graft_bvec")
+    // identity affine/orientation: the Siemens branch still applies the
+    // diag(-1,-1,1) sign fix, so x/y components flip in .bvecs while
+    // .dicom_vec (patient frame) keeps the raw directions
+    val id = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    val r = ActionSink.writeDiffusionFiles(dir, "SIEMENS",
+      id._1, id._2, id._3, id._1, id._2,
+      bvals = Seq(0L, 1000L),
+      bvecs = Seq((0.0, 0.0, 0.0), (0.70711, -0.70711, 0.0)))
+    assert(r == "written")
+    def read(n: String) =
+      new String(Files.readAllBytes(dir.resolve(n)))
+    assert(read("diffusion_dir.bvecs") ==
+      "0.00000 -0.70711\n0.00000 0.70711\n0.00000 0.00000\n")
+    assert(read("diffusion_dir.dicom_vec") ==
+      "0.00000 0.70711\n0.00000 -0.70711\n0.00000 0.00000\n")
+    assert(read("diffusion_dir.bvals") == "0 1000\n")
+    assert(read("diffusion_dir.txt") ==
+      "0.00000 0.00000 0.00000 0.00000\n" +
+        "1000.00000 0.70711 -0.70711 0.00000\n")
+    // no-clobber (Exam_info.py:1214-1216)
+    assert(ActionSink.writeDiffusionFiles(dir, "SIEMENS",
+      id._1, id._2, id._3, id._1, id._2, Seq(0L),
+      Seq((1.0, 0.0, 0.0))) == "exists")
+    // GE: raw bvecs pass through unrotated, no sign flip
+    val geDir = Files.createTempDirectory("graft_bvec_ge")
+    assert(ActionSink.writeDiffusionFiles(geDir, "GE MEDICAL SYSTEMS",
+      id._1, id._2, id._3, id._1, id._2,
+      Seq(1000L), Seq((0.5, 0.5, 0.70711))) == "written")
+    assert(new String(Files.readAllBytes(
+      geDir.resolve("diffusion_dir.bvecs"))) ==
+      "0.50000\n0.50000\n0.70711\n")
+  }
 }
