@@ -105,6 +105,22 @@ object DicomLike {
         i => element_at(metaCol, concat(lit(base + "["), i, lit("]")))),
       v => v.isNotNull)
 
+  /** Series duration from the protocol text
+    * (get_series_duration_from_file, Exam_info.py:1489-1512): the
+    * reference shells out to `strings` and greps for the token after
+    * `lTotalScanTimeSec`; with the real CSA/ASCCONV flattening that
+    * value is simply the `CsaSeries.MrPhoenixProtocol.
+    * lTotalScanTimeSec` key of the parsed meta map — no subprocess,
+    * no second file read, and 0 (the reference's no-tag fallback)
+    * when the key is absent or non-numeric. */
+  def seriesDurationSec(metaCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(
+      element_at(metaCol,
+        "CsaSeries.MrPhoenixProtocol.lTotalScanTimeSec")
+        .cast("int"),
+      lit(0))
+
   /** make_unicode (do_common.py:331-342): strict UTF-8 decode with a
     * latin-1 fallback — for the binary reader path (a JVM String is
     * already decoded; this applies to raw header bytes). */

@@ -158,6 +158,24 @@ class DicomCodecSpec extends AnyFunSuite {
     assert(bvals == Seq("0", "1000"))
   }
 
+  test("series duration reads lTotalScanTimeSec from the parsed " +
+      "ASCCONV keys (no subprocess grep)") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.GraftFunctions.register(spark)
+    val withTag = file(elS(0x0020, 0x000E, "UI", "1.2.1") ++
+      el(0x0029, 0x1020, "OB", csaBlob(Seq(
+        "MrPhoenixProtocol" -> Seq(ascconv(Seq(
+          "lTotalScanTimeSec" -> "182")))))))
+    val withoutTag = file(elS(0x0020, 0x000E, "UI", "1.2.2"))
+    val got = Seq(withTag, withoutTag).toDF("content")
+      .select(expr("dicom_parse(content)").as("meta"))
+      .select(DicomLike.seriesDurationSec(col("meta")).as("d"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(0, 182)) // absent tag → the reference's 0 fallback
+  }
+
   test("dicom_parse is NULL on non-DICOM bytes (sniff fused into parse)") {
     val spark = SharedSpark.spark
     import spark.implicits._
