@@ -79,6 +79,7 @@ object DicomCodec {
     0x00080070 -> ("Manufacturer", "LO"),
     0x00080080 -> ("InstitutionName", "LO"),
     0x00081010 -> ("StationName", "SH"),
+    0x00081030 -> ("StudyDescription", "LO"),
     0x0008103E -> ("SeriesDescription", "LO"),
     0x00081090 -> ("ManufacturerModelName", "LO"),
     0x00100010 -> ("PatientName", "PN"),

@@ -105,6 +105,80 @@ object DicomLike {
         i => element_at(metaCol, concat(lit(base + "["), i, lit("]")))),
       v => v.isNotNull)
 
+  /** S6/S7 consumption — the reference's per-series info extraction
+    * (get_dicom_serie_info, Exam_info.py:356-640) as ONE projection
+    * over the parsed meta map. Every field is a column expression over
+    * `element_at(meta, …)` chains, so the whole extraction runs in
+    * codegen next to the scan and Catalyst prunes fields a downstream
+    * query never reads. Field mapping (ref lines):
+    *  - acq_time: AcquisitionDate/Time → StudyDate/Time fallback
+    *    (:369-380 via Derivations.dicomTimestamp)
+    *  - seq_name: GE private (0019,109c) else SequenceName (:466-473)
+    *  - seq_type: the classifier chain (:293-344); SeqName2 =
+    *    MrPhoenixProtocol.tSequenceFileName (:626-628)
+    *  - tr/te/ti: RepetitionTime/EchoTime/InversionTime, TE null→0
+    *    (:475-481,531)
+    *  - size_x/y/z: CsaImage.PixelSpacing (vm=2) + SliceThickness
+    *    (:541-545); slice_gap from asSlice[0/1] positions (:556-569,
+    *    clamped via Derivations.sliceGap)
+    *  - phase_dir: CsaImage.PhaseEncodingDirection with the
+    *    DirectionPositive +/- suffix (:571,635-640)
+    *  - coil_name: ImaCoilString → asCoilSelectMeas[0] tCoilID →
+    *    sCoilStringForConversion → "NULL" (:617-624)
+    *  - machine_name/exam_name/duration_sec: Derivations.machineName
+    *    (:145-152), examName GE branch (:154-167), lTotalScanTimeSec
+    *    (:1489-1512). */
+  def seriesInfo(metaDf: DataFrame): DataFrame = {
+    import graft.functions.Derivations
+    val m = col("meta")
+    def k(s: String) = element_at(m, s)
+    def slicePos(i: Int) = array(
+      k(s"CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[$i].sPosition.dTra")
+        .cast("double"),
+      k(s"CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[$i].sPosition.dSag")
+        .cast("double"),
+      k(s"CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[$i].sPosition.dCor")
+        .cast("double"))
+    val seqName = coalesce(k("0019,109c"), k("SequenceName"))
+    val sizeZ = k("CsaImage.SliceThickness").cast("double")
+    val pixSpacing = split(k("CsaImage.PixelSpacing"), "\\\\")
+    metaDf.select(
+      col("path"),
+      k("SeriesInstanceUID").as("series_uid"),
+      Derivations.dicomTimestamp(k("AcquisitionDate"),
+        k("AcquisitionTime"), k("StudyDate"), k("StudyTime"))
+        .as("acq_time"),
+      seqName.as("seq_name"),
+      Derivations.seqType(coalesce(seqName, lit("")),
+        coalesce(k("CsaSeries.MrPhoenixProtocol.tSequenceFileName"),
+          seqName, lit("")),
+        coalesce(k("SeriesDescription"), lit(""))).as("seq_type"),
+      when(seqName.isNotNull, k("RepetitionTime").cast("double"))
+        .as("tr"),
+      coalesce(k("EchoTime").cast("double"), lit(0.0)).as("te"),
+      k("InversionTime").cast("double").cast("int").as("ti"),
+      pixSpacing.getItem(0).cast("double").as("size_x"),
+      pixSpacing.getItem(1).cast("double").as("size_y"),
+      sizeZ.as("size_z"),
+      Derivations.sliceGap(slicePos(0), slicePos(1), sizeZ)
+        .as("slice_gap"),
+      when(k("CsaImage.PhaseEncodingDirectionPositive").isNotNull,
+        Derivations.phaseDir(k("CsaImage.PhaseEncodingDirection"),
+          k("CsaImage.PhaseEncodingDirectionPositive").cast("int")))
+        .otherwise(k("CsaImage.PhaseEncodingDirection"))
+        .as("phase_dir"),
+      metaFallback(m, Seq(
+        "CsaImage.ImaCoilString",
+        "CsaSeries.MrPhoenixProtocol.asCoilSelectMeas[0].asList[0].sCoilElementID.tCoilID",
+        "CsaSeries.MrPhoenixProtocol.sCoilSelectMeas.sCoilStringForConversion"),
+        "NULL").as("coil_name"),
+      Derivations.machineName(k("ManufacturerModelName"),
+        k("Manufacturer")).as("machine_name"),
+      Derivations.examName(coalesce(k("Manufacturer"), lit("")),
+        k("ProtocolName"), k("StudyDescription")).as("exam_name"),
+      seriesDurationSec(m).as("duration_sec"))
+  }
+
   /** Series duration from the protocol text
     * (get_series_duration_from_file, Exam_info.py:1489-1512): the
     * reference shells out to `strings` and greps for the token after

@@ -58,6 +58,56 @@ class FileStreamSpec extends AnyFunSuite {
       ("2024-02-01 10:00:00.0", "view", 1L)))
   }
 
+  test("streaming DICOM ingest: the codec runs in readStream and " +
+      "resumes from checkpoint as new files land") {
+    val root = Files.createTempDirectory("graft_dcm_stream")
+    val in = root.resolve("in"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(in)
+    graft.GraftFunctions.register(spark)
+
+    def write(name: String, seriesUid: String, instance: Int): Unit =
+      Files.write(in.resolve(name),
+        DicomFixture.simpleFile(seriesUid, instance, 1, 3))
+
+    // the same dicom_parse expression the batch path uses, over the
+    // binaryFile file source in streaming mode — per-series file
+    // counts maintained incrementally (the reference's nightly rescan
+    // becomes a continuous ingest)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, " +
+          "length bigint, content binary")
+        .load(in.toString)
+        .select(expr("dicom_parse(content)").as("meta"))
+        .filter(col("meta").isNotNull)
+        .select(element_at(col("meta"), "SeriesInstanceUID")
+          .as("series_uid"))
+        .groupBy(col("series_uid")).agg(count(lit(1)).as("n_files"))
+      val q = stream.writeStream.format("memory")
+        .queryName("dcm_stream").outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    write("a1.dcm", "EXAM21SERA", 1)
+    write("a2.dcm", "EXAM21SERA", 2)
+    Files.write(in.resolve("junk.dcm"), "not dicom".getBytes)
+    runOnce()
+    val first = spark.table("dcm_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(first == Map("EXAM21SERA" -> 2L))
+
+    // new arrivals only — the checkpoint skips already-seen files
+    write("a3.dcm", "EXAM21SERA", 3)
+    write("b1.dcm", "EXAM21SERB", 1)
+    runOnce()
+    val second = spark.table("dcm_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(second == Map("EXAM21SERA" -> 3L, "EXAM21SERB" -> 1L))
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
       .toDF("key", "id")

@@ -59,6 +59,64 @@ class IngestSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("seriesInfo extracts the reference's dicinfo fields end-to-end " +
+      "from real bytes") {
+    val dir = Files.createTempDirectory("graft_ingest_info")
+    val csaImage = DicomFixture.csaBlob(Seq(
+      "PixelSpacing" -> Seq("1.25", "1.25"),
+      "SliceThickness" -> Seq("3.0"),
+      "PhaseEncodingDirection" -> Seq("COL"),
+      "PhaseEncodingDirectionPositive" -> Seq("1"),
+      "ImaCoilString" -> Seq("HEA;HEP")))
+    val csaSeries = DicomFixture.csaBlob(Seq(
+      "MrPhoenixProtocol" -> Seq(DicomFixture.ascconv(Seq(
+        "tSequenceFileName" -> "\"%SiemensSeq%\\gre_2D\"",
+        "sSliceArray.asSlice[0].sPosition.dTra" -> "-10.0",
+        "sSliceArray.asSlice[0].sPosition.dSag" -> "0.0",
+        "sSliceArray.asSlice[0].sPosition.dCor" -> "0.0",
+        "sSliceArray.asSlice[1].sPosition.dTra" -> "-6.0",
+        "sSliceArray.asSlice[1].sPosition.dSag" -> "0.0",
+        "sSliceArray.asSlice[1].sPosition.dCor" -> "0.0",
+        "lTotalScanTimeSec" -> "302")))))
+    val body =
+      DicomFixture.elS(0x0020, 0x000E, "UI", "EXAM11SERQ") ++
+        DicomFixture.elS(0x0008, 0x0022, "DA", "20240115") ++
+        DicomFixture.elS(0x0008, 0x0032, "TM", "101530.25") ++
+        DicomFixture.elS(0x0008, 0x0020, "DA", "20240115") ++
+        DicomFixture.elS(0x0008, 0x0030, "TM", "100000") ++
+        DicomFixture.elS(0x0008, 0x0070, "LO", "SIEMENS") ++
+        DicomFixture.elS(0x0008, 0x1090, "LO", "Prisma_fit") ++
+        DicomFixture.elS(0x0008, 0x1030, "LO", "PROTO_MYSTUDY") ++
+        DicomFixture.elS(0x0018, 0x0024, "SH", "ep_b1000#4") ++
+        DicomFixture.elS(0x0018, 0x0080, "DS", "2500") ++
+        DicomFixture.elS(0x0018, 0x0081, "DS", "30.5") ++
+        DicomFixture.elS(0x0018, 0x0082, "DS", "900") ++
+        DicomFixture.el(0x0029, 0x1010, "OB", csaImage) ++
+        DicomFixture.el(0x0029, 0x1020, "OB", csaSeries)
+    Files.write(dir.resolve("s.dcm"),
+      DicomFixture.file(body, pixel = Array.fill[Byte](1024)(3)))
+
+    val info = DicomLike.seriesInfo(DicomLike.parseMeta(
+      FileScans.binaryContent(spark, dir.toString, "*.dcm"))).head()
+    assert(info.getAs[String]("series_uid") == "EXAM11SERQ")
+    assert(info.getAs[java.sql.Timestamp]("acq_time").toString
+      .startsWith("2024-01-15 10:15:30"))
+    assert(info.getAs[String]("seq_name") == "ep_b1000#4")
+    assert(info.getAs[String]("seq_type") == "DWI")
+    assert(info.getAs[Double]("tr") == 2500.0)
+    assert(info.getAs[Double]("te") == 30.5)
+    assert(info.getAs[Int]("ti") == 900)
+    assert(info.getAs[Double]("size_x") == 1.25)
+    assert(info.getAs[Double]("size_z") == 3.0)
+    // ‖(-6)-(-10)‖ − 3.0 = 1.0 gap
+    assert(math.abs(info.getAs[Double]("slice_gap") - 1.0) < 1e-9)
+    assert(info.getAs[String]("phase_dir") == "COL+")
+    assert(info.getAs[String]("coil_name") == "HEA;HEP")
+    assert(info.getAs[String]("machine_name") == "Prisma_fit")
+    assert(info.getAs[String]("exam_name") == "PROTO_MYSTUDY")
+    assert(info.getAs[Int]("duration_sec") == 302)
+  }
+
   test("parseMeta surfaces the full keyword map incl. CSA dotted keys") {
     val dir = Files.createTempDirectory("graft_ingest3")
     val csaImage = DicomFixture.csaBlob(Seq(
