@@ -67,7 +67,19 @@ object DicomCodec {
     * reads the same as the reference's `p1.EchoTime`). Everything else
     * keys as `gggg,eeee`. */
   private val dict: Map[Int, (String, String)] = Map(
+    // command group (PS3.7 — DIMSE messages; the C-FIND SCU decodes
+    // response command sets with the same element reader)
+    0x00000000 -> ("CommandGroupLength", "UL"),
+    0x00000002 -> ("AffectedSOPClassUID", "UI"),
+    0x00000100 -> ("CommandField", "US"),
+    0x00000110 -> ("MessageID", "US"),
+    0x00000120 -> ("MessageIDBeingRespondedTo", "US"),
+    0x00000700 -> ("Priority", "US"),
+    0x00000800 -> ("CommandDataSetType", "US"),
+    0x00000900 -> ("Status", "US"),
     0x00020010 -> ("TransferSyntaxUID", "UI"),
+    0x00080052 -> ("QueryRetrieveLevel", "CS"),
+    0x00201209 -> ("NumberOfSeriesRelatedInstances", "IS"),
     0x00080008 -> ("ImageType", "CS"),
     0x00080018 -> ("SOPInstanceUID", "UI"),
     0x00080020 -> ("StudyDate", "DA"),
@@ -183,6 +195,22 @@ object DicomCodec {
         stop = readElement(b, explicitVr, meta, emit = true)
     } catch { case Truncated => complete = false }
     Result(meta.toMap, complete)
+  }
+
+  /** Parse a BARE dataset (no preamble, no file-meta group) — the
+    * shape DICOM network messages carry (PS3.7 command sets and query
+    * identifiers): implicit VR little endian by default. Returns the
+    * same keyword/hex-keyed map as [[parse]]. */
+  def parseDataset(bytes: Array[Byte], explicitVr: Boolean = false)
+      : Map[String, String] = {
+    val b = new Buf(bytes, bytes.length)
+    val meta = mutable.LinkedHashMap.empty[String, String]
+    try {
+      var stop = false
+      while (!stop && b.remaining >= 8)
+        stop = readElement(b, explicitVr, meta, emit = true)
+    } catch { case Truncated => () }
+    meta.toMap
   }
 
   /** Codegen entry for the `dicom_parse` expression: null for
