@@ -379,6 +379,61 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(reviewed.collect().map(_.getInt(1)).toSeq == Seq(1))
   }
 
+  test("K10 mail sink: full SMTP dialogue with AUTH, dot-stuffing, " +
+      "and loud failure") {
+    import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+    val server = new java.net.ServerSocket(0)
+    val recorded = new java.util.concurrent.atomic
+      .AtomicReference[(String, String, String)]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream))
+      val out = new OutputStreamWriter(s.getOutputStream)
+      def send(l: String): Unit = { out.write(l + "\r\n"); out.flush() }
+      send("220 stub ESMTP")
+      var from = ""; var rcpt = ""; var data = ""
+      var line = in.readLine()
+      while (line != null) {
+        if (line.startsWith("EHLO")) { send("250-stub"); send("250 AUTH LOGIN") }
+        else if (line == "AUTH LOGIN") send("334 VXNlcm5hbWU6")
+        else if (line == "dXNlcg==") send("334 UGFzc3dvcmQ6") // "user"
+        else if (line == "cHdk") send("235 ok") // "pwd"
+        else if (line.startsWith("MAIL FROM:")) { from = line; send("250 ok") }
+        else if (line.startsWith("RCPT TO:")) { rcpt = line; send("250 ok") }
+        else if (line == "DATA") {
+          send("354 go")
+          val sb = new StringBuilder
+          var dl = in.readLine()
+          while (dl != ".") { sb.append(dl).append("\n"); dl = in.readLine() }
+          data = sb.toString; send("250 queued")
+        } else if (line == "QUIT") {
+          send("221 bye"); recorded.set((from, rcpt, data))
+          s.close(); server.close()
+        }
+        line = if (s.isClosed) null else in.readLine()
+      }
+    })
+    t.setDaemon(true); t.start()
+    graft.sinks.MailSink.sendMail("127.0.0.1", server.getLocalPort,
+      "graft@example.org", "admin@example.org", "MISSING DICOMS",
+      "3 series short\n.hidden dot line\ndone",
+      auth = Some(("user", "pwd")))
+    t.join(10000)
+    val (from, rcpt, data) = recorded.get()
+    assert(from == "MAIL FROM:<graft@example.org>")
+    assert(rcpt == "RCPT TO:<admin@example.org>")
+    assert(data.contains("Subject: MISSING DICOMS"))
+    assert(data.contains("..hidden dot line")) // dot-stuffed, not lost
+    assert(data.contains("done"))
+
+    // the file fallback (send_mail_file) lands a timestamped txt
+    val dir = Files.createTempDirectory("graft_mailfile")
+    val p = graft.sinks.MailSink.sendMailFile("digest body",
+      dir.toString + "/alert_", ts = 1700000000000L)
+    assert(p.getFileName.toString == "alert_1700000000000.txt")
+    assert(new String(Files.readAllBytes(p)) == "digest body\n")
+  }
+
   test("K7 diffusion sink: golden four-file render, vendor branches, " +
       "no-clobber") {
     val dir = Files.createTempDirectory("graft_bvec")
