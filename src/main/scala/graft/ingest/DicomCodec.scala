@@ -190,9 +190,31 @@ object DicomCodec {
         readElement(b, explicitVr = true, meta, emit = true)
       val ts = meta.getOrElse("TransferSyntaxUID", "1.2.840.10008.1.2.1")
       val explicitVr = ts != "1.2.840.10008.1.2"
+      // Deflated explicit VR LE (1.2.840.10008.1.2.1.99): everything
+      // after the file-meta group is one raw zlib stream — inflate and
+      // continue on the decompressed dataset. A truncated prefix read
+      // inflates what it has; Inflater just stops at the cut.
+      val body: Buf =
+        if (ts == "1.2.840.10008.1.2.1.99") {
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          inf.setInput(b.a, b.pos, b.remaining)
+          val out = new java.io.ByteArrayOutputStream(b.remaining * 4)
+          val chunk = new Array[Byte](8192)
+          var n = 1
+          while (n > 0 && !inf.finished()) {
+            n = try inf.inflate(chunk)
+            catch { case _: java.util.zip.DataFormatException => 0 }
+            out.write(chunk, 0, n)
+          }
+          val truncated = !inf.finished()
+          inf.end()
+          if (truncated) complete = false
+          val arr = out.toByteArray
+          new Buf(arr, arr.length)
+        } else b
       var stop = false
-      while (!stop && b.remaining >= 8)
-        stop = readElement(b, explicitVr, meta, emit = true)
+      while (!stop && body.remaining >= 8)
+        stop = readElement(body, explicitVr, meta, emit = true)
     } catch { case Truncated => complete = false }
     Result(meta.toMap, complete)
   }

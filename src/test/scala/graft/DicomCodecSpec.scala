@@ -87,6 +87,25 @@ class DicomCodecSpec extends AnyFunSuite {
     assert(DicomCodec.parse(f).complete)
   }
 
+  test("deflated transfer syntax inflates and parses (incl. " +
+      "stop-before-pixels inside the inflated stream)") {
+    val f = fileDeflated(
+      elS(0x0008, 0x0060, "CS", "MR") ++
+        elS(0x0020, 0x000E, "UI", "1.11.11") ++
+        elS(0x0020, 0x0013, "IS", "3"),
+      pixel = Array.fill[Byte](2048)(0x7C))
+    val r = DicomCodec.parse(f)
+    assert(r.complete)
+    assert(r.meta("Modality") == "MR")
+    assert(r.meta("SeriesInstanceUID") == "1.11.11")
+    assert(r.meta("InstanceNumber") == "3")
+    // a cut through the deflate stream reports incomplete, parses what
+    // inflated cleanly — the DSv2 regrow contract holds for deflated
+    // files too
+    val cut = java.util.Arrays.copyOf(f, f.length - 10)
+    assert(!DicomCodec.parse(cut).complete)
+  }
+
   test("CSA image + series blocks flatten to dotted keys") {
     val img = csaBlob(Seq(
       "PixelSpacing" -> Seq("1.25", "1.25"),

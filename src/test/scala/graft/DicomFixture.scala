@@ -115,6 +115,28 @@ object DicomFixture {
     out.toByteArray
   }
 
+  /** Deflated explicit VR LE (1.2.840.10008.1.2.1.99): the dataset
+    * (and pixel element) after the file-meta group is one raw zlib
+    * stream. */
+  def fileDeflated(dataset: Array[Byte],
+      pixel: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val plain = dataset ++ (if (pixel.nonEmpty)
+      el(0x7FE0, 0x0010, "OB", pixel) else Array.emptyByteArray)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(plain); d.finish()
+    val out = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    val meta = new ByteArrayOutputStream()
+    meta.write(new Array[Byte](128))
+    meta.write("DICM".getBytes(US_ASCII))
+    meta.write(elS(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1.99"))
+    meta.write(out.toByteArray)
+    meta.toByteArray
+  }
+
   /** The IngestSpec shape: one series/instance/echo/expected header
     * with junk pixel bytes that a correct parser never reads. */
   def simpleFile(seriesUid: String, instance: Int, echo: Int,
