@@ -113,7 +113,7 @@ class DicomLikeScan(path: String, required: StructType)
     // on executors and ships back (path, length) pairs only
     val top = fs.listStatus(new Path(path))
     val topFiles = top.filter(_.isFile)
-      .map(f => (f.getPath.toUri.getPath, f.getLen)).toSeq
+      .map(f => (f.getPath.toString, f.getLen)).toSeq
     val subDirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
     val nested: Seq[(String, Long)] =
       if (subDirs.isEmpty) Nil
@@ -129,7 +129,7 @@ class DicomLikeScan(path: String, required: StructType)
             val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
             while (it.hasNext) {
               val f = it.next()
-              if (f.isFile) buf += ((f.getPath.toUri.getPath, f.getLen))
+              if (f.isFile) buf += ((f.getPath.toString, f.getLen))
             }
             buf
           }.collect().toSeq
@@ -159,8 +159,12 @@ class DicomLikeScan(path: String, required: StructType)
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DicomLikeReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    new DicomLikeReaderFactory(required,
+      new graft.util.SerializableHadoopConf(conf))
+  }
 }
 
 /** One task's worth of files (size-packed, never a single file unless
@@ -168,31 +172,40 @@ class DicomLikeScan(path: String, required: StructType)
 case class DicomLikeInputPartition(files: Array[(String, Long)])
   extends InputPartition
 
-class DicomLikeReaderFactory(required: StructType)
+class DicomLikeReaderFactory(required: StructType,
+    conf: graft.util.SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new DicomLikeReader(
-      partition.asInstanceOf[DicomLikeInputPartition], required)
+      partition.asInstanceOf[DicomLikeInputPartition], required, conf)
 }
 
-class DicomLikeReader(part: DicomLikeInputPartition, required: StructType)
+class DicomLikeReader(part: DicomLikeInputPartition,
+    required: StructType, conf: graft.util.SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val needContent = required.fieldNames.contains("content")
   private var idx = 0
   private var row: InternalRow = _
 
-  /** Read the first `n` bytes of a file (or all of it if shorter). */
-  private def readPrefix(p: java.nio.file.Path, n: Int): Array[Byte] = {
-    val ch = java.nio.file.Files.newByteChannel(p)
+  /** Read the first `n` bytes of a file (or all of it if shorter) —
+    * through the Hadoop FileSystem, so the same reader serves file://,
+    * hdfs:// and s3a:// archives (executor-side open, like Spark's own
+    * file readers). */
+  private def readPrefix(p: Path, n: Int): Array[Byte] = {
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
     try {
-      val buf = java.nio.ByteBuffer.allocate(n)
+      val buf = new Array[Byte](n)
+      var off = 0
       var r = 0
-      while (r >= 0 && buf.hasRemaining) r = ch.read(buf)
-      if (buf.position() == buf.capacity()) buf.array()
-      else java.util.Arrays.copyOf(buf.array(), buf.position())
-    } finally ch.close()
+      while (r >= 0 && off < n) {
+        r = in.read(buf, off, n - off)
+        if (r > 0) off += r
+      }
+      if (off == n) buf else java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
   }
 
   /** Parse one file; None = skip (bad magic, or required header tags
@@ -200,11 +213,11 @@ class DicomLikeReader(part: DicomLikeInputPartition, required: StructType)
     * try_cast stance). Header-only projections read an initial window
     * and grow it only when the tag stream straddles the boundary. */
   private def parse(file: String, len: Long): Option[InternalRow] = {
-    val p = java.nio.file.Paths.get(file)
+    val p = new Path(file)
     var bytes: Array[Byte] = null
     var meta: Map[String, String] = null
     if (needContent) {
-      bytes = java.nio.file.Files.readAllBytes(p)
+      bytes = readPrefix(p, len.toInt)
       BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
       if (!graft.ingest.DicomCodec.isDicom(bytes)) return None
       meta = graft.ingest.DicomCodec.parse(bytes).meta
