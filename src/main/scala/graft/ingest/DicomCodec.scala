@@ -445,7 +445,11 @@ object DicomCodec {
     val begin = text.indexOf("### ASCCONV BEGIN")
     val end = text.indexOf("### ASCCONV END")
     if (begin < 0 || end < 0 || end <= begin) return
-    val body = text.substring(text.indexOf('\n', begin) + 1, end)
+    // a malformed single-line BEGIN…END (no newline between) must not
+    // throw out of the parser — there is no body to read
+    val nl = text.indexOf('\n', begin)
+    if (nl < 0 || nl >= end) return
+    val body = text.substring(nl + 1, end)
     body.split('\n').foreach { line =>
       val eq = line.indexOf('=')
       if (eq > 0) {

@@ -56,8 +56,10 @@ object MailSink {
     /** Read one (possibly multiline "250-…") reply; return the code. */
     def reply(): Int = {
       var line = in.readLine()
+      if (line == null) throw new java.io.IOException(
+        "SMTP connection closed mid-dialogue")
       val code = line.take(3).toInt
-      while (line.length > 3 && line.charAt(3) == '-')
+      while (line != null && line.length > 3 && line.charAt(3) == '-')
         line = in.readLine()
       code
     }

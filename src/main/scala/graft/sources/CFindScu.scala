@@ -135,6 +135,10 @@ object CFindScu {
     private[CFindScu] def readPdu(): (Int, Array[Byte]) = {
       val t = in.readUnsignedByte(); in.readUnsignedByte()
       val len = in.readInt()
+      // a corrupt peer must not drive an allocation-of-len OOM; 64 MiB
+      // dwarfs any identifier stream
+      require(len >= 0 && len <= 64 * 1024 * 1024,
+        s"implausible PDU length $len")
       val payload = new Array[Byte](len)
       in.readFully(payload)
       (t, payload)

@@ -140,6 +140,31 @@ class DicomCodecSpec extends AnyFunSuite {
     assert(m("CsaSeries.MrPhoenixProtocol.sKSpace.lBaseResolution") == "128")
   }
 
+  test("deterministic fuzz: DICM magic + garbage never throws") {
+    // hostile archives contain truncated/corrupt files; the scan must
+    // skip them (possibly with partial meta), never crash. LCG keeps
+    // the fuzz reproducible.
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toInt
+    }
+    (0 until 200).foreach { i =>
+      val len = 132 + math.abs(next()) % 4000
+      val bytes = new Array[Byte](len)
+      var j = 0
+      while (j < len) { bytes(j) = next().toByte; j += 1 }
+      bytes(128) = 'D'; bytes(129) = 'I'; bytes(130) = 'C'; bytes(131) = 'M'
+      val r = DicomCodec.parse(bytes) // must not throw
+      assert(r != null, s"fuzz case $i")
+    }
+    // a malformed single-line ASCCONV block must not throw either
+    val f = file(el(0x0029, 0x1020, "OB", csaBlob(Seq(
+      "MrPhoenixProtocol" -> Seq(
+        "### ASCCONV BEGIN x=1 ### ASCCONV END ###")))))
+    assert(DicomCodec.parse(f).complete)
+  }
+
   test("non-SV10 private 0029 payloads stay binary (no garbage keys)") {
     val f = file(
       elS(0x0020, 0x000E, "UI", "1.4.4") ++
