@@ -142,13 +142,23 @@ object JdbcCatalog {
     val haveUpdate = cmpCols.nonEmpty && nonKey.nonEmpty
     if (mysql) {
       val sel = cols.map(qi).mkString(", ")
+      // MySQL evaluates ODKU assignments LEFT TO RIGHT and later
+      // expressions see already-assigned values — an inline change
+      // predicate per column would read half-updated rows and diverge
+      // from the MERGE arm (an excluded column after a changed one
+      // would keep its stale value). Latch the predicate ONCE into a
+      // session variable via the first assignment: the key column
+      // never changes value, so every old-row reference in the
+      // predicate is still pristine when it evaluates.
       val updates =
         if (!haveUpdate) s"${qi(key)} = $table.${qi(key)}"
         else {
           val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
-          nonKey.map(c =>
-            s"${qi(c)} = IF($cond, ${newRef(c)}, ${oldRef(c)})")
-            .mkString(",\n  ")
+          (s"${qi(key)} = IF((@graft_chg := $cond) IS NOT NULL OR TRUE, " +
+            s"$table.${qi(key)}, $table.${qi(key)})") +
+            nonKey.map(c =>
+              s",\n  ${qi(c)} = IF(@graft_chg, ${newRef(c)}, ${oldRef(c)})")
+              .mkString
         }
       s"""INSERT INTO $table ($insCols)
          |SELECT $sel FROM $stage

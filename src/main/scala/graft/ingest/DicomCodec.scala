@@ -198,10 +198,16 @@ object DicomCodec {
         if (ts == "1.2.840.10008.1.2.1.99") {
           val inf = new java.util.zip.Inflater(true) // raw deflate
           inf.setInput(b.a, b.pos, b.remaining)
-          val out = new java.io.ByteArrayOutputStream(b.remaining * 4)
+          // size HINT only (long math — remaining*4 overflows Int past
+          // ~512 MB); growth past it is fine, but a zip-bomb must not
+          // inflate without bound: header tags sit in the first MBs,
+          // so cap the inflated window and mark incomplete beyond it
+          val maxInflated = 1 << 30
+          val hint = math.min(b.remaining.toLong * 4L, 1L << 26).toInt
+          val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
           val chunk = new Array[Byte](8192)
           var n = 1
-          while (n > 0 && !inf.finished()) {
+          while (n > 0 && !inf.finished() && out.size() < maxInflated) {
             n = try inf.inflate(chunk)
             catch { case _: java.util.zip.DataFormatException => 0 }
             out.write(chunk, 0, n)
@@ -254,15 +260,21 @@ object DicomCodec {
       new GenericArrayData(vals))
   }
 
-  /** One dataset element. Returns true iff the element is PixelData
-    * (cursor left at its tag — nothing of the value is read). */
+  /** One dataset element. Returns true iff the element is TOP-LEVEL
+    * PixelData (cursor left at its tag — nothing of the value is
+    * read). Inside a sequence item (`stopAtPixelData = false`) a
+    * nested (7FE0,0010) — icon image sequences, hostile files — is an
+    * ordinary element to skip: rewinding there would respin the item
+    * walk forever. */
   private def readElement(b: Buf, explicitVr: Boolean,
-      meta: mutable.LinkedHashMap[String, String], emit: Boolean)
-      : Boolean = {
+      meta: mutable.LinkedHashMap[String, String], emit: Boolean,
+      stopAtPixelData: Boolean = true): Boolean = {
     b.need(8)
     val group = b.u16()
     val elem = b.u16()
-    if (group == 0x7FE0 && elem == 0x0010) { b.pos -= 4; return true }
+    if (group == 0x7FE0 && elem == 0x0010 && stopAtPixelData) {
+      b.pos -= 4; return true
+    }
     if (group == 0xFFFE) { // stray delimiter at this level: skip
       b.u32(); return false
     }
@@ -295,24 +307,31 @@ object DicomCodec {
       return false
     }
     val key = dict.get(tagKey).map(_._1).getOrElse(f"$group%04x,$elem%04x")
+    // a corrupt value length that is not a multiple of the VR width
+    // must still consume ALL n bytes, or every later tag parses
+    // misaligned — decode whole units, then skip the remainder
+    def slack(w: Int): Unit = b.skip(n % w)
     val value: String =
       if (stringVRs(vr)) trimPad(DicomLike.decodeUtf8OrLatin1(b.bytes(n)))
       else vr match {
-        case "US" => decodeInts(b, n, 2, signed = false)
-        case "SS" => decodeInts(b, n, 2, signed = true)
-        case "UL" => decodeInts(b, n, 4, signed = false)
-        case "SL" => decodeInts(b, n, 4, signed = true)
+        case "US" => val v = decodeInts(b, n, 2, signed = false); slack(2); v
+        case "SS" => val v = decodeInts(b, n, 2, signed = true); slack(2); v
+        case "UL" => val v = decodeInts(b, n, 4, signed = false); slack(4); v
+        case "SL" => val v = decodeInts(b, n, 4, signed = true); slack(4); v
         case "FL" =>
-          (0 until n / 4).map(_ => java.lang.Float
+          val v = (0 until n / 4).map(_ => java.lang.Float
             .intBitsToFloat(b.i32()).toString).mkString("\\")
+          slack(4); v
         case "FD" =>
-          (0 until n / 8).map { _ =>
+          val v = (0 until n / 8).map { _ =>
             val lo = b.u32(); val hi = b.u32()
             java.lang.Double.longBitsToDouble((hi << 32) | lo).toString
           }.mkString("\\")
+          slack(8); v
         case "AT" =>
-          (0 until n / 4).map(_ => f"${b.u16()}%04x${b.u16()}%04x")
+          val v = (0 until n / 4).map(_ => f"${b.u16()}%04x${b.u16()}%04x")
             .mkString("\\")
+          slack(4); v
         case _ => b.skip(n); null // OB/OW/UN payloads stay binary
       }
     if (value != null) meta(key) = value
@@ -369,7 +388,8 @@ object DicomCodec {
               ((b.a(b.pos + 3) & 0xFF) << 8)
             if (g2 == 0xFFFE && e2 == 0xE00D) {
               b.skip(8); itemDone = true
-            } else readElement(b, explicitVr, null, emit = false)
+            } else readElement(b, explicitVr, null, emit = false,
+              stopAtPixelData = false)
           }
         } else {
           if (itemLen > b.remaining) throw Truncated

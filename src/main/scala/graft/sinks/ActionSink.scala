@@ -93,7 +93,10 @@ object ActionSink {
     require(bvals.length == bvecs.length, "bvals/bvecs length mismatch")
     val out = dir.resolve("diffusion_dir.bvecs")
     if (Files.exists(out)) return "exists"
-    val isGe = manufacturer.toUpperCase.contains("GE MEDICAL SYSTEMS")
+    // absent Manufacturer tag = not GE (the reference's `in` probe on
+    // a missing key), never an NPE
+    val isGe = Option(manufacturer).getOrElse("")
+      .toUpperCase.contains("GE MEDICAL SYSTEMS")
     // rotnii: voxel-normalized affine columns; diag(-1,-1,1) unless GE
     val rotNii = {
       val base = (normalize(affineRow), normalize(affineCol),
@@ -106,7 +109,11 @@ object ActionSink {
     val bvecNew = if (isGe) bvecs else bvecs.map(projectOnto(rotNii, _))
     val rotDic = rotationFromOrientation(orientRow, orientCol)
     val bvecDic = bvecs.map(projectOnto(rotDic, _))
-    def f5(v: Double) = f"$v%1.5f"
+    // Locale.ROOT: an executor JVM defaulting to fr_FR/de_DE would
+    // otherwise render "0,70711" and corrupt the text format
+    def f5(v: Double) =
+      String.format(java.util.Locale.ROOT, "%1.5f",
+        java.lang.Double.valueOf(v))
     def writeT(name: String, vs: Seq[Vec3]): Unit = {
       val rows = Seq(vs.map(v => f5(v._1)), vs.map(v => f5(v._2)),
         vs.map(v => f5(v._3))).map(_.mkString(" "))

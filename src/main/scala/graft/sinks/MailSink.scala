@@ -49,45 +49,58 @@ object MailSink {
     * unsent alert. */
   def sendOver(socket: Socket, from: String, to: String,
       subject: String, body: String,
-      auth: Option[(String, String)] = None): Unit = {
-    val in = new BufferedReader(
-      new InputStreamReader(socket.getInputStream, UTF_8))
-    val out = new OutputStreamWriter(socket.getOutputStream, UTF_8)
-    /** Read one (possibly multiline "250-…") reply; return the code. */
-    def reply(): Int = {
-      var line = in.readLine()
-      if (line == null) throw new java.io.IOException(
-        "SMTP connection closed mid-dialogue")
-      val code = line.take(3).toInt
-      while (line != null && line.length > 3 && line.charAt(3) == '-')
-        line = in.readLine()
-      code
-    }
-    def cmd(s: String, expect: Int*): Unit = {
-      out.write(s + "\r\n"); out.flush()
-      val c = reply()
-      if (!expect.contains(c))
-        throw new java.io.IOException(s"SMTP '$s' got $c")
-    }
-    require(reply() == 220, "no SMTP greeting")
-    cmd("EHLO graft", 250)
-    auth.foreach { case (user, pwd) =>
-      val b64 = java.util.Base64.getEncoder
-      cmd("AUTH LOGIN", 334)
-      cmd(new String(b64.encode(user.getBytes(UTF_8)), UTF_8), 334)
-      cmd(new String(b64.encode(pwd.getBytes(UTF_8)), UTF_8), 235)
-    }
-    cmd(s"MAIL FROM:<$from>", 250)
-    cmd(s"RCPT TO:<$to>", 250)
-    cmd("DATA", 354)
-    cmd(dotStuff(mimeText(from, to, subject, body)) + "\r\n.", 250)
-    cmd("QUIT", 221)
-    socket.close()
-  }
+      auth: Option[(String, String)] = None): Unit =
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(socket.getInputStream, UTF_8))
+      val out = new OutputStreamWriter(socket.getOutputStream, UTF_8)
+      /** Read one (possibly multiline "250-…") reply; return the
+        * code. A closed connection or garbage where the code belongs
+        * is an IOException, not an NPE/NumberFormatException. */
+      def reply(): Int = {
+        var line = in.readLine()
+        if (line == null) throw new java.io.IOException(
+          "SMTP connection closed mid-dialogue")
+        val code = line.take(3).toIntOption.getOrElse(
+          throw new java.io.IOException(s"malformed SMTP reply: $line"))
+        while (line != null && line.length > 3 && line.charAt(3) == '-')
+          line = in.readLine()
+        code
+      }
+      def cmd(s: String, expect: Int*): Unit = {
+        out.write(s + "\r\n"); out.flush()
+        val c = reply()
+        if (!expect.contains(c))
+          throw new java.io.IOException(s"SMTP '$s' got $c")
+      }
+      if (reply() != 220)
+        throw new java.io.IOException("no SMTP greeting")
+      cmd("EHLO graft", 250)
+      auth.foreach { case (user, pwd) =>
+        val b64 = java.util.Base64.getEncoder
+        cmd("AUTH LOGIN", 334)
+        cmd(new String(b64.encode(user.getBytes(UTF_8)), UTF_8), 334)
+        cmd(new String(b64.encode(pwd.getBytes(UTF_8)), UTF_8), 235)
+      }
+      cmd(s"MAIL FROM:<$from>", 250)
+      cmd(s"RCPT TO:<$to>", 250)
+      cmd("DATA", 354)
+      cmd(dotStuff(mimeText(from, to, subject, body)) + "\r\n.", 250)
+      cmd("QUIT", 221)
+    } finally socket.close() // a failed alert must not leak the socket
 
-  /** send_mail (common.py:451-468): connect and send one digest. */
+  /** send_mail (common.py:451-468): connect and send one digest. The
+    * alert path must never hang the run it reports on — connect and
+    * read both time out. */
   def sendMail(host: String, port: Int, from: String, to: String,
       subject: String, body: String,
-      auth: Option[(String, String)] = None): Unit =
-    sendOver(new Socket(host, port), from, to, subject, body, auth)
+      auth: Option[(String, String)] = None,
+      connectTimeoutMs: Int = 15000, readTimeoutMs: Int = 60000)
+      : Unit = {
+    val socket = new Socket()
+    socket.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
+    sendOver(socket, from, to, subject, body, auth)
+  }
 }

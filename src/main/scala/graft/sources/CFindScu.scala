@@ -166,12 +166,19 @@ object CFindScu {
       while (!done) {
         val (t, payload) = readPdu()
         require(t == 0x04, s"expected P-DATA-TF, got PDU type $t")
-        // walk every PDV in the PDU
+        // walk every PDV in the PDU — bounds-checked so a corrupt
+        // length fails loudly instead of zero-padding the dataset
+        // (Arrays.copyOfRange pads silently) or crashing with AIOOBE
         var off = 0
         while (off < payload.length) {
+          if (off + 6 > payload.length) throw new java.io.IOException(
+            s"truncated PDV header at offset $off")
           val len = ((payload(off) & 0xFF) << 24) |
             ((payload(off + 1) & 0xFF) << 16) |
             ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+          if (len < 2 || off + 4 + len > payload.length)
+            throw new java.io.IOException(
+              s"PDV length $len overruns the PDU (offset $off)")
           val mch = payload(off + 5) & 0xFF
           val data = java.util.Arrays.copyOfRange(payload,
             off + 6, off + 4 + len)
@@ -213,8 +220,13 @@ object CFindScu {
   /** Open an association (one presentation context: Study Root FIND,
     * implicit VR LE). Fails loudly on a reject. */
   def associate(host: String, port: Int, callingAe: String,
-      calledAe: String): Association = {
-    val socket = new Socket(host, port)
+      calledAe: String, connectTimeoutMs: Int = 15000,
+      readTimeoutMs: Int = 60000): Association = {
+    val socket = new Socket()
+    // a blackholed scanner must time out, not hang the driver job
+    socket.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
     val in = new DataInputStream(socket.getInputStream)
     val out = new DataOutputStream(socket.getOutputStream)
     val a = new Association(socket, in, out)

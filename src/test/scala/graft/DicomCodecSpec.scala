@@ -65,6 +65,36 @@ class DicomCodecSpec extends AnyFunSuite {
     assert(m("SeriesInstanceUID") == "1.9.9") // tags after the SQs parse
   }
 
+  test("a nested PixelData tag inside a sequence item is skipped, " +
+      "not an infinite loop") {
+    // icon image sequences legitimately nest (7FE0,0010); only the
+    // TOP-LEVEL pixel element stops the walk
+    val iconItem = elS(0x0008, 0x0060, "CS", "XX") ++
+      el(0x7FE0, 0x0010, "OB", Array.fill[Byte](32)(5))
+    val f = file(
+      elS(0x0008, 0x0060, "CS", "MR") ++
+        sqUndefined(0x0088, 0x0200, iconItem) ++
+        elS(0x0020, 0x000E, "UI", "1.10.10"),
+      pixel = Array.fill[Byte](64)(9))
+    val r = DicomCodec.parse(f)
+    assert(r.complete)
+    assert(r.meta("Modality") == "MR")
+    assert(r.meta("SeriesInstanceUID") == "1.10.10")
+  }
+
+  test("odd-length numeric values consume their slack byte (no tag " +
+      "stream desync)") {
+    // hand-rolled US element with corrupt length 3: decode 1 short,
+    // skip 1 slack byte, and the NEXT tag must still parse aligned
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val badUs = le16(0x0028) ++ le16(0x0010) ++
+      "US".getBytes ++ le16(3) ++ Array[Byte](0, 1, 99)
+    val f = file(badUs ++ elS(0x0020, 0x000E, "UI", "1.12.12"))
+    val m = DicomCodec.parse(f).meta
+    assert(m("Rows") == "256")
+    assert(m("SeriesInstanceUID") == "1.12.12")
+  }
+
   test("parse stops before PixelData — garbage pixels never misparse") {
     // pixel payload full of bytes that would decode as nonsense tags
     val junk = Array.fill[Byte](4096)(0xFE.toByte)

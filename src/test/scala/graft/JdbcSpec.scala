@@ -122,16 +122,19 @@ class JdbcSpec extends AnyFunSuite {
     assert(sql.startsWith("INSERT INTO EXAMS (`id`, `name`, `price`, `day`)"))
     assert(sql.contains("SELECT `id`, `name`, `price`, `day` FROM EXAMS_STAGE"))
     assert(sql.contains("ON DUPLICATE KEY UPDATE"))
-    // update-only-if-changed: every non-key column is IF-guarded with
-    // old-row references by table name and new-row via VALUES()
-    assert(sql.contains("`name` = IF("))
+    // update-only-if-changed: the change predicate latches ONCE into a
+    // session variable via the (value-preserving) key assignment —
+    // MySQL evaluates ODKU assignments left-to-right, so inline
+    // per-column predicates would read half-updated rows
+    assert(sql.contains("`id` = IF((@graft_chg :="))
+    assert(sql.contains("`name` = IF(@graft_chg,"))
     assert(sql.contains("VALUES(`name`)") && sql.contains("EXAMS.`name`"))
     // the double column compares under the reference's 1e5 tolerance
     assert(sql.contains("FLOOR(EXAMS.`price` * 100000 + 0.5) <> " +
       "FLOOR(VALUES(`price`) * 100000 + 0.5)"))
     // excluded column: never part of the change predicate, still SET
     assert(!sql.contains("VALUES(`day`) IS NOT NULL"))
-    assert(sql.contains("`day` = IF("))
+    assert(sql.contains("`day` = IF(@graft_chg,"))
     // null-aware inequality present for the compared string column
     assert(sql.contains("(EXAMS.`name` IS NULL AND VALUES(`name`) IS NOT NULL)"))
   }
