@@ -12,7 +12,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 DEFAULT = ["d3_simhash_hamming", "d5_embedding_neardup", "v2_ann_bucketed",
-           "j3_band_self_join", "a1_dup_exam_groups", "k3_merge_upsert"]
+           "j3_band_self_join", "a1_dup_exam_groups", "k3_merge_upsert",
+           "p4_derived_skip", "x3_reconcile_counts", "d9_semantic_dedup"]
 
 
 def main(sf_dir, out_dir, names):
