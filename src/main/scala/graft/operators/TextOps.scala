@@ -180,6 +180,33 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Leakage-safe split (beyond t8): exact-duplicate documents must
+    // land in the SAME split, or eval leaks training text — the
+    // classic contamination bug in per-doc hash splits. Cluster =
+    // content hash; the split decision hashes the cluster's KEEPER id
+    // (min doc_id), so every copy follows its keeper atomically. The
+    // corpus unions shifted copies (the d1 fixture) so multi-doc
+    // clusters really exist. Scale shape: one hash groupBy for the
+    // keeper + an equi-join back on the hash — d1's shape exactly; no
+    // window, no driver state; the split column is a pure projection.
+    "t15_leakage_safe_split" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = d.union(
+          d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .withColumn("h", md5(col("text")))
+      val keeper = all.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      all.join(keeper, "h")
+        .withColumn("split", when(expr(
+          "cast(conv(substr(md5(cast(keeper_id as string)),1,15),16,10)" +
+            " as bigint) % 100") < 90,
+          lit("train")).otherwise(lit("eval")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // Global vocabulary statistics: top-20 word trigrams by corpus
     // frequency (every occurrence counted). Explode → one partial+
     // final hash agg → top-k; deterministic tie-break on the ngram.
@@ -455,6 +482,22 @@ object TextOps {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "t15_leakage_safe_split" ->
+      """WITH allw AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 100000, text FROM documents),
+        |h AS (SELECT doc_id, md5(text) AS h FROM allw),
+        |k AS (SELECT h, MIN(doc_id) AS keeper_id FROM h GROUP BY h),
+        |s AS (SELECT h.h,
+        |        CASE WHEN ('0x' ||
+        |              substr(md5(CAST(k.keeper_id AS VARCHAR)),1,15))
+        |              ::BIGINT % 100 < 90
+        |             THEN 'train' ELSE 'eval' END AS split
+        |      FROM h JOIN k USING (h))
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_clusters
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
 
     "t9_top_ngrams" ->
       """WITH g AS (
