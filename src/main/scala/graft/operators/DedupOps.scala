@@ -240,6 +240,38 @@ object DedupOps {
         bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
     }),
 
+    // Signature-only similarity estimate: Ĵ = matching minhash lanes /
+    // 128, the unbiased LSH estimator. At corpus scale this is the
+    // first-pass filter AFTER banding and BEFORE d2's exact verify —
+    // the signature store (128 longs/doc) is all that crosses the
+    // shuffle; the (much wider) shingle arrays are only joined for
+    // pairs that survive the estimate. k/128 is dyadic, so the double
+    // is exact on both engines; lanes are bit-identical to the
+    // oracle's permutation formula (d2's band join already proves it).
+    "d11_minhash_estimate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sh = docsWithHashedShingles(s, dir)
+      val sig = sh.select(col("doc_id"),
+        expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
+          .as("sig"))
+      val pairs = bucketPairs(minhashBanded(sh), Seq("band", "band_key"))
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+          "doc_b")
+        // explicit double division: a bare `/ 128.0` literal is
+        // DECIMAL in Spark SQL and the result would stringify as
+        // 0.562500 vs the oracle's 0.5625
+        .withColumn("est", expr(
+          """round(aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1, 0)),
+            |                0, (a, b) -> a + b)
+            |      / cast(128 as double), 6)""".stripMargin))
+        .filter(col("est") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("est"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash: 60-bit signature (majority vote per bit over shingle
     // hashes), blocked on 7 bands of 8 bits (pigeonhole-exact for
     // Hamming ≤ 6), verified with bit_count(xor) ≤ 6. Oracle recomputes
@@ -472,6 +504,35 @@ object DedupOps {
         |            AS BIGINT) AS n_dup_chunks
         |FROM chunks c JOIN hc USING (h)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d11_minhash_estimate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)])) AS s FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS x
+        |      FROM sh),
+        |perm AS (SELECT unnest(range(128)) AS j),
+        |sig AS (SELECT doc_id, j,
+        |          MIN(((2*j+1)*x + j*j + 7919) % 2147483647) AS m
+        |        FROM h CROSS JOIN perm GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 8 AS b,
+        |           list(m ORDER BY j) AS key
+        |         FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |         FROM band l JOIN band r
+        |           ON l.b = r.b AND l.key = r.key
+        |          AND l.doc_id < r.doc_id),
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |          ROUND(SUM(CASE WHEN l.m = r.m THEN 1 ELSE 0 END)
+        |                / CAST(128 AS DOUBLE), 6) AS est
+        |        FROM cand c
+        |        JOIN sig l ON l.doc_id = c.doc_a
+        |        JOIN sig r ON r.doc_id = c.doc_b AND r.j = l.j
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, est FROM est
+        |WHERE est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d2_minhash_lsh" ->
       """WITH d AS (SELECT doc_id, text FROM documents
