@@ -85,10 +85,55 @@ object MultimodalOps {
           expr("length(substring(text, chunk_idx * 64 + 1, 64))")
             .as("chunk_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Per-chunk feature extraction — the decode→sample→FEATURES stage
+    // of a multimodal pipeline (image brightness/edge stats, audio
+    // window energy), expressed as integer aggregates over the sampled
+    // chunk bytes so the fake "decoder" stays deterministic and
+    // oracle-checkable. Features are all-integer (no float
+    // discipline needed) and only (doc_id, chunk_idx, 3 ints) flows
+    // downstream — the payload never crosses a shuffle, the same
+    // contract as m1/m2.
+    "m3_chunk_features" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .withColumn("n_chunks",
+          ceil(length(col("text")) / lit(64.0)).cast("int"))
+        .filter(col("n_chunks") > 0)
+        .withColumn("chunk_idx",
+          explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
+        .withColumn("c", expr("substring(text, chunk_idx * 64 + 1, 64)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("""aggregate(transform(sequence(1, length(c)),
+                |            i -> ascii(substring(c, i, 1))),
+                |          0, (a, b) -> a + b)""".stripMargin)
+            .as("sum_bytes"),
+          expr("length(c) - length(replace(c, ' ', ''))").as("n_space"),
+          expr("length(regexp_replace(c, '[^A-Z]', ''))").as("n_upper"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "m3_chunk_features" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id,
+        |    unnest([i for i in range(0, n_chunks) if i % 4 = 0])
+        |      AS chunk_idx, text
+        |  FROM d),
+        |c AS (SELECT doc_id, chunk_idx,
+        |    substring(text, chunk_idx * 64 + 1, 64) AS c FROM ch)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(list_sum([ord(substring(c, i, 1))
+        |                 for i in range(1, length(c)+1)]) AS INT)
+        |    AS sum_bytes,
+        |  CAST(length(c) - length(replace(c, ' ', '')) AS INT)
+        |    AS n_space,
+        |  CAST(length(regexp_replace(c, '[^A-Z]', '', 'g')) AS INT)
+        |    AS n_upper
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "m2_chunk_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |    CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
