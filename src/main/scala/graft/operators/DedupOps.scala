@@ -47,7 +47,7 @@ object DedupOps {
     *                  whenever the cap actually bound — in addition to
     *                  the on-demand [[bucketOverflow]] detail query.
     */
-  private[operators] def bucketPairs(banded: DataFrame, keys: Seq[String],
+  private[graft] def bucketPairs(banded: DataFrame, keys: Seq[String],
       maxBucket: Int = MaxBucketDefault, minCoBuckets: Int = 1): DataFrame = {
     // two chained generators STREAM the per-bucket cross product row by
     // row — a transform×transform pair array would materialize
@@ -98,12 +98,15 @@ object DedupOps {
 
   /** Connected components over a near-duplicate pair graph — the
     * pairs→clusters step of a dedup pipeline (keep one doc per
-    * component, drop the rest). Min-label propagation: every node
-    * starts as its own label; each round a node takes the minimum of
-    * its own and its neighbors' labels (one equi-join + one partial+
-    * final min-agg per round — no cartesians, no driver-side graph).
-    * Rounds needed = component diameter, which for near-dup graphs is
-    * small (dup clusters are dense); `maxIter` bounds the worst case
+    * component, drop the rest). Min-label propagation WITH POINTER
+    * JUMPING: each round a node takes the min of (its own label, its
+    * neighbors' labels, its label's label). The neighbor step moves
+    * labels one hop; the label-of-label step halves every remaining
+    * path, so convergence is O(log diameter) rounds instead of
+    * O(diameter) — real near-dup graphs contain long mutation CHAINS
+    * (d12's sf0.1 graph ran a plain propagation to its 20-round cap;
+    * jumping converges it in 5). Each round is two equi-joins + one
+    * partial+final min-agg — no cartesians, no driver-side graph —
     * and each round's result is persisted so lineage stays flat.
     *
     * @param edges two-column DataFrame (src, dst), undirected
@@ -111,16 +114,30 @@ object DedupOps {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20)
       : DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    // the edge subtree can be arbitrarily expensive (d12 feeds the
+    // whole LSH verify chain in here) — persist AND materialize it
+    // before the symmetrizing union, whose single job would otherwise
+    // race both branches through the cold cache and execute the
+    // subtree twice
+    val e = edges.persist()
+    e.count()
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
       .persist() // probed once per round; don't rescan the edge source
     val nodes = und.select(col("a").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).persist()
+    // Each round references the previous labels 4× (self, neighbor
+    // join, both sides of the jump join): under plain persist the
+    // LOGICAL plan would embed the whole round history 4^k-fold and
+    // driver-side analysis would dominate the runtime (measured:
+    // plan-growth, not execution, was ~95% of a 20-round run).
+    // localCheckpoint(eager) truncates lineage to the materialized
+    // partitions, so every round plans against a flat scan.
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(true)
     // Convergence probe without a labels⋈next join: labels only ever
     // shrink (min-propagation is monotone), so the label-sum is strictly
     // decreasing until the fixpoint — equal sums ⇔ no label moved. One
-    // single-row aggregate per round, and that same job is what
-    // materializes the round's persist.
+    // single-row aggregate per round over checkpointed partitions.
     def labelSumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
@@ -130,17 +147,23 @@ object DedupOps {
     while (!converged && i < maxIter) {
       val nbr = und.join(labels, und("a") === labels("node"))
         .select(col("b").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).union(nbr)
+      // pointer jump: node's candidate label = label(label(node))
+      val jump = labels.select(col("node"), col("label").as("mid"))
+        .join(labels.select(col("node").as("mid"),
+          col("label").as("jl")), "mid")
+        .select(col("node"), col("jl").as("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(nbr).union(jump)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = labelSumOf(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(labelSum) == 0
       labelSum = nextSum
       i += 1
     }
     und.unpersist()
+    e.unpersist()
     labels
   }
 
@@ -196,7 +219,7 @@ object DedupOps {
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection. */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -238,6 +261,52 @@ object DedupOps {
       val sh = docsWithHashedShingles(s, dir)
       verifyJaccard(
         bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
+    }),
+
+    // The COMPLETE dedup pipeline in one declarative plan — what a
+    // training-data run actually executes: exact clusters (content
+    // hash, star edges to the class keeper — never all-pairs), then
+    // near-dup pairs (minhash bands → capped buckets → exact Jaccard
+    // ≥ 0.8) computed over the exact-class KEEPERS ONLY — byte-copies
+    // reach their keeper through the star edge, so running LSH on
+    // class representatives is connectivity-identical and cuts the
+    // signature/banding work by the duplication factor (the order
+    // production pipelines use: exact dedup first, fuzzy on the
+    // survivors). Components elect min doc_id; output = one verdict
+    // row per document (doc_id, cluster, keep). Every stage is an
+    // already-verified operator (d1's groupBy, d2's LSH chain, d6's
+    // label propagation) composed into one lineage.
+    "d12_dedup_pipeline" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = d.union(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val hashed = all.withColumn("h", md5(col("text")))
+      val keeper = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("k"))
+      // feeds BOTH the exact-edge branch and the keeper-representative
+      // branch — cache the slim (doc_id, text, h, k) result once
+      val withK = hashed.join(keeper, "h").cache()
+      val exactEdges = withK
+        .filter(col("doc_id") =!= col("k"))
+        .select(col("k").as("src"), col("doc_id").as("dst"))
+      val reps = withK.filter(col("doc_id") === col("k"))
+        .select(col("doc_id"), col("text"))
+      val sh = reps.filter(length(col("text")) >= 8)
+        .repartition(col("doc_id"))
+        .withColumn("shingles", expr("md5_shingle60(text)"))
+        .cache()
+      val nearEdges = verifyJaccard(
+        bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = connectedComponents(exactEdges.union(nearEdges))
+        .withColumnRenamed("node", "doc_id")
+      all.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+            .as("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     // Signature-only similarity estimate: Ĵ = matching minhash lanes /
@@ -504,6 +573,59 @@ object DedupOps {
         |            AS BIGINT) AS n_dup_chunks
         |FROM chunks c JOIN hc USING (h)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d12_dedup_pipeline" ->
+      """WITH RECURSIVE allw AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |hashed AS (SELECT doc_id, md5(text) AS h FROM allw),
+        |kp AS (SELECT h, MIN(doc_id) AS k FROM hashed GROUP BY h),
+        |ex AS (SELECT kp.k AS src, hashed.doc_id AS dst
+        |       FROM hashed JOIN kp USING (h)
+        |       WHERE hashed.doc_id <> kp.k),
+        |reps AS (SELECT a.doc_id, a.text
+        |         FROM allw a JOIN kp ON kp.k = a.doc_id),
+        |d AS (SELECT doc_id, text FROM reps WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)])) AS s FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS x
+        |      FROM sh),
+        |perm AS (SELECT unnest(range(128)) AS j),
+        |sig AS (SELECT doc_id, j,
+        |          MIN(((2*j+1)*x + j*j + 7919) % 2147483647) AS m
+        |        FROM h CROSS JOIN perm GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 8 AS b,
+        |           list(m ORDER BY j) AS key
+        |         FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |         FROM band l JOIN band r
+        |           ON l.b = r.b AND l.key = r.key
+        |          AND l.doc_id < r.doc_id),
+        |ss AS (SELECT doc_id,
+        |         list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)]) AS ss FROM d),
+        |near AS (SELECT doc_a AS src, doc_b AS dst
+        |         FROM cand JOIN ss a ON a.doc_id = cand.doc_a
+        |                   JOIN ss b ON b.doc_id = cand.doc_b
+        |         WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+        |             / (len(a.ss) + len(b.ss)
+        |                - len(list_intersect(a.ss, b.ss))) >= 0.8),
+        |edges AS (SELECT src, dst FROM ex
+        |          UNION SELECT src, dst FROM near),
+        |und AS (SELECT src AS a, dst AS b FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT a AS n FROM und),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n),
+        |lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)
+        |SELECT a.doc_id,
+        |  COALESCE(l.label, a.doc_id) AS cluster,
+        |  COALESCE(l.label, a.doc_id) = a.doc_id AS keep
+        |FROM allw a LEFT JOIN lab l ON l.n = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "d11_minhash_estimate" ->
       """WITH d AS (SELECT doc_id, text FROM documents
