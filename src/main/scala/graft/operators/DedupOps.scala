@@ -126,18 +126,27 @@ object DedupOps {
       .persist() // probed once per round; don't rescan the edge source
     val nodes = und.select(col("a").as("node")).distinct()
     // Each round references the previous labels 4× (self, neighbor
-    // join, both sides of the jump join): under plain persist the
-    // LOGICAL plan would embed the whole round history 4^k-fold and
-    // driver-side analysis would dominate the runtime (measured:
+    // join, both sides of the jump join): on an unbroken lineage the
+    // LOGICAL plan embeds the whole round history 4^k-fold and
+    // driver-side analysis dominates the runtime (measured:
     // plan-growth, not execution, was ~95% of a 20-round run).
-    // localCheckpoint(eager) truncates lineage to the materialized
-    // partitions, so every round plans against a flat scan.
-    var labels = nodes.withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // `flatten` persists the round and re-roots the next round's plan
+    // at the cached data (a LogicalRDD scan): flat plans, DETERMINISTIC
+    // per-round unpersist of the superseded snapshot, and the
+    // underlying RDD lineage stays intact — an executor loss
+    // recomputes from source instead of failing the job (the
+    // localCheckpoint alternative severs recovery).
+    def flatten(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist()
+      p.count()
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (labels, labelsHandle) =
+      flatten(nodes.withColumn("label", col("node")))
     // Convergence probe without a labels⋈next join: labels only ever
     // shrink (min-propagation is monotone), so the label-sum is strictly
     // decreasing until the fixpoint — equal sums ⇔ no label moved. One
-    // single-row aggregate per round over checkpointed partitions.
+    // single-row aggregate per round over the cached snapshot.
     def labelSumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
@@ -152,18 +161,27 @@ object DedupOps {
         .join(labels.select(col("node").as("mid"),
           col("label").as("jl")), "mid")
         .select(col("node"), col("jl").as("label"))
-      val next = labels.select(col("node"), col("label"))
-        .union(nbr).union(jump)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val (next, nextHandle) = flatten(
+        labels.select(col("node"), col("label"))
+          .union(nbr).union(jump)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
       val nextSum = labelSumOf(next)
+      labelsHandle.unpersist()
       labels = next
+      labelsHandle = nextHandle
       converged = nextSum.compareTo(labelSum) == 0
       labelSum = nextSum
       i += 1
     }
     und.unpersist()
     e.unpersist()
+    // the repo-wide stance: truncation is never silent. A diameter past
+    // 2^maxIter hops would leave a cluster split across labels —
+    // callers must hear about it, not discover kept duplicates later.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter without " +
+          "converging — labels may split components; raise maxIter")
     labels
   }
 
@@ -210,20 +228,26 @@ object DedupOps {
     * DedupScaleSpec drives that store→probe→merge lifecycle. Input =
     * [[docsWithHashedShingles]]-shaped (doc_id, shingles). */
   def minhashBanded(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
+    bandedFromSig(sh.select(col("doc_id"),
       expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
-        .as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
-        .as(Seq("band", "band_key")))
+        .as("sig")))
+
+  /** Bands as 8-lane slices of an EXISTING (doc_id, sig) signature
+    * table — consumers that also need the full signature (d11's lane
+    * estimate) compute it once and band from it, instead of paying the
+    * 128×|shingles| minhash loop twice. */
+  def bandedFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
+      .as(Seq("band", "band_key")))
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection. */
   private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, ordered: Boolean = true): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    pairs.join(a, "doc_a").join(b, "doc_b")
+    val verified = pairs.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -231,7 +255,11 @@ object DedupOps {
         col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // ordered=false for edge-list consumers (d12): the global sort is
+    // a range-partition exchange that an order-insensitive downstream
+    // (union → persist → components) would pay for and then destroy
+    if (ordered) verified.orderBy(col("doc_a"), col("doc_b"))
+    else verified
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,7 +324,8 @@ object DedupOps {
         .withColumn("shingles", expr("md5_shingle60(text)"))
         .cache()
       val nearEdges = verifyJaccard(
-        bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
+        bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8,
+        ordered = false)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val labels = connectedComponents(exactEdges.union(nearEdges))
         .withColumnRenamed("node", "doc_id")
@@ -320,10 +349,14 @@ object DedupOps {
     "d11_minhash_estimate" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
+      // ONE signature pass: the same cached (doc_id, sig) table feeds
+      // banding (8-lane slices) and both sides of the lane-estimate
+      // join — minhash_sig is the hot loop, never computed twice
       val sig = sh.select(col("doc_id"),
         expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
           .as("sig"))
-      val pairs = bucketPairs(minhashBanded(sh), Seq("band", "band_key"))
+        .cache()
+      val pairs = bucketPairs(bandedFromSig(sig), Seq("band", "band_key"))
       pairs
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
           "doc_a")

@@ -42,6 +42,17 @@ object MultimodalOps {
     }
   }
 
+  /** Shared chunk geometry for m2/m3 — every 4th 64-byte chunk as
+    * (doc_id, n_chunks, chunk_idx, c); one definition so the sampling
+    * contract cannot drift between the sampler and the featurizer. */
+  private def sampledChunks(df: DataFrame): DataFrame =
+    df.withColumn("n_chunks",
+        ceil(length(col("text")) / lit(64.0)).cast("int"))
+      .filter(col("n_chunks") > 0)
+      .withColumn("chunk_idx",
+        explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
+      .withColumn("c", expr("substring(text, chunk_idx * 64 + 1, 64)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary metadata extraction over a BinaryType payload column.
     // "width"/"height" are the deterministic fake decode: two bytes of
@@ -73,17 +84,10 @@ object MultimodalOps {
     // shuffle. Payload here is the ASCII text column standing in for
     // opaque bytes (no codecs in this container — see the STUB note).
     "m2_chunk_sample" -> ((s, dir) => {
-      load(s, dir, "documents")
-        .withColumn("n_chunks",
-          ceil(length(col("text")) / lit(64.0)).cast("int"))
-        .filter(col("n_chunks") > 0)
-        .withColumn("chunk_idx",
-          explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
+      sampledChunks(load(s, dir, "documents"))
         .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
-          expr("md5(substring(text, chunk_idx * 64 + 1, 64))")
-            .as("chunk_hash"),
-          expr("length(substring(text, chunk_idx * 64 + 1, 64))")
-            .as("chunk_len"))
+          md5(col("c")).as("chunk_hash"),
+          length(col("c")).as("chunk_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
@@ -96,17 +100,20 @@ object MultimodalOps {
     // downstream — the payload never crosses a shuffle, the same
     // contract as m1/m2.
     "m3_chunk_features" -> ((s, dir) => {
-      load(s, dir, "documents")
-        .withColumn("n_chunks",
-          ceil(length(col("text")) / lit(64.0)).cast("int"))
-        .filter(col("n_chunks") > 0)
-        .withColumn("chunk_idx",
-          explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
-        .withColumn("c", expr("substring(text, chunk_idx * 64 + 1, 64)"))
+      // byte-sum restricted to printable ASCII: Spark's ascii() and
+      // DuckDB's ord() agree only there (multibyte chars return the
+      // signed lead byte vs the code point) — the guard keeps the
+      // oracle exact on any corpus, not just the ASCII fixture
+      sampledChunks(load(s, dir, "documents"))
+        .withColumn("ca", expr("regexp_replace(c, '[^ -~]', '')"))
         .select(col("doc_id"), col("chunk_idx"),
-          expr("""aggregate(transform(sequence(1, length(c)),
-                |            i -> ascii(substring(c, i, 1))),
-                |          0, (a, b) -> a + b)""".stripMargin)
+          // empty-ca guard: Spark's sequence(1, 0) is DESCENDING
+          // ([1,0]), and DuckDB's list_sum([]) is NULL — both sides
+          // pin the all-non-ASCII chunk to 0 explicitly
+          expr("""if(length(ca) = 0, 0,
+                |   aggregate(transform(sequence(1, length(ca)),
+                |               i -> ascii(substring(ca, i, 1))),
+                |             0, (a, b) -> a + b))""".stripMargin)
             .as("sum_bytes"),
           expr("length(c) - length(replace(c, ' ', ''))").as("n_space"),
           expr("length(regexp_replace(c, '[^A-Z]', ''))").as("n_upper"))
@@ -123,11 +130,13 @@ object MultimodalOps {
         |    unnest([i for i in range(0, n_chunks) if i % 4 = 0])
         |      AS chunk_idx, text
         |  FROM d),
-        |c AS (SELECT doc_id, chunk_idx,
-        |    substring(text, chunk_idx * 64 + 1, 64) AS c FROM ch)
+        |c0 AS (SELECT doc_id, chunk_idx,
+        |    substring(text, chunk_idx * 64 + 1, 64) AS c FROM ch),
+        |c AS (SELECT doc_id, chunk_idx, c,
+        |    regexp_replace(c, '[^ -~]', '', 'g') AS ca FROM c0)
         |SELECT doc_id, chunk_idx,
-        |  CAST(list_sum([ord(substring(c, i, 1))
-        |                 for i in range(1, length(c)+1)]) AS INT)
+        |  CAST(COALESCE(list_sum([ord(substring(ca, i, 1))
+        |                 for i in range(1, length(ca)+1)]), 0) AS INT)
         |    AS sum_bytes,
         |  CAST(length(c) - length(replace(c, ' ', '')) AS INT)
         |    AS n_space,

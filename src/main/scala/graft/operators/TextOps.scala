@@ -15,6 +15,15 @@ import graft.Tables.load
   */
 object TextOps {
 
+  /** The t8/t15 deterministic split bucket (0-99): md5 of the id's
+    * decimal string, first 15 hex chars as a bigint — ONE definition so
+    * the split scheme cannot drift between the per-doc split and the
+    * leakage-safe cluster split. */
+  private def splitBucket(idCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Gopher/C4-style repetition signals per document: duplicate
@@ -169,9 +178,7 @@ object TextOps {
     // leakage-free held-out sets.
     "t8_hash_split" -> ((s, dir) => {
       load(s, dir, "documents")
-        .withColumn("bucket", expr(
-          "cast(conv(substr(md5(cast(doc_id as string)),1,15),16,10)" +
-            " as bigint) % 100"))
+        .withColumn("bucket", splitBucket(col("doc_id")))
         .withColumn("split",
           when(col("bucket") < 90, lit("train")).otherwise(lit("eval")))
         .groupBy(col("lang"), col("split"))
@@ -197,9 +204,7 @@ object TextOps {
       val keeper = all.groupBy(col("h"))
         .agg(min(col("doc_id")).as("keeper_id"))
       all.join(keeper, "h")
-        .withColumn("split", when(expr(
-          "cast(conv(substr(md5(cast(keeper_id as string)),1,15),16,10)" +
-            " as bigint) % 100") < 90,
+        .withColumn("split", when(splitBucket(col("keeper_id")) < 90,
           lit("train")).otherwise(lit("eval")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
