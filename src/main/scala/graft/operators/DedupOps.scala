@@ -136,9 +136,12 @@ object DedupOps {
     // underlying RDD lineage stays intact — an executor loss
     // recomputes from source instead of failing the job (the
     // localCheckpoint alternative severs recovery).
+    // no separate materializing action: the convergence probe below is
+    // the first scan of every snapshot, and it populates the persist
+    // THROUGH the flat plan (createDataFrame(p.rdd) bottoms out at p's
+    // cache) — one action per round, not two
     def flatten(df: DataFrame): (DataFrame, DataFrame) = {
       val p = df.persist()
-      p.count()
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
     }
     var (labels, labelsHandle) =
