@@ -83,9 +83,13 @@ object DicomCodec {
     0x00080008 -> ("ImageType", "CS"),
     0x00080018 -> ("SOPInstanceUID", "UI"),
     0x00080020 -> ("StudyDate", "DA"),
+    0x00080021 -> ("SeriesDate", "DA"),
     0x00080022 -> ("AcquisitionDate", "DA"),
+    0x00080023 -> ("ContentDate", "DA"),
     0x00080030 -> ("StudyTime", "TM"),
+    0x00080031 -> ("SeriesTime", "TM"),
     0x00080032 -> ("AcquisitionTime", "TM"),
+    0x00080033 -> ("ContentTime", "TM"),
     0x00080050 -> ("AccessionNumber", "SH"),
     0x00080060 -> ("Modality", "CS"),
     0x00080070 -> ("Manufacturer", "LO"),
@@ -125,14 +129,25 @@ object DicomCodec {
     0x0020000E -> ("SeriesInstanceUID", "UI"),
     0x00200010 -> ("StudyID", "SH"),
     0x00200011 -> ("SeriesNumber", "IS"),
+    0x00200012 -> ("AcquisitionNumber", "IS"),
     0x00200013 -> ("InstanceNumber", "IS"),
     0x00200032 -> ("ImagePositionPatient", "DS"),
     0x00200037 -> ("ImageOrientationPatient", "DS"),
     0x00201002 -> ("ImagesInAcquisition", "IS"),
+    0x00201041 -> ("SliceLocation", "DS"),
     0x00204000 -> ("ImageComments", "LT"),
+    0x00280002 -> ("SamplesPerPixel", "US"),
+    0x00280004 -> ("PhotometricInterpretation", "CS"),
+    0x00280008 -> ("NumberOfFrames", "IS"),
     0x00280010 -> ("Rows", "US"),
     0x00280011 -> ("Columns", "US"),
-    0x00280030 -> ("PixelSpacing", "DS"))
+    0x00280030 -> ("PixelSpacing", "DS"),
+    0x00280100 -> ("BitsAllocated", "US"),
+    0x00280101 -> ("BitsStored", "US"),
+    0x00280102 -> ("HighBit", "US"),
+    0x00280103 -> ("PixelRepresentation", "US"),
+    0x00281050 -> ("WindowCenter", "DS"),
+    0x00281051 -> ("WindowWidth", "DS"))
 
   /** Little-endian cursor with truncation-signalling bounds checks. */
   private final class Buf(val a: Array[Byte], val limit: Int) {

@@ -33,6 +33,21 @@ class DicomCodecSpec extends AnyFunSuite {
     assert(r.meta("PixelSpacing") == "1.25\\1.25")
   }
 
+  test("widened dictionary rows decode (dates, geometry, pixel desc)") {
+    val f = file(
+      elS(0x0008, 0x0021, "DA", "20240102") ++
+        elS(0x0020, 0x1041, "DS", "-42.5") ++
+        el(0x0028, 0x0100, "US", Array[Byte](16, 0)) ++
+        elS(0x0028, 0x0004, "CS", "MONOCHROME2") ++
+        elS(0x0028, 0x1050, "DS", "40\\400"))
+    val m = DicomCodec.parse(f).meta
+    assert(m("SeriesDate") == "20240102")
+    assert(m("SliceLocation") == "-42.5")
+    assert(m("BitsAllocated") == "16")
+    assert(m("PhotometricInterpretation") == "MONOCHROME2")
+    assert(m("WindowCenter") == "40\\400")
+  }
+
   test("unknown tags key as gggg,eeee hex (the [0x19,0x109c] GE probe)") {
     val f = file(elS(0x0019, 0x109C, "LO", "epi_pepolar") ++
       elS(0x0020, 0x000E, "UI", "1.2.3"))
