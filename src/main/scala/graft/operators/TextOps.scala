@@ -317,6 +317,38 @@ object TextOps {
     "t13_quality_filter" -> ((s, dir) =>
       qualityGate(load(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // The text-side capstone — the data-prep run a training job
+    // actually executes, in one plan: quality gate (t13's exact
+    // conditions) → exact dedup among the survivors (content-hash
+    // keeper election) → deterministic split (the shared t8/t15
+    // bucket) → the per-(lang, split) training-mix report. Corpus =
+    // documents ∪ shifted copies so the dedup stage really drops rows.
+    // Scale shape: two hash aggregates + one equi-join; the gate and
+    // split are pure projections; nothing all-pairs, nothing driver-
+    // side — the same report runs unchanged over 100 TB.
+    "t16_training_mix" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val all = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        col("lang"), col("text")))
+      val kept = qualityGate(all.select(col("doc_id"), col("text")))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("n_words"))
+      val hashed = all.withColumn("h", md5(col("text")))
+        .select(col("doc_id"), col("lang"), col("h"))
+      val survivors = hashed.join(kept, "doc_id")
+      val keeper = survivors.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      survivors.join(keeper, "h")
+        .filter(col("doc_id") === col("keeper_id"))
+        .withColumn("split", when(splitBucket(col("doc_id")) < 90,
+          lit("train")).otherwise(lit("eval")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("tokens"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -413,6 +445,46 @@ object TextOps {
         |SELECT doc_id, n_words, reason IS NULL AS keep,
         |       COALESCE(reason, 'ok') AS reason
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t16_training_mix" ->
+      """WITH allw AS (SELECT doc_id, lang, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 100000, lang, text FROM documents),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM allw),
+        |f AS (SELECT doc_id, len(w) AS n_words,
+        |        len([t for t in w if t = 'the' OR t = 'a']) AS n_stop,
+        |        CASE WHEN len(w) >= 2 THEN
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END AS bi
+        |      FROM dw),
+        |r AS (SELECT doc_id, n_words,
+        |        CASE
+        |          WHEN n_words < 10 OR n_words > 5000 THEN 'length'
+        |          WHEN n_stop < 1 THEN 'language'
+        |          WHEN len(bi) > 0 AND
+        |               CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE)
+        |                 / len(bi) > 0.2 THEN 'repetition'
+        |        END AS reason
+        |      FROM f),
+        |kept AS (SELECT doc_id, n_words FROM r WHERE reason IS NULL),
+        |hashed AS (SELECT a.doc_id, a.lang, md5(a.text) AS h FROM allw a),
+        |surv AS (SELECT hashed.doc_id, hashed.lang, hashed.h,
+        |           kept.n_words
+        |         FROM hashed JOIN kept USING (doc_id)),
+        |kp AS (SELECT h, MIN(doc_id) AS keeper_id FROM surv GROUP BY h),
+        |uniq AS (SELECT s.lang, s.doc_id, s.n_words
+        |         FROM surv s JOIN kp
+        |           ON kp.h = s.h AND s.doc_id = kp.keeper_id),
+        |sp AS (SELECT lang,
+        |         CASE WHEN ('0x' ||
+        |               substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |               ::BIGINT % 100 < 90
+        |              THEN 'train' ELSE 'eval' END AS split,
+        |         n_words
+        |       FROM uniq)
+        |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_words) AS BIGINT) AS tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "t12_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
