@@ -199,6 +199,48 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
+  /** One STREAMING incremental-dedup step — the d8 asymmetric probe as
+    * a `foreachBatch` body over a continuous ingest: the micro-batch's
+    * band table probes the persisted signature store (band equi-join —
+    * no corpus re-scan, per-batch cost ∝ batch), each batch doc gets a
+    * dup verdict, and the NOVEL docs' bands append to the store so the
+    * next batch sees them. The store is the only state: no Spark state
+    * store, and a restart resumes from the source checkpoint plus the
+    * store as already written. Verdicts are band-collision candidates
+    * (an exact copy collides in all 16 bands); pipelines wanting exact
+    * confirmation run the d8 verify on flagged docs downstream.
+    *
+    * @return (doc_id, is_dup) for every batch doc */
+  def probeAndExtend(store: String, batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val sh = batch.filter(length(col("text")) >= 8)
+      .withColumn("shingles", expr("md5_shingle60(text)"))
+      .select(col("doc_id"), col("shingles"))
+    val bands = minhashBanded(sh).cache()
+    val storeExists = new java.io.File(store).exists()
+    val hits =
+      if (!storeExists)
+        spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+          .select(col("doc_id"))
+      else
+        bands.join(
+          spark.read.parquet(store)
+            .withColumnRenamed("doc_id", "corpus_id"),
+          Seq("band", "band_key"))
+          .select(col("doc_id")).distinct()
+    val verdict = batch.select(col("doc_id"))
+      .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("is_dup"))
+    // admit the novel docs into the store for the NEXT batch
+    bands.join(verdict.filter(!col("is_dup")).select(col("doc_id")),
+        "doc_id")
+      .write.mode("append").parquet(store)
+    bands.unpersist()
+    verdict
+  }
+
   /** Hash-based shingles (array<long> via the native shingle_hash64):
     * identical Jaccard modulo 64-bit collisions, far cheaper to compute,
     * shuffle, and intersect than string arrays. Docs are repartitioned

@@ -153,6 +153,59 @@ class DedupScaleSpec extends AnyFunSuite {
       "hot semantic cluster was truncated silently")
   }
 
+  test("streaming incremental dedup: probeAndExtend verdicts + store " +
+      "growth across micro-batches, driven by foreachBatch") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val in = root.resolve("in"); val ckpt = root.resolve("ckpt")
+    val store = root.resolve("bands").toString
+    val out = root.resolve("verdicts").toString
+    java.nio.file.Files.createDirectories(in)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id long, text string")
+        .parquet(in.toString + "/*")
+      val q = stream.writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+            DedupOps.probeAndExtend(store, b.toDF())
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: two novel docs
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about spark engines"))
+      .toDF("doc_id", "text").write.parquet(in.resolve("b1").toString)
+    runOnce()
+    val v1 = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v1 == Map(1L -> false, 2L -> false))
+
+    // batch 2: one exact copy of doc 1, one novel doc — the copy is
+    // flagged against the STORE (doc 1's bands persisted by batch 1)
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely novel text that matches nothing else here"))
+      .toDF("doc_id", "text").write.parquet(in.resolve("b2").toString)
+    runOnce()
+    val v2 = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v2 == Map(1L -> false, 2L -> false, 10L -> true,
+      11L -> false))
+    // only the novel doc extended the store
+    val stored = spark.read.parquet(store)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(stored == Set(1L, 2L, 11L))
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
