@@ -269,7 +269,7 @@ object Queries {
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
       DeriveOps.queries ++ graft.streaming.EventStream.queries ++
-      graft.catalog.JdbcCatalog.queries
+      graft.catalog.JdbcCatalog.queries ++ graft.ingest.IngestPipeline.queries
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -413,5 +413,5 @@ object Queries {
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
     DeriveOps.oracle ++ graft.streaming.EventStream.oracle ++
-    graft.catalog.JdbcCatalog.oracle
+    graft.catalog.JdbcCatalog.oracle ++ graft.ingest.IngestPipeline.oracle
 }

@@ -99,32 +99,38 @@ object JdbcCatalog {
     (if (ct.nonEmpty) w.option("createTableColumnTypes", ct) else w).save()
   }
 
-  /** The upsert statement for a staged batch — dialect-branched:
+  /** The upsert statement(s) for a staged batch — dialect-branched:
     *  - ANSI `MERGE INTO` (Derby-tested; runs on MySQL 8 HeatWave /
-    *    Postgres 15+ with only the quoting character changing);
-    *  - MySQL `INSERT … SELECT … ON DUPLICATE KEY UPDATE` for
-    *    `jdbc:mysql:` URLs — the reference's actual sink statement
-    *    (Cenir_DB.py:956-1024), with backtick quoting, `VALUES(c)`
-    *    new-row references (the 5.x-era form the reference targets)
-    *    and an `IF(changed, new, old)` guard per column so a row only
-    *    rewrites when a compared column really changed — the same
-    *    update-only-if-changed semantics as the MERGE's
-    *    `WHEN MATCHED AND <changed>` arm.
-    * Both forms share the null-aware per-column change predicate and
-    * the reference's round(x*1e5) double tolerance. */
-  private[graft] def upsertSql(url: String, table: String,
+    *    Postgres 15+ with only the quoting character changing): one
+    *    statement;
+    *  - MySQL for `jdbc:mysql:` URLs — the reference's sink semantics
+    *    (Cenir_DB.py:956-1024) as TWO deterministic statements:
+    *    `UPDATE … JOIN stage … SET … WHERE <changed>` (the WHERE is
+    *    evaluated against pre-update row values, per the SQL standard)
+    *    followed by `INSERT … SELECT … WHERE NOT EXISTS`. The earlier
+    *    single-statement `ON DUPLICATE KEY UPDATE` form latched the
+    *    change predicate into a `@graft_chg` session variable, but
+    *    MySQL documents both ODKU assignment order and in-statement
+    *    user-variable evaluation order as undefined (and deprecates
+    *    the latter in 8.0) — on a real server later columns could read
+    *    a stale latch. Two statements sidestep the hazard; the stage
+    *    table is static between them, so the split is only non-atomic
+    *    with respect to concurrent writers, which the reference's
+    *    single-writer ETL never has.
+    * Both dialects share the null-aware per-column change predicate
+    * and the reference's round(x*1e5) double tolerance. */
+  private[graft] def upsertSqls(url: String, table: String,
       stage: String, schema: org.apache.spark.sql.types.StructType,
-      key: String, exclude: Seq[String]): String = {
+      key: String, exclude: Seq[String]): Seq[String] = {
     val mysql = url.startsWith("jdbc:mysql")
     def qi(id: String) = if (mysql) s"`$id`" else q(id)
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(_ == key)
     val cmpCols = nonKey.filterNot(exclude.contains)
     // old-row vs new-row reference per dialect: MERGE sees aliases
-    // t/s; ON DUPLICATE KEY UPDATE sees the target by table name and
-    // the incoming row via VALUES(col)
+    // t/s; the MySQL UPDATE..JOIN sees both by table name
     def oldRef(c: String) = if (mysql) s"$table.${qi(c)}" else s"t.${qi(c)}"
-    def newRef(c: String) = if (mysql) s"VALUES(${qi(c)})" else s"s.${qi(c)}"
+    def newRef(c: String) = if (mysql) s"$stage.${qi(c)}" else s"s.${qi(c)}"
     def changedCol(c: String): String = {
       val (t, s2) = (oldRef(c), newRef(c))
       val neq = schema(c).dataType match {
@@ -141,29 +147,24 @@ object JdbcCatalog {
     // no-op self-assignment of the key, the idiomatic "do nothing")
     val haveUpdate = cmpCols.nonEmpty && nonKey.nonEmpty
     if (mysql) {
-      val sel = cols.map(qi).mkString(", ")
-      // MySQL evaluates ODKU assignments LEFT TO RIGHT and later
-      // expressions see already-assigned values — an inline change
-      // predicate per column would read half-updated rows and diverge
-      // from the MERGE arm (an excluded column after a changed one
-      // would keep its stale value). Latch the predicate ONCE into a
-      // session variable via the first assignment: the key column
-      // never changes value, so every old-row reference in the
-      // predicate is still pristine when it evaluates.
-      val updates =
-        if (!haveUpdate) s"${qi(key)} = $table.${qi(key)}"
-        else {
-          val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
-          (s"${qi(key)} = IF((@graft_chg := $cond) IS NOT NULL OR TRUE, " +
-            s"$table.${qi(key)}, $table.${qi(key)})") +
-            nonKey.map(c =>
-              s",\n  ${qi(c)} = IF(@graft_chg, ${newRef(c)}, ${oldRef(c)})")
-              .mkString
-        }
-      s"""INSERT INTO $table ($insCols)
-         |SELECT $sel FROM $stage
-         |ON DUPLICATE KEY UPDATE
-         |  $updates""".stripMargin
+      val sel = cols.map(c => s"$stage.${qi(c)}").mkString(", ")
+      val insert =
+        s"""INSERT INTO $table ($insCols)
+           |SELECT $sel FROM $stage
+           |WHERE NOT EXISTS (SELECT 1 FROM $table
+           |  WHERE $table.${qi(key)} = $stage.${qi(key)})""".stripMargin
+      if (!haveUpdate) Seq(insert)
+      else {
+        val cond = cmpCols.map(changedCol).mkString("(", " OR ", ")")
+        val sets = nonKey.map(c => s"${oldRef(c)} = ${newRef(c)}")
+          .mkString(",\n  ")
+        val update =
+          s"""UPDATE $table JOIN $stage
+             |  ON $table.${qi(key)} = $stage.${qi(key)}
+             |SET $sets
+             |WHERE $cond""".stripMargin
+        Seq(update, insert)
+      }
     } else {
       val insVals = cols.map(c => s"s.${qi(c)}").mkString(", ")
       val updateArm =
@@ -174,19 +175,20 @@ object JdbcCatalog {
             .mkString(", ")
           s"\nWHEN MATCHED AND $cond THEN UPDATE SET $sets"
         }
-      s"""MERGE INTO $table t USING $stage s ON t.${qi(key)} = s.${qi(key)}$updateArm
-         |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+      Seq(
+        s"""MERGE INTO $table t USING $stage s ON t.${qi(key)} = s.${qi(key)}$updateArm
+           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
     }
   }
 
-  /** K2/K3: staged MERGE upsert. Returns rows affected by the MERGE
+  /** K2/K3: staged MERGE upsert. Returns rows affected by the upsert
     * (inserted + updated; 0 on an idempotent re-run). */
   def stagedUpsert(spark: SparkSession, url: String, table: String,
       batch: DataFrame, key: String, exclude: Seq[String] = Nil,
       colTypes: Map[String, String] = Map.empty): Long = {
     val stage = table + "_STAGE"
     write(batch, url, stage, SaveMode.Overwrite, colTypes)
-    val sql = upsertSql(url, table, stage, batch.schema, key, exclude)
+    val sqls = upsertSqls(url, table, stage, batch.schema, key, exclude)
     ensureDriver(url)
     val conn = DriverManager.getConnection(url)
     try {
@@ -203,7 +205,7 @@ object JdbcCatalog {
           catch { case _: java.sql.SQLException => }
         tryIndex(s"CREATE INDEX ${table}_KEYIDX ON $table (${q(key)})")
         tryIndex(s"CREATE INDEX ${stage}_KEYIDX ON $stage (${q(key)})")
-        st.executeUpdate(sql).toLong
+        sqls.map(st.executeUpdate(_).toLong).sum
       } finally st.close()
     } finally conn.close()
   }

@@ -203,8 +203,10 @@ object DedupOps {
     * a `foreachBatch` body over a continuous ingest: the micro-batch's
     * band table probes the persisted signature store (band equi-join —
     * no corpus re-scan, per-batch cost ∝ batch), each batch doc gets a
-    * dup verdict, and the NOVEL docs' bands append to the store so the
-    * next batch sees them. The store is the only state: no Spark state
+    * dup verdict — against the store AND against earlier docs of the
+    * SAME micro-batch (a band-bucket window over the batch's own band
+    * table; min doc_id per bucket is the batch keeper) — and the NOVEL
+    * docs' bands append to the store so the next batch sees them. The store is the only state: no Spark state
     * store, and a restart resumes from the source checkpoint plus the
     * store as already written. Verdicts are band-collision candidates
     * (an exact copy collides in all 16 bands); pipelines wanting exact
@@ -218,8 +220,14 @@ object DedupOps {
       .withColumn("shingles", expr("md5_shingle60(text)"))
       .select(col("doc_id"), col("shingles"))
     val bands = minhashBanded(sh).cache()
-    val storeExists = new java.io.File(store).exists()
-    val hits =
+    // store existence resolves through Hadoop's FileSystem, not
+    // java.io.File: on hdfs:// / s3a:// a File-based check is always
+    // false, silently disabling the probe exactly at the scale this
+    // operator targets (round-6 advice)
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val storeExists = storePath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
+    val storeHits =
       if (!storeExists)
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"))
@@ -229,6 +237,18 @@ object DedupOps {
             .withColumnRenamed("doc_id", "corpus_id"),
           Seq("band", "band_key"))
           .select(col("doc_id")).distinct()
+    // within-batch duplicates never reach the store probe (neither
+    // copy is stored yet), so a batch-sized self-probe closes the
+    // blind spot: in every band bucket the batch's min doc_id is the
+    // keeper, every other batch doc sharing the bucket is a dup. The
+    // window is over the micro-batch's band table only — cheap.
+    val perBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val batchHits = bands
+      .withColumn("min_id", min(col("doc_id")).over(perBucket))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("doc_id")).distinct()
+    val hits = storeHits.union(batchHits).distinct()
     val verdict = batch.select(col("doc_id"))
       .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -255,30 +255,45 @@ object TextOps {
   /** The t13 gate as an input-agnostic transformation: one stateless
     * projection (`doc_id`, `n_words`, `keep`, `reason`), so the SAME
     * function runs over a batch table or a `readStream` source with no
-    * watermark or state — parity asserted in StreamingSpec. */
+    * watermark or state — parity asserted in StreamingSpec.
+    *
+    * Expression shape matters here, not just semantics. The naive
+    * version derived `w`/`bi`/`dup_bi_frac` as separate columns; when a
+    * downstream `filter(keep)` was pushed through the projection,
+    * Catalyst substituted the WHOLE chain into the predicate, and
+    * because the references sit inside CaseWhen branches (lazily
+    * evaluated, excluded from codegen subexpression elimination) the
+    * split/bigram work re-ran per reference — `element_at(split(text),
+    * i)` per index made the predicate O(words²): 12.1 s vs 0.8 s for
+    * the same data at sf0.1 (round-6 verdict). The fix is a
+    * let-binding: `transform(array(x), w -> body)` evaluates `x` once
+    * and binds it as a lambda variable, so `w` and `bi` are VALUES, not
+    * re-inlined expressions, no matter where the optimizer moves the
+    * predicate. Each top-level reference (keep, n_words, reason) costs
+    * at most one linear pass per row — pushdown-proof by construction. */
   def qualityGate(docs: DataFrame): DataFrame =
     docs
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_words", size(col("w")))
-      .withColumn("n_stop", expr(
-        "size(filter(w, t -> t = 'the' OR t = 'a'))"))
-      .withColumn("bi", expr(
-        """case when size(w) >= 2 then
-          |  transform(sequence(1, size(w)-1), i ->
-          |    concat_ws(' ', element_at(w,i), element_at(w,i+1)))
-          |else cast(array() as array<string>) end""".stripMargin))
-      .withColumn("dup_bi_frac",
-        when(size(col("bi")) > 0,
-          (size(col("bi")) - size(array_distinct(col("bi"))))
-            .cast("double") / size(col("bi")).cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("reason",
-        when(col("n_words") < 10 || col("n_words") > 5000, "length")
-          .when(col("n_stop") < 1, "language")
-          .when(col("dup_bi_frac") > 0.2, "repetition"))
-      .select(col("doc_id"), col("n_words"),
-        col("reason").isNull.as("keep"),
-        coalesce(col("reason"), lit("ok")).as("reason"))
+      .withColumn("st", expr(
+        """element_at(transform(array(split(text, ' ')), w ->
+          |  element_at(transform(array(case when size(w) >= 2 then
+          |        transform(sequence(1, size(w)-1), i ->
+          |          concat_ws(' ', element_at(w,i), element_at(w,i+1)))
+          |      else cast(array() as array<string>) end), bi ->
+          |    named_struct(
+          |      'n_words', size(w),
+          |      'reason',
+          |        case
+          |          when size(w) < 10 or size(w) > 5000 then 'length'
+          |          when size(filter(w, t -> t = 'the' OR t = 'a')) < 1
+          |            then 'language'
+          |          when size(bi) > 0 and
+          |               cast(size(bi) - size(array_distinct(bi)) as double)
+          |                 / cast(size(bi) as double) > 0.2
+          |            then 'repetition'
+          |        end)), 1)), 1)""".stripMargin))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.reason").isNull.as("keep"),
+        coalesce(col("st.reason"), lit("ok")).as("reason"))
 
   private def queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus novelty: the fraction of a doc's DISTINCT trigrams
@@ -337,9 +352,13 @@ object TextOps {
       val hashed = all.withColumn("h", md5(col("text")))
         .select(col("doc_id"), col("lang"), col("h"))
       val survivors = hashed.join(kept, "doc_id")
-      val keeper = survivors.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keeper_id"))
-      survivors.join(keeper, "h")
+      // keeper election as a window min, not groupBy+self-join: one
+      // shuffle on h instead of two, and `survivors` (which embeds the
+      // gate) is referenced exactly once in the plan
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      survivors
+        .withColumn("keeper_id", min(col("doc_id")).over(byHash))
         .filter(col("doc_id") === col("keeper_id"))
         .withColumn("split", when(splitBucket(col("doc_id")) < 90,
           lit("train")).otherwise(lit("eval")))

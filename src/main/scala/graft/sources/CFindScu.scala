@@ -243,6 +243,14 @@ object CFindScu {
       val itemType = payload(off) & 0xFF
       val len = ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
       if (itemType == 0x21) {
+        // the result byte sits at item offset 6 — a truncated or
+        // short-declared AC item must fail like every other malformed
+        // PDU (descriptive IOException), not an array bounds throw
+        if (len < 3 || off + 7 > payload.length) {
+          socket.close()
+          throw new java.io.IOException(
+            "truncated presentation-context item in A-ASSOCIATE-AC")
+        }
         val result = payload(off + 6) & 0xFF
         if (result != 0) {
           socket.close()

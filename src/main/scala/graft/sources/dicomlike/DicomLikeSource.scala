@@ -216,13 +216,18 @@ class DicomLikeReader(part: DicomLikeInputPartition,
     val p = new Path(file)
     var bytes: Array[Byte] = null
     var meta: Map[String, String] = null
+    // a single byte[] caps at Int.MaxValue: clamp every read request,
+    // and for full-content reads skip ≥2 GiB files outright (the
+    // skip-malformed stance) instead of dying on a negative array size
+    val maxRead = math.min(len, Int.MaxValue.toLong)
     if (needContent) {
+      if (len > Int.MaxValue.toLong) return None
       bytes = readPrefix(p, len.toInt)
       BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
       if (!graft.ingest.DicomCodec.isDicom(bytes)) return None
       meta = graft.ingest.DicomCodec.parse(bytes).meta
     } else {
-      var readLen = math.min(len,
+      var readLen = math.min(maxRead,
         DicomLikeSource.InitialHeaderRead.toLong).toInt
       var done = false
       while (!done) {
@@ -230,8 +235,12 @@ class DicomLikeReader(part: DicomLikeInputPartition,
         BytesReadCounter.bytes.addAndGet(bytes.length.toLong)
         if (!graft.ingest.DicomCodec.isDicom(bytes)) return None
         val res = graft.ingest.DicomCodec.parse(bytes)
-        if (res.complete || readLen >= len) { meta = res.meta; done = true }
-        else readLen = math.min(len, readLen.toLong * 4).toInt
+        // the growth clamp at maxRead (not len) keeps readLen.toInt
+        // from wrapping on multi-GiB files whose header never parses
+        // complete — the pre-clamp loop could spin on zero-byte reads
+        if (res.complete || readLen.toLong >= maxRead) {
+          meta = res.meta; done = true
+        } else readLen = math.min(maxRead, readLen.toLong * 4).toInt
       }
     }
     val series = meta.get("SeriesInstanceUID")

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver scrapes Bench's ONE stdout line out of the last ~2000
+  * chars of captured output — a line that overflows or mis-quotes
+  * silently drops the round's numbers (BENCH_r03/r04 did). Gate the
+  * renderer: budget respected by dropping fastest-first, and the line
+  * parses as strict JSON (hand-rolled validator — no JSON lib on the
+  * classpath by design). */
+class BenchRenderSpec extends AnyFunSuite {
+
+  /** Minimal strict-JSON validator: returns the index after the value
+    * or throws. Enough for objects/strings/numbers/bools, which is all
+    * the bench line contains. */
+  private def parseValue(s: String, i0: Int): Int = {
+    var i = i0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    ws()
+    require(i < s.length, "eof")
+    s(i) match {
+      case '{' =>
+        i += 1; ws()
+        if (s(i) == '}') return i + 1
+        var done = false
+        while (!done) {
+          i = parseString(s, i); ws()
+          require(s(i) == ':', s"expected ':' at $i"); i += 1
+          i = parseValue(s, i); ws()
+          if (s(i) == ',') { i += 1; ws() }
+          else { require(s(i) == '}', s"expected '}}' at $i"); i += 1; done = true }
+        }
+        i
+      case '"' => parseString(s, i)
+      case 't' => require(s.startsWith("true", i)); i + 4
+      case 'f' => require(s.startsWith("false", i)); i + 5
+      case c if c == '-' || c.isDigit =>
+        i += 1
+        while (i < s.length &&
+          (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+        i
+      case c => fail(s"unexpected '$c' at $i")
+    }
+  }
+
+  private def parseString(s: String, i0: Int): Int = {
+    require(s(i0) == '"', s"expected '\"' at $i0")
+    var i = i0 + 1
+    while (s(i) != '"') {
+      require(s(i) >= ' ', s"raw control char at $i")
+      if (s(i) == '\\') i += 2 else i += 1
+    }
+    i + 1
+  }
+
+  private def assertStrictJsonObject(line: String): Unit = {
+    val end = parseValue(line, 0)
+    assert(line.substring(end).trim.isEmpty, "trailing garbage")
+    assert(line.startsWith("{") && line.endsWith("}"))
+  }
+
+  private val manyTimes =
+    (1 to 120).map(i => (f"q$i%03d_some_query_name", i * 0.137))
+
+  test("full line is strict JSON with every query when it fits") {
+    val line = Bench.stdoutLine(manyTimes.take(5),
+      Seq("bad_q" -> "boom \"quoted\"\nsecond line"), "/root/testdata/sf0.1")
+    assertStrictJsonObject(line)
+    assert(line.contains("\"q001_some_query_name\":0.137"))
+    assert(!line.contains("queries_omitted"))
+    assert(!line.contains("\n"))
+  }
+
+  test("over-budget suites drop fastest queries, stay parseable, fit") {
+    val line = Bench.stdoutLine(manyTimes, Nil, "/root/testdata/sf0.1")
+    assertStrictJsonObject(line)
+    assert(line.length <= 1700)
+    assert(line.contains("queries_omitted"))
+    // the SLOWEST query always survives the cut
+    assert(line.contains("\"q120_some_query_name\":"))
+    // the fastest is the first casualty
+    assert(!line.contains("\"q001_some_query_name\":"))
+    assert(line.contains("\"n_ok\":120"))
+  }
+
+  test("pathological error messages cannot break the JSON") {
+    val errs = (1 to 5).map(i =>
+      (s"e$i", "x" * 500 + "\"\\\n tail"))
+    val line = Bench.stdoutLine(manyTimes.take(3), errs, "/sf")
+    assertStrictJsonObject(line)
+    // only 3 error entries on stdout, each hard-truncated
+    assert(!line.contains("e4"))
+  }
+}

@@ -109,49 +109,57 @@ class JdbcSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Some("filled"), None))
   }
 
-  test("mysql dialect emits INSERT .. ON DUPLICATE KEY UPDATE with " +
+  test("mysql dialect emits UPDATE..JOIN + INSERT..NOT EXISTS with " +
       "change guards (Cenir_DB.py:956-1024 semantics)") {
     val schema = StructType(Seq(
       StructField("id", LongType, false),
       StructField("name", StringType, true),
       StructField("price", DoubleType, true),
       StructField("day", StringType, true)))
-    val sql = JdbcCatalog.upsertSql("jdbc:mysql://host/db", "EXAMS",
+    val sqls = JdbcCatalog.upsertSqls("jdbc:mysql://host/db", "EXAMS",
       "EXAMS_STAGE", schema, "id", exclude = Seq("day"))
-    // statement shape: MySQL upsert, backtick quoting, stage SELECT
-    assert(sql.startsWith("INSERT INTO EXAMS (`id`, `name`, `price`, `day`)"))
-    assert(sql.contains("SELECT `id`, `name`, `price`, `day` FROM EXAMS_STAGE"))
-    assert(sql.contains("ON DUPLICATE KEY UPDATE"))
-    // update-only-if-changed: the change predicate latches ONCE into a
-    // session variable via the (value-preserving) key assignment —
-    // MySQL evaluates ODKU assignments left-to-right, so inline
-    // per-column predicates would read half-updated rows
-    assert(sql.contains("`id` = IF((@graft_chg :="))
-    assert(sql.contains("`name` = IF(@graft_chg,"))
-    assert(sql.contains("VALUES(`name`)") && sql.contains("EXAMS.`name`"))
+    // two deterministic statements — no ODKU, no session-variable
+    // latch (MySQL documents ODKU assignment order and in-statement
+    // user-variable evaluation order as undefined)
+    assert(sqls.size == 2)
+    val Seq(update, insert) = sqls
+    assert(!update.contains("@graft_chg") && !insert.contains("@graft_chg"))
+    assert(!insert.contains("ON DUPLICATE KEY UPDATE"))
+    // update arm: pre-update WHERE over target vs stage, all non-key
+    // columns SET (excluded ones too — MERGE-arm parity)
+    assert(update.startsWith("UPDATE EXAMS JOIN EXAMS_STAGE"))
+    assert(update.contains("ON EXAMS.`id` = EXAMS_STAGE.`id`"))
+    assert(update.contains("EXAMS.`name` = EXAMS_STAGE.`name`"))
+    assert(update.contains("EXAMS.`day` = EXAMS_STAGE.`day`"))
     // the double column compares under the reference's 1e5 tolerance
-    assert(sql.contains("FLOOR(EXAMS.`price` * 100000 + 0.5) <> " +
-      "FLOOR(VALUES(`price`) * 100000 + 0.5)"))
+    assert(update.contains("FLOOR(EXAMS.`price` * 100000 + 0.5) <> " +
+      "FLOOR(EXAMS_STAGE.`price` * 100000 + 0.5)"))
     // excluded column: never part of the change predicate, still SET
-    assert(!sql.contains("VALUES(`day`) IS NOT NULL"))
-    assert(sql.contains("`day` = IF(@graft_chg,"))
+    assert(!update.contains("EXAMS_STAGE.`day` IS NOT NULL"))
     // null-aware inequality present for the compared string column
-    assert(sql.contains("(EXAMS.`name` IS NULL AND VALUES(`name`) IS NOT NULL)"))
+    assert(update.contains(
+      "(EXAMS.`name` IS NULL AND EXAMS_STAGE.`name` IS NOT NULL)"))
+    // insert arm: only rows whose key is absent from the target
+    assert(insert.startsWith(
+      "INSERT INTO EXAMS (`id`, `name`, `price`, `day`)"))
+    assert(insert.contains("WHERE NOT EXISTS (SELECT 1 FROM EXAMS"))
+    assert(insert.contains("EXAMS.`id` = EXAMS_STAGE.`id`"))
   }
 
-  test("mysql dialect with nothing comparable degrades to a no-op update") {
+  test("mysql dialect with nothing comparable degrades to insert-only") {
     val schema = StructType(Seq(StructField("id", LongType, false)))
-    val sql = JdbcCatalog.upsertSql("jdbc:mysql://host/db", "T",
+    val sqls = JdbcCatalog.upsertSqls("jdbc:mysql://host/db", "T",
       "T_STAGE", schema, "id", Nil)
-    assert(sql.contains("ON DUPLICATE KEY UPDATE"))
-    assert(sql.contains("`id` = T.`id`")) // idiomatic "do nothing"
+    assert(sqls.size == 1) // no update arm at all — the "do nothing"
+    assert(sqls.head.startsWith("INSERT INTO T (`id`)"))
+    assert(sqls.head.contains("WHERE NOT EXISTS"))
   }
 
   test("ansi dialect emission is unchanged by the dialect branch") {
     val schema = StructType(Seq(
       StructField("id", LongType, false),
       StructField("name", StringType, true)))
-    val sql = JdbcCatalog.upsertSql("jdbc:derby:memory:x", "T",
+    val Seq(sql) = JdbcCatalog.upsertSqls("jdbc:derby:memory:x", "T",
       "T_STAGE", schema, "id", Nil)
     assert(sql.startsWith("MERGE INTO T t USING T_STAGE s"))
     assert(sql.contains("WHEN MATCHED AND") &&
