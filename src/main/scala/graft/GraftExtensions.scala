@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
+import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -43,7 +43,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => BloomContains(es.head, es(1))),
     (FunctionIdentifier("dicom_parse"),
       new ExpressionInfo(classOf[DicomParse].getName, "dicom_parse"),
-      (es: Seq[Expression]) => DicomParse(es.head)))
+      (es: Seq[Expression]) => DicomParse(es.head)),
+    (FunctionIdentifier("dicom_voxel_hash"),
+      new ExpressionInfo(classOf[DicomVoxelHash].getName,
+        "dicom_voxel_hash"),
+      (es: Seq[Expression]) => DicomVoxelHash(es.head)))
 
   /** Idempotent per-session registration (functions + the bucket-prune
     * optimizer rule — extraOptimizations is the live-session analog of

@@ -45,6 +45,13 @@ object DicomCodec {
 
   final case class Result(meta: Map[String, String], complete: Boolean)
 
+  /** Full-fidelity read result: [[pixels]] is the raw PixelData
+    * payload for uncompressed little-endian syntaxes, null when the
+    * file has no pixel element, the payload is encapsulated
+    * (compressed — undefined length), or the bytes were truncated. */
+  final case class PixelResult(meta: Map[String, String],
+      pixels: Array[Byte], complete: Boolean)
+
   private final val Undefined = 0xFFFFFFFFL
 
   /** Control-flow signal for "ran out of bytes mid-structure" — no
@@ -192,11 +199,30 @@ object DicomCodec {
   /** Parse header tags from (a prefix of) a DICOM file. Non-DICOM
     * bytes → empty complete result (callers gate on [[isDicom]]). */
   def parse(bytes: Array[Byte]): Result = {
-    if (!isDicom(bytes)) return Result(Map.empty, complete = true)
+    val r = parseInternal(bytes, wantPixels = false)
+    Result(r.meta, r.complete)
+  }
+
+  /** Opt-in `stop_before_pixels=false` read (the full-fidelity K6/J6
+    * variant, Exam_info.py:962-1057 / do_dicom_compare_recup_to.py:
+    * 234-243): same header walk, PLUS the PixelData payload for
+    * uncompressed little-endian syntaxes (explicit, implicit,
+    * deflated). Encapsulated (undefined-length, i.e. compressed)
+    * pixel data returns pixels = null — callers fall back to the
+    * header-level compare. Requires whole-file bytes: a truncated
+    * prefix yields pixels = null, complete = false. */
+  def parseWithPixels(bytes: Array[Byte]): PixelResult =
+    parseInternal(bytes, wantPixels = true)
+
+  private def parseInternal(bytes: Array[Byte], wantPixels: Boolean)
+      : PixelResult = {
+    if (!isDicom(bytes))
+      return PixelResult(Map.empty, null, complete = true)
     val b = new Buf(bytes, bytes.length)
     b.pos = 132
     val meta = mutable.LinkedHashMap.empty[String, String]
     var complete = true
+    var pixels: Array[Byte] = null
     try {
       // File Meta group: always explicit VR LE, self-terminating on the
       // first non-0002 group (group length element optional).
@@ -236,8 +262,24 @@ object DicomCodec {
       var stop = false
       while (!stop && body.remaining >= 8)
         stop = readElement(body, explicitVr, meta, emit = true)
-    } catch { case Truncated => complete = false }
-    Result(meta.toMap, complete)
+      if (stop && wantPixels) {
+        // cursor parked at the PixelData tag — read its value header
+        // and copy the payload; Undefined length = encapsulated
+        // (compressed) frames, which stay null by contract
+        body.skip(4)
+        val len: Long =
+          if (explicitVr) {
+            val vr = body.vr2()
+            if (longFormVRs(vr)) { body.skip(2); body.u32() }
+            else body.u16().toLong
+          } else body.u32()
+        if (len != Undefined) {
+          if (len < 0 || len > body.remaining) throw Truncated
+          pixels = body.bytes(len.toInt)
+        }
+      }
+    } catch { case Truncated => complete = false; pixels = null }
+    PixelResult(meta.toMap, pixels, complete)
   }
 
   /** Parse a BARE dataset (no preamble, no file-meta group) — the
@@ -273,6 +315,47 @@ object DicomCodec {
     }
     new ArrayBasedMapData(new GenericArrayData(keys),
       new GenericArrayData(vals))
+  }
+
+  /** Deterministic voxel content hash — the engine-side equivalent of
+    * the reference's voxel-array equality (nibabel `get_data()`
+    * compare, do_dicom_compare_recup_to.py:234-243): md5 over the
+    * geometry that DEFINES the voxel grid (rows × cols × bits ×
+    * samples × frames) plus the pixel payload trimmed to the
+    * geometry's byte count (strips the standard's even-length pad
+    * byte). No other header field participates, so a re-headered copy
+    * (different PatientName / SeriesInstanceUID / dates) hashes EQUAL
+    * and any single voxel flip hashes DIFFERENT. */
+  def voxelHash(meta: Map[String, String], pixels: Array[Byte])
+      : String = {
+    if (pixels == null) return null
+    def iv(k: String): Option[Long] = meta.get(k)
+      .flatMap(_.split('\\').headOption)
+      .flatMap(v => v.trim.toLongOption)
+    val rows = iv("Rows"); val cols = iv("Columns")
+    val bits = iv("BitsAllocated")
+    val samples = iv("SamplesPerPixel").getOrElse(1L)
+    val frames = iv("NumberOfFrames").getOrElse(1L)
+    val expected = for (r <- rows; c <- cols; bt <- bits)
+      yield r * c * math.max(bt / 8, 1) * samples * frames
+    val n = expected.filter(e => e > 0 && e <= pixels.length)
+      .map(_.toInt).getOrElse(pixels.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((s"${rows.getOrElse(-1L)}x${cols.getOrElse(-1L)}x" +
+      s"${bits.getOrElse(-1L)}x${samples}x$frames:")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(pixels, 0, n)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Codegen entry for the `dicom_voxel_hash` expression: null for
+    * non-DICOM bytes, truncated input, or absent/encapsulated pixel
+    * data; else the [[voxelHash]] hex string. */
+  def voxelHashOrNull(bytes: Array[Byte]): UTF8String = {
+    if (!isDicom(bytes)) return null
+    val r = parseWithPixels(bytes)
+    if (r.pixels == null || !r.complete) return null
+    UTF8String.fromString(voxelHash(r.meta, r.pixels))
   }
 
   /** One dataset element. Returns true iff the element is TOP-LEVEL

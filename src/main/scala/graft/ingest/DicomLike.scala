@@ -231,6 +231,41 @@ object DicomLike {
       !coalesce(derivedMarkers, lit(false)))
   }
 
+  /** J6/K6 full-fidelity compare key: per-(series, echo) stack voxel
+    * hash — md5 over the instance-ordered per-file voxel hashes
+    * (`dicom_voxel_hash`, see DicomCodec.voxelHash for the contract).
+    * Two stacks holding identical voxel grids in identical instance
+    * order compare EQUAL whatever their headers say
+    * (do_dicom_compare_recup_to.py:234-243: the recovered-vs-original
+    * compare must survive re-anonymized headers); one flipped voxel
+    * byte anywhere changes the stack hash. Scale shape: the pixel
+    * payload reduces to a 32-char hash executor-side next to the scan;
+    * only (series, echo, instance, hash) rows shuffle. */
+  def stackVoxelHash(binary: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(binary.sparkSession)
+    val perFile = binary.select(
+        expr("dicom_parse(content)").as("meta"),
+        expr("dicom_voxel_hash(content)").as("voxel_hash"))
+      .filter(col("meta").isNotNull && col("voxel_hash").isNotNull)
+      .select(
+        element_at(col("meta"), "SeriesInstanceUID").as("series_uid"),
+        expr("try_cast(element_at(meta, 'InstanceNumber') as int)")
+          .as("instance_number"),
+        coalesce(element_at(col("meta"), "EchoNumbers"), lit("1"))
+          .as("echo"),
+        col("voxel_hash"))
+      .filter(col("series_uid").isNotNull &&
+        col("instance_number").isNotNull)
+    perFile.groupBy(col("series_uid"), col("echo"))
+      .agg(
+        md5(expr(
+          """cast(array_join(transform(
+            |  array_sort(collect_list(struct(instance_number, voxel_hash))),
+            |  x -> x.voxel_hash), '') as binary)""".stripMargin))
+          .as("stack_voxel_hash"),
+        count(lit(1)).as("n_files"))
+  }
+
   /** A9 — exam assembly: one exam per series-uid prefix (the fixture's
     * exam key), series list sorted by first instance. */
   def exams(stacks: DataFrame): DataFrame =

@@ -113,7 +113,14 @@ object DedupOps {
     * @return (node, label) — label = min node id of the component
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20)
-      : DataFrame = {
+      : DataFrame = connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the executed round count — the
+    * O(log diameter) convergence claim is load-bearing (DedupScaleSpec
+    * asserts it on chain and hub-skew graphs), so the count is
+    * observable, not just logged. */
+  def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 20)
+      : (DataFrame, Int) = {
     // the edge subtree can be arbitrarily expensive (d12 feeds the
     // whole LSH verify chain in here) — persist AND materialize it
     // before the symmetrizing union, whose single job would otherwise
@@ -157,16 +164,32 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbr = und.join(labels, und("a") === labels("node"))
-        .select(col("b").as("node"), col("label"))
+      val withA = und.join(labels, und("a") === labels("node"))
+        .select(col("a"), col("b"), col("label").as("la"))
+      val nbr = withA.select(col("b").as("node"), col("la").as("label"))
       // pointer jump: node's candidate label = label(label(node))
       val jump = labels.select(col("node"), col("label").as("mid"))
         .join(labels.select(col("node").as("mid"),
           col("label").as("jl")), "mid")
         .select(col("node"), col("jl").as("label"))
+      // representative message (the hash-to-min trick): each edge also
+      // tells label(b) about label(a). Jump alone collapses a region
+      // onto its representative fast, but a SMALLER label arriving in
+      // the middle of a region travels only 1 hop/round TOWARD the
+      // representative (labels all point the other way) — on a hub
+      // graph whose attachment point sits far from a region's local
+      // min, that linear crawl dominated (measured: chains-only
+      // converged in 9 rounds, chains+hub hit the 20-round cap). With
+      // the rep message the representative learns the foreign min the
+      // round it lands anywhere in its region, and the whole region
+      // jumps to it the round after — O(log diameter) restored.
+      val repMsg = withA
+        .join(labels.select(col("node").as("b"),
+          col("label").as("lb")), "b")
+        .select(col("lb").as("node"), col("la").as("label"))
       val (next, nextHandle) = flatten(
         labels.select(col("node"), col("label"))
-          .union(nbr).union(jump)
+          .union(nbr).union(jump).union(repMsg)
           .groupBy(col("node")).agg(min(col("label")).as("label")))
       val nextSum = labelSumOf(next)
       labelsHandle.unpersist()
@@ -185,7 +208,7 @@ object DedupOps {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents stopped at maxIter=$maxIter without " +
           "converging — labels may split components; raise maxIter")
-    labels
+    (labels, i)
   }
 
   /** The buckets [[bucketPairs]] dropped: key columns + "overflowed"
@@ -259,6 +282,31 @@ object DedupOps {
       .write.mode("append").parquet(store)
     bands.unpersist()
     verdict
+  }
+
+  /** The streaming-ingest CAPSTONE step: [[probeAndExtend]] dedup +
+    * [[graft.catalog.Lake.mergeWritePartitioned]] in ONE foreachBatch
+    * body — each micro-batch's docs get dup verdicts (vs the signature
+    * store and within-batch), and the verdict-tagged rows MERGE into
+    * the date-partitioned lake. State is exactly two on-disk artifacts
+    * (signature store + lake), both keyed replay-tolerantly:
+    *  - the lake merge is idempotent per doc_id (a replayed row
+    *    updates in place);
+    *  - a replayed doc whose bands already reached the store reads as
+    *    a dup OF ITSELF, so verdicts are monotone (novel → dup) under
+    *    at-least-once delivery — keeper uniqueness, the property
+    *    downstream dedup consumes, is never violated; exactly-once
+    *    verdict values would need the source checkpoint transactional
+    *    with the store, which plain parquet does not give.
+    * A restart resumes from the source checkpoint; batch-vs-stream
+    * lake-state parity is asserted in FileStreamSpec. */
+  def dedupToLake(store: String, lake: String, batch: DataFrame,
+      tsCol: String): Unit = {
+    if (batch.isEmpty) return
+    val verdict = probeAndExtend(store, batch)
+    val tagged = batch.join(verdict, "doc_id")
+    graft.catalog.Lake.mergeWritePartitioned(
+      batch.sparkSession, lake, tagged, "doc_id", tsCol): Unit
   }
 
   /** Hash-based shingles (array<long> via the native shingle_hash64):

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide audit for the round-6 scale-killer class: a filter or
+  * join predicate whose expression tree embeds a higher-order function
+  * (transform/filter/aggregate/...). When Catalyst pushes a predicate
+  * through the projection that derived it, the HOF chain is inlined
+  * into the condition; references inside CaseWhen branches are excluded
+  * from codegen subexpression elimination, and an inlined
+  * `element_at(split(text), i)` pattern re-evaluates its child per
+  * element — the t16 gate paid O(words²) per row this way (12.1 s vs
+  * 0.8 s at sf0.1) until it was rewritten as a let-bound struct.
+  *
+  * The audit walks every SparkEntry query's OPTIMIZED plan (what
+  * actually executes, post-pushdown) and requires each query whose
+  * Filter/Join condition contains a HOF to carry an explicit
+  * justification here. A new filter-on-derived-HOF shape fails this
+  * spec until reviewed: either rewrite with the let-binding idiom
+  * (`transform(array(x), v -> body)` pins `x` as a evaluated-once
+  * lambda value — see TextOps.qualityGate) or justify why the
+  * condition stays linear.
+  */
+class HofPredicateAuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** Queries allowed to keep a HOF inside a predicate, with why the
+    * shape is linear-safe at scale. */
+  private val justified: Map[String, String] = Map(
+    "t16_training_mix" ->
+      "filter(keep) inlines the let-bound gate struct: one evaluated-once expression, linear per row",
+    "d11_minhash_estimate" ->
+      "zip_with over fixed 128-long signatures: constant work per pair")
+
+  private def hofs(e: Expression): Seq[HigherOrderFunction] =
+    e.collect { case h: HigherOrderFunction => h }
+
+  private def offenders(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case f: Filter if hofs(f.condition).nonEmpty =>
+        s"Filter[${hofs(f.condition).map(_.prettyName).distinct.mkString(",")}]"
+      case j: Join if j.condition.exists(c => hofs(c).nonEmpty) =>
+        s"Join[${hofs(j.condition.get).map(_.prettyName).distinct.mkString(",")}]"
+    }
+
+  test("every filter/join predicate containing a HOF is justified") {
+    val dir = "/root/testdata/sf0.001"
+    // jdbc/ingest queries do real (cheap) side work at plan-build time;
+    // that is fine here — the audit reads plans, not results
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val where =
+          try offenders(fn(spark, dir).queryExecution.optimizedPlan)
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (where.isEmpty) None else Some(name -> where.mkString("; "))
+    }
+    val unjustified = flagged.filterNot { case (n, _) => justified.contains(n) }
+    assert(unjustified.isEmpty,
+      s"\nHOF inside a predicate without a justification:\n" +
+        unjustified.map { case (n, w) => s"  $n: $w" }.mkString("\n") +
+        "\nEither rewrite with the let-binding idiom (TextOps.qualityGate) " +
+        "or add a justified entry with the linearity argument.")
+    // keep the allowlist honest: drop entries that no longer apply
+    val stale = justified.keySet -- flagged.map(_._1).toSet
+    assert(stale.isEmpty, s"stale justifications (no HOF predicate anymore): $stale")
+  }
+}

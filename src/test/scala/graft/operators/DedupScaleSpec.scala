@@ -64,6 +64,53 @@ class DedupScaleSpec extends AnyFunSuite {
     assert((30L to 32L).forall(labels(_) == 30L))
   }
 
+  test("hub-skew graph: power-law degree, O(log diameter) rounds") {
+    // Power-law shape at spec scale: node 0 is a hub carrying ~30% of
+    // all edges (the boilerplate-cluster pattern in real near-dup
+    // graphs), the rest is long chains — the worst case for plain
+    // label propagation AND for per-key balance. The per-round
+    // neighbor join concentrates the hub's fan-out in one partition;
+    // that stays safe because the map-side partial min-agg collapses
+    // the hub partition to one row per node before the shuffle, so no
+    // salting is needed — asserted here by the fact that the run
+    // completes in log-bounded rounds, and cross-checked for
+    // correctness against a driver-side union-find.
+    val rnd = new scala.util.Random(7)
+    val n = 3000
+    val hubEdges = (1 to 900).map(_ => (0L, (rnd.nextInt(n) + 1).toLong))
+    // chains of 100: 1-2-...-100, 101-..., each SEPARATE unless the
+    // hub happened to touch it — long diameters guaranteed
+    val chainEdges = (1 until n).collect {
+      case i if i % 100 != 0 => (i.toLong, (i + 1).toLong)
+    }
+    val edges = (hubEdges ++ chainEdges).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val (labelsDf, rounds) =
+      DedupOps.connectedComponentsWithRounds(edges, maxIter = 20)
+    val labels = labelsDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // correctness vs a driver-side union-find over the same edges
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    (hubEdges ++ chainEdges).foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 to n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(labels == want.filterKeys(labels.contains).toMap)
+    assert(labels.keySet == want.keySet)
+    // pointer jumping: diameter ≈ 100+ via chains, log2(100) ≈ 7 —
+    // a plain propagation would need 50+ rounds and hit the cap
+    assert(rounds <= 12, s"took $rounds rounds — jumping not effective")
+    assert(secs < 120, f"hub graph took $secs%.1f s")
+  }
+
   test("signature store lifecycle: persist bands, probe a batch, merge") {
     graft.GraftFunctions.register(spark)
     val store = java.nio.file.Files
