@@ -164,32 +164,39 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val withA = und.join(labels, und("a") === labels("node"))
-        .select(col("a"), col("b"), col("label").as("la"))
-      val nbr = withA.select(col("b").as("node"), col("la").as("label"))
       // pointer jump: node's candidate label = label(label(node))
       val jump = labels.select(col("node"), col("label").as("mid"))
         .join(labels.select(col("node").as("mid"),
           col("label").as("jl")), "mid")
         .select(col("node"), col("jl").as("label"))
-      // representative message (the hash-to-min trick): each edge also
-      // tells label(b) about label(a). Jump alone collapses a region
-      // onto its representative fast, but a SMALLER label arriving in
-      // the middle of a region travels only 1 hop/round TOWARD the
-      // representative (labels all point the other way) — on a hub
-      // graph whose attachment point sits far from a region's local
-      // min, that linear crawl dominated (measured: chains-only
-      // converged in 9 rounds, chains+hub hit the 20-round cap). With
-      // the rep message the representative learns the foreign min the
-      // round it lands anywhere in its region, and the whole region
-      // jumps to it the round after — O(log diameter) restored.
-      val repMsg = withA
+      // Edge messages, ONE pipeline over the edge table: per directed
+      // edge (a,b) emit BOTH
+      //  - the neighbor message (b ← label(a)), and
+      //  - the representative message (label(b) ← label(a)) — the
+      //    hash-to-min trick. Jump alone collapses a region onto its
+      //    representative fast, but a SMALLER label arriving mid-region
+      //    travels only 1 hop/round TOWARD the representative (labels
+      //    all point the other way) — on a hub graph whose attachment
+      //    point sits far from a region's local min that linear crawl
+      //    dominated (measured: chains-only converged in 9 rounds,
+      //    chains+hub hit the 20-round cap; with the rep message the
+      //    hub graph converges in 7). The two joins run back-to-back
+      //    in one pass and the explode fans out AFTER them, so the
+      //    edge table is scanned and joined once per round, not per
+      //    message kind; the map-side partial min-agg absorbs the 2×
+      //    row fan-out before the shuffle.
+      val msgs = und
+        .join(labels.select(col("node").as("a"),
+          col("label").as("la")), "a")
         .join(labels.select(col("node").as("b"),
           col("label").as("lb")), "b")
-        .select(col("lb").as("node"), col("la").as("label"))
+        .select(explode(array(
+          struct(col("b").as("node"), col("la").as("label")),
+          struct(col("lb").as("node"), col("la").as("label")))).as("m"))
+        .select(col("m.node").as("node"), col("m.label").as("label"))
       val (next, nextHandle) = flatten(
         labels.select(col("node"), col("label"))
-          .union(nbr).union(jump).union(repMsg)
+          .union(msgs).union(jump)
           .groupBy(col("node")).agg(min(col("label")).as("label")))
       val nextSum = labelSumOf(next)
       labelsHandle.unpersist()

@@ -368,6 +368,36 @@ object TextOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // BPE-ish token counting (the second half of the token-counting
+    // row, next to t2's whitespace count): a GPT-style pre-tokenizer
+    // regex — letter runs, digit runs CAPPED AT 3 (the digit-chunking
+    // trick modern BPE vocabularies use so long numbers split), symbol
+    // runs — counted per doc and compared against the whitespace
+    // count. Punctuation/number payloads are planted deterministically
+    // (t11's pattern) so the two counts genuinely diverge. Pure
+    // projection: regexp_extract_all inside codegen, no shuffle until
+    // the final ORDER BY — token accounting at scan speed, the thing a
+    // training-budget estimate runs over the whole corpus.
+    "t17_bpe_tokens" -> ((s, dir) => {
+      val pat = "[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9 ]+"
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              lit(" order #A-12345 total 9990")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit(" (c) 2024, v2.1!")).otherwise(lit("")))
+            .as("txt"))
+        .select(col("doc_id"),
+          size(split(col("txt"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("txt"), lit(pat), lit(0)))
+            .as("n_bpe_tokens"))
+        .withColumn("fertility",
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_ws_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -402,6 +432,24 @@ object TextOps {
         |        regexp_replace(txt,
         |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |        '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS masked_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t17_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' order #A-12345 total 9990' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' (c) 2024, v2.1!' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(string_split(txt, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(txt, '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9 ]+'))
+        |    AS n_bpe_tokens,
+        |  round(CAST(len(regexp_extract_all(txt,
+        |      '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9 ]+')) AS DOUBLE)
+        |    / len(string_split(txt, ' ')), 6) AS fertility
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "t10_repetition" ->
