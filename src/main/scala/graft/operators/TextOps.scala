@@ -312,6 +312,8 @@ object TextOps {
           """array_distinct(transform(sequence(1, size(w)-2), i ->
             |  concat_ws(' ', element_at(w,i), element_at(w,i+1),
             |            element_at(w,i+2))))""".stripMargin)).as("t"))
+        .cache() // two consumers (df agg + join-back) — without the
+                 // cache the trigram extraction executes twice
       val dfT = tg.groupBy(col("t")).agg(count(lit(1)).as("df"))
       tg.join(dfT, "t")
         .groupBy(col("doc_id"))

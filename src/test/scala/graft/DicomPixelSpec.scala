@@ -109,6 +109,21 @@ class DicomPixelSpec extends AnyFunSuite {
     assert(!r.complete && r.pixels == null)
   }
 
+  test("fuzz: parseWithPixels never throws on cuts or DICM-magic garbage") {
+    val rnd = new scala.util.Random(42)
+    val base = file(ds("S1", "DOE", 3, 4), pixel = voxels)
+    (1 to 300).foreach { _ =>
+      val cut = rnd.nextInt(base.length + 1)
+      DicomCodec.parseWithPixels(java.util.Arrays.copyOf(base, cut)): Unit
+    }
+    (1 to 150).foreach { _ =>
+      val junk = new Array[Byte](140 + rnd.nextInt(500))
+      rnd.nextBytes(junk)
+      junk(128) = 'D'; junk(129) = 'I'; junk(130) = 'C'; junk(131) = 'M'
+      DicomCodec.parseWithPixels(junk): Unit
+    }
+  }
+
   test("stack voxel hash: re-headered stack equal, one bad file differs") {
     import org.apache.spark.sql.functions.col
     def write(dir: java.io.File, series: String, patient: String,
