@@ -32,10 +32,13 @@ object IngestPipeline {
     def put(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(
         new java.io.File(dir, name).toPath, bytes)
-    def durationBlob(sec: Int): Array[Byte] =
+    def seriesBlob(entries: (String, String)*): Array[Byte] =
       el(0x0029, 0x1020, "OB", csaBlob(Seq(
-        "MrPhoenixProtocol" -> Seq(ascconv(Seq(
-          "lTotalScanTimeSec" -> sec.toString))))))
+        "MrPhoenixProtocol" -> Seq(ascconv(entries)))))
+    def durationBlob(sec: Int): Array[Byte] =
+      seriesBlob("lTotalScanTimeSec" -> sec.toString)
+    def imageBlob(tags: (String, Seq[String])*): Array[Byte] =
+      el(0x0029, 0x1010, "OB", csaBlob(tags))
     def explicitDs(series: String, inst: Int, echo: Int, expected: Int,
         extra: Array[Byte] = Array.emptyByteArray): Array[Byte] =
       elS(0x0008, 0x0060, "CS", "MR") ++
@@ -44,23 +47,77 @@ object IngestPipeline {
         elS(0x0018, 0x0086, "IS", echo.toString) ++
         elS(0x0020, 0x1002, "IS", expected.toString) ++ extra
 
-    // EXAM01.1 — clean, 10 instances, scan duration 300 s
+    // EXAM01.1 — clean EPI series, 10 instances, scan duration 300 s;
+    // the FULL seriesInfo tag surface: acquisition timestamp, Siemens
+    // sequence name, TR/TE/TI, CSA image geometry + coil + phase dir,
+    // ASCCONV slice positions (exact-arithmetic values so the slice
+    // gap is bit-identical across engines)
+    val fullCsaImage = imageBlob(
+      "PixelSpacing" -> Seq("0.9", "0.8"),
+      "SliceThickness" -> Seq("1.5"),
+      "ImaCoilString" -> Seq("HE1-4"),
+      "PhaseEncodingDirection" -> Seq("COL"),
+      "PhaseEncodingDirectionPositive" -> Seq("1"))
+    val fullCsaSeries = seriesBlob(
+      "lTotalScanTimeSec" -> "300",
+      "tSequenceFileName" -> "%SiemensSeq%\\epfid",
+      "sSliceArray.asSlice[0].sPosition.dTra" -> "0.0",
+      "sSliceArray.asSlice[0].sPosition.dSag" -> "0.0",
+      "sSliceArray.asSlice[0].sPosition.dCor" -> "0.0",
+      "sSliceArray.asSlice[1].sPosition.dTra" -> "0.0",
+      "sSliceArray.asSlice[1].sPosition.dSag" -> "0.0",
+      "sSliceArray.asSlice[1].sPosition.dCor" -> "2.0")
+    val exam011Tags =
+      elS(0x0008, 0x0022, "DA", "20240501") ++
+        elS(0x0008, 0x0032, "TM", "103000") ++
+        elS(0x0008, 0x0020, "DA", "20240501") ++
+        elS(0x0008, 0x0030, "TM", "090000") ++
+        elS(0x0008, 0x0070, "LO", "SIEMENS") ++
+        elS(0x0008, 0x1090, "LO", "Prisma") ++
+        elS(0x0008, 0x1030, "LO", "BRAIN_PROTO") ++
+        elS(0x0008, 0x103E, "LO", "func_run1") ++
+        elS(0x0018, 0x0024, "SH", "epfid2d1_64") ++
+        elS(0x0018, 0x0080, "DS", "2000") ++
+        elS(0x0018, 0x0081, "DS", "30") ++
+        elS(0x0018, 0x0082, "DS", "900") ++
+        fullCsaImage ++ fullCsaSeries
     (1 to 10).foreach { i =>
       put(s"EXAM01.1_e1_i$i.dcm", file(
-        explicitDs("EXAM01.1", i, 1, 10, durationBlob(300)),
+        explicitDs("EXAM01.1", i, 1, 10, exam011Tags),
         pixel = Array.fill[Byte](1024)(0x55)))
     }
-    // EXAM01.2 — instance 5 missing, expected 8: BAD_COUNT + GAP
+    // EXAM01.2 — instance 5 missing, expected 8: BAD_COUNT + GAP.
+    // The GE fallback surface: no acquisition date (study fallback),
+    // GE private sequence name (0019,109c hex probe), offline-recon
+    // machine alias, GE exam-name branch (ProtocolName preferred)
+    val exam012Tags =
+      elS(0x0008, 0x0020, "DA", "20240502") ++
+        elS(0x0008, 0x0030, "TM", "113000") ++
+        elS(0x0008, 0x0070, "LO", "GE MEDICAL SYSTEMS") ++
+        elS(0x0008, 0x1090, "LO", "Ox Offline Recon") ++
+        elS(0x0018, 0x1030, "LO", "ge_proto") ++
+        elS(0x0019, 0x109C, "LO", "ge_seq") ++
+        elS(0x0018, 0x0080, "DS", "5000")
     Seq(1, 2, 3, 4, 6, 7, 8).foreach { i =>
       put(s"EXAM01.2_e1_i$i.dcm", file(
-        explicitDs("EXAM01.2", i, 1, 8),
+        explicitDs("EXAM01.2", i, 1, 8, exam012Tags),
         pixel = Array.fill[Byte](512)(0x22)))
     }
     // EXAM02.1 — two echoes, 6 instances each: two clean stacks of one
-    // series; duration 120 s
+    // series; duration 120 s; the MP2RAGE classifier branch (tfl3d +
+    // mp2rage protocol + UNI series name) and the ASCCONV coil
+    // fallback (no CSA-image coil → asCoilSelectMeas tCoilID)
+    val exam021Tags =
+      elS(0x0008, 0x103E, "LO", "UNI_Images") ++
+        elS(0x0018, 0x0024, "SH", "tfl3d1_16ns") ++
+        elS(0x0018, 0x0080, "DS", "5") ++
+        seriesBlob(
+          "lTotalScanTimeSec" -> "120",
+          "tSequenceFileName" -> "%SiemensSeq%\\mp2rage",
+          "asCoilSelectMeas[0].asList[0].sCoilElementID.tCoilID" -> "32Ch")
     for (e <- 1 to 2; i <- 1 to 6)
       put(s"EXAM02.1_e${e}_i$i.dcm", file(
-        explicitDs("EXAM02.1", i, e, 6, durationBlob(120)),
+        explicitDs("EXAM02.1", i, e, 6, exam021Tags),
         pixel = Array.fill[Byte](256)(0x11)))
     // EXAM02.2 — duplicate instance 2 (files 1,2,2b,3), expected 4:
     // DUP but neither BAD_COUNT nor GAP — the n_distinct-vs-range
@@ -71,21 +128,28 @@ object IngestPipeline {
           explicitDs("EXAM02.2", i, 1, 4),
           pixel = Array.fill[Byte](128)(0x33)))
     }
-    // EXAM03.1 — implicit VR little endian, 5 clean instances
+    // EXAM03.1 — implicit VR little endian, 5 clean instances; the
+    // DWI classifier branch via the dictionary-resolved SequenceName
     (1 to 5).foreach { i =>
       val ds = elI(0x0008, 0x0060, "MR") ++
         elI(0x0020, 0x000E, "EXAM03.1") ++
         elI(0x0020, 0x0013, i.toString) ++
         elI(0x0018, 0x0086, "1") ++
-        elI(0x0020, 0x1002, "5")
+        elI(0x0020, 0x1002, "5") ++
+        elI(0x0018, 0x0024, "ep_b1000#4") ++
+        elI(0x0018, 0x0080, "8000")
       put(s"EXAM03.1_e1_i$i.dcm",
         file(ds, transferSyntax = "1.2.840.10008.1.2"))
     }
     // EXAM03.2 — deflated transfer syntax, 3 clean instances,
-    // duration 450 s
+    // duration 450 s; slice positions WITHOUT SliceThickness → the
+    // slice-gap null branch
     (1 to 3).foreach { i =>
       put(s"EXAM03.2_e1_i$i.dcm", fileDeflated(
-        explicitDs("EXAM03.2", i, 1, 3, durationBlob(450)),
+        explicitDs("EXAM03.2", i, 1, 3, seriesBlob(
+          "lTotalScanTimeSec" -> "450",
+          "sSliceArray.asSlice[0].sPosition.dTra" -> "1.0",
+          "sSliceArray.asSlice[1].sPosition.dTra" -> "4.0")),
         pixel = Array.fill[Byte](64)(0x44)))
     }
     // non-DICOM junk: the magic sniff (NULL contract) must drop it
@@ -120,6 +184,32 @@ object IngestPipeline {
             .as("series_csv"),
           col("any_corrupt"), col("total_duration_sec"))
         .orderBy(col("exam_uid"))
+    }),
+
+    // The FULL per-series field extraction (get_dicom_serie_info,
+    // Exam_info.py:356-640) under the hash gate: the real
+    // DicomLike.seriesInfo projection — acq-time fallback chain,
+    // GE-private seq-name probe, the SeqType classifier when-chain,
+    // TR/TE/TI casts, CSA pixel-spacing split, exact-arithmetic slice
+    // gap, phase-dir sign suffix, the 3-key coil fallback, machine
+    // alias, GE exam-name branch, ASCCONV duration — vs a DuckDB
+    // re-derivation over the staged kv table. One row per file so the
+    // compare covers every instance the codec parsed.
+    "i2_series_info" -> ((s, _) => {
+      val src = new java.io.File(StageRoot, "i2_src")
+      writeCorpus(src)
+      val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
+      val meta = DicomLike.parseMeta(binary)
+      meta.select(col("path"), col("length"),
+          explode(col("meta")).as(Seq("key", "value")))
+        .write.mode("overwrite").parquet(s"$StageRoot/i2_kv")
+      DicomLike.seriesInfo(meta)
+        .select(col("path"), col("series_uid"), col("acq_time"),
+          col("seq_name"), col("seq_type"), col("tr"), col("te"),
+          col("ti"), col("size_x"), col("size_y"), col("size_z"),
+          col("slice_gap"), col("phase_dir"), col("coil_name"),
+          col("machine_name"), col("exam_name"), col("duration_sec"))
+        .orderBy(col("path"))
     }))
 
   /** Independent DuckDB re-derivation from the staged kv parquet.
@@ -174,5 +264,100 @@ object IngestPipeline {
          |SELECT ex.exam_uid, n_series, n_files, fsize, series_csv,
          |  any_corrupt, total_duration_sec
          |FROM ex JOIN dur USING (exam_uid)
-         |ORDER BY exam_uid""".stripMargin)
+         |ORDER BY exam_uid""".stripMargin,
+
+    "i2_series_info" ->
+      s"""WITH kv AS (
+         |  SELECT * FROM read_parquet('$StageRoot/i2_kv/*.parquet')),
+         |p AS (
+         |  SELECT path,
+         |    MAX(CASE WHEN key='SeriesInstanceUID' THEN value END) AS series_uid,
+         |    MAX(CASE WHEN key='0019,109c' THEN value END) AS ge_seq,
+         |    MAX(CASE WHEN key='SequenceName' THEN value END) AS std_seq,
+         |    MAX(CASE WHEN key='RepetitionTime' THEN value END) AS v_tr,
+         |    MAX(CASE WHEN key='EchoTime' THEN value END) AS v_te,
+         |    MAX(CASE WHEN key='InversionTime' THEN value END) AS v_ti,
+         |    MAX(CASE WHEN key='AcquisitionDate' THEN value END) AS acq_d,
+         |    MAX(CASE WHEN key='AcquisitionTime' THEN value END) AS acq_t,
+         |    MAX(CASE WHEN key='StudyDate' THEN value END) AS study_d,
+         |    MAX(CASE WHEN key='StudyTime' THEN value END) AS study_t,
+         |    MAX(CASE WHEN key='Manufacturer' THEN value END) AS manu,
+         |    MAX(CASE WHEN key='ManufacturerModelName' THEN value END) AS model,
+         |    MAX(CASE WHEN key='ProtocolName' THEN value END) AS proto,
+         |    MAX(CASE WHEN key='StudyDescription' THEN value END) AS studydesc,
+         |    MAX(CASE WHEN key='SeriesDescription' THEN value END) AS sname,
+         |    MAX(CASE WHEN key='CsaImage.PixelSpacing' THEN value END) AS ps,
+         |    MAX(CASE WHEN key='CsaImage.SliceThickness' THEN value END) AS thick,
+         |    MAX(CASE WHEN key='CsaImage.ImaCoilString' THEN value END) AS coil1,
+         |    MAX(CASE WHEN key='CsaImage.PhaseEncodingDirection' THEN value END) AS pdir,
+         |    MAX(CASE WHEN key='CsaImage.PhaseEncodingDirectionPositive' THEN value END) AS ppos,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.tSequenceFileName' THEN value END) AS seq_file,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.lTotalScanTimeSec' THEN value END) AS scan_sec,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.asCoilSelectMeas[0].asList[0].sCoilElementID.tCoilID' THEN value END) AS coil2,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sCoilSelectMeas.sCoilStringForConversion' THEN value END) AS coil3,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[0].sPosition.dTra' THEN value END) AS s0_tra,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[0].sPosition.dSag' THEN value END) AS s0_sag,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[0].sPosition.dCor' THEN value END) AS s0_cor,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[1].sPosition.dTra' THEN value END) AS s1_tra,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[1].sPosition.dSag' THEN value END) AS s1_sag,
+         |    MAX(CASE WHEN key='CsaSeries.MrPhoenixProtocol.sSliceArray.asSlice[1].sPosition.dCor' THEN value END) AS s1_cor
+         |  FROM kv GROUP BY path),
+         |d AS (
+         |  SELECT *,
+         |    COALESCE(ge_seq, std_seq) AS seq_name,
+         |    COALESCE(COALESCE(ge_seq, std_seq), '') AS sq,
+         |    COALESCE(seq_file, COALESCE(ge_seq, std_seq), '') AS sq2,
+         |    COALESCE(sname, '') AS sn,
+         |    TRY_CAST(thick AS DOUBLE) AS size_z,
+         |    SQRT(POWER(TRY_CAST(s1_tra AS DOUBLE) - TRY_CAST(s0_tra AS DOUBLE), 2)
+         |       + POWER(TRY_CAST(s1_sag AS DOUBLE) - TRY_CAST(s0_sag AS DOUBLE), 2)
+         |       + POWER(TRY_CAST(s1_cor AS DOUBLE) - TRY_CAST(s0_cor AS DOUBLE), 2))
+         |      AS slice_dist
+         |  FROM p)
+         |SELECT path, series_uid,
+         |  COALESCE(
+         |    try_strptime(acq_d || substr(acq_t, 1, 6), '%Y%m%d%H%M%S'),
+         |    try_strptime(study_d || substr(study_t, 1, 6), '%Y%m%d%H%M%S'))
+         |    AS acq_time,
+         |  seq_name,
+         |  CASE
+         |    WHEN contains(sq, 'ep_b') THEN 'DWI'
+         |    WHEN contains(sq, 'epfid') THEN 'EPI'
+         |    WHEN contains(sq, 'spc3d') THEN 'SPACE3D'
+         |    WHEN contains(sq, 'tfl3d') THEN
+         |      CASE WHEN contains(sq2, 'mp2rage') THEN
+         |        'MP2RAGE_' ||
+         |          CASE WHEN contains(sn, 'INV1') THEN 'INV1'
+         |               WHEN contains(sn, 'INV2') THEN 'INV2'
+         |               WHEN contains(sn, 'T1_Images') THEN 'T1MAP'
+         |               WHEN contains(sn, 'UNI_Images') THEN 'UNI'
+         |               ELSE 'SHOULD_NOT_HAPPEN' END
+         |      ELSE 'MPRAGE' END
+         |    WHEN contains(sq, 'fm2d2r') THEN 'GreFieldMap'
+         |    WHEN contains(sq2, 'GR%SiemensSeq%gre_2D') THEN 'GRE_2D'
+         |    WHEN contains(sq2, 'GR%SiemensSeq%gre_3D') THEN 'GRE_3D'
+         |    WHEN contains(sq, 'eja_svs') THEN 'spectroSVS'
+         |    ELSE 'to_be_defined' END AS seq_type,
+         |  CASE WHEN seq_name IS NOT NULL
+         |       THEN TRY_CAST(v_tr AS DOUBLE) END AS tr,
+         |  COALESCE(TRY_CAST(v_te AS DOUBLE), 0.0) AS te,
+         |  TRY_CAST(TRY_CAST(v_ti AS DOUBLE) AS INT) AS ti,
+         |  TRY_CAST(string_split(ps, '\\')[1] AS DOUBLE) AS size_x,
+         |  TRY_CAST(string_split(ps, '\\')[2] AS DOUBLE) AS size_y,
+         |  size_z,
+         |  CASE WHEN ABS(slice_dist - size_z) < 0.00001 THEN 0.0
+         |       ELSE slice_dist - size_z END AS slice_gap,
+         |  CASE WHEN ppos IS NOT NULL THEN
+         |    pdir || (CASE WHEN TRY_CAST(ppos AS INT) > 0
+         |                  THEN '+' ELSE '-' END)
+         |  ELSE pdir END AS phase_dir,
+         |  COALESCE(coil1, coil2, coil3, 'NULL') AS coil_name,
+         |  CASE WHEN COALESCE(model, '') = 'Ox Offline Recon'
+         |       THEN 'SIGNA PET/MR'
+         |       ELSE COALESCE(model, manu) END AS machine_name,
+         |  CASE WHEN contains(upper(COALESCE(manu, '')), 'GE')
+         |       THEN COALESCE(proto, studydesc, 'Atrier')
+         |       ELSE studydesc END AS exam_name,
+         |  COALESCE(TRY_CAST(scan_sec AS INT), 0) AS duration_sec
+         |FROM d ORDER BY path""".stripMargin)
 }
