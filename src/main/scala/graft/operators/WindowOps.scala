@@ -83,10 +83,49 @@ object WindowOps {
         .agg(max_by(col("event_id"),
           uniqKey(col("value"), col("event_id"))).as("max_value_event"))
         .orderBy(col("event_type"))
+    }),
+
+    // W2/W3 — the in-group ORDERED MEMBER LIST (the reference sorts a
+    // series' files by InstanceNumber and walks them in order,
+    // Exam_info.py:197,1312): sort_array(collect_list(struct)) gives
+    // the per-group order without a window state machine, and the
+    // first/last members fall out of the same sorted array. The list
+    // leaves the query as a CSV so both engines compare it as one
+    // deterministic string (struct sort = (ts, event_id) lexicographic
+    // == the oracle's ORDER BY ts, event_id).
+    "w2_ordered_members" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          expr("""array_join(transform(
+            |  array_sort(collect_list(struct(ts, event_id))),
+            |  x -> cast(x.event_id as string)), ',')""".stripMargin)
+            .as("ordered_ids"),
+          expr("""element_at(array_sort(collect_list(struct(ts, event_id))),
+            |  1).event_id""".stripMargin).as("first_id"),
+          expr("""element_at(array_sort(collect_list(struct(ts, event_id))),
+            |  -1).event_id""".stripMargin).as("last_id"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "w2_ordered_members" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nn
+        |  FROM events)
+        |SELECT user_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn)
+        |    AS ordered_ids,
+        |  MAX(CASE WHEN rn = 1 THEN event_id END) AS first_id,
+        |  MAX(CASE WHEN rn = nn THEN event_id END) AS last_id,
+        |  COUNT(*) AS n
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "w1_keep_latest" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
