@@ -201,9 +201,13 @@ object TextOps {
       val all = d.union(
           d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .withColumn("h", md5(col("text")))
-      val keeper = all.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keeper_id"))
-      all.join(keeper, "h")
+      // keeper election as a window min (t16's shape): one shuffle on
+      // h, and the union+md5 subtree is referenced exactly once —
+      // the groupBy+join form re-computed it per consumer
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      all
+        .withColumn("keeper_id", min(col("doc_id")).over(byHash))
         .withColumn("split", when(splitBucket(col("keeper_id")) < 90,
           lit("train")).otherwise(lit("eval")))
         .groupBy(col("split"))
