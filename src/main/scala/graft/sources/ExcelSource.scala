@@ -49,8 +49,19 @@ object ExcelSource {
     try {
       import scala.jdk.CollectionConverters._
       def bytes(name: String): Option[Array[Byte]] =
-        Option(zip.getEntry(name)).map(e =>
-          zip.getInputStream(e).readAllBytes())
+        Option(zip.getEntry(name)).map { e =>
+          val in = zip.getInputStream(e)
+          try {
+            // a review sheet part is KBs; a zip bomb is not — cap the
+            // inflated size (the DicomCodec deflate cap's stance)
+            val cap = 1 << 28
+            val out = in.readNBytes(cap)
+            if (in.read() >= 0)
+              throw new java.io.IOException(
+                s"xlsx part $name inflates past $cap bytes — refusing")
+            out
+          } finally in.close()
+        }
       val shared: IndexedSeq[String] = bytes("xl/sharedStrings.xml") match {
         case None => IndexedSeq.empty
         case Some(b) =>
