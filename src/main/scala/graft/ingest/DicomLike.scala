@@ -266,6 +266,40 @@ object DicomLike {
         count(lit(1)).as("n_files"))
   }
 
+  /** tri_dicom (Exam_info.py:1545-1656): re-bin loose DICOM files into
+    * the `<proto>/<subject>/S<num>_<desc>/` layout the ingest walks.
+    * The reference MOVES files in place; the Spark-first form derives
+    * every file's destination from its parsed header in one projection
+    * and emits a move MANIFEST (the K8 propose-don't-act stance) —
+    * apply with a driver script/distcp, rerun-safe. Files missing any
+    * of the three path keys surface as `skip_missing_key` rows instead
+    * of being silently dropped (the repo-wide loud-truncation stance).
+    * Path components go through the reference's own sanitizer
+    * (alpha_num_str — get_exam_suj_ser_from_dicom_meta builds dirs
+    * from these fields, Exam_info.py:1059-1146). */
+  def triDicomMoves(metaDf: DataFrame): DataFrame = {
+    import graft.functions.Sanitizers.alphaNumStr
+    val m = col("meta")
+    def k(s: String) = element_at(m, s)
+    metaDf.select(
+        col("path"),
+        alphaNumStr(k("StudyDescription")).as("proto"),
+        alphaNumStr(k("PatientName")).as("suj"),
+        k("SeriesNumber").as("snum"),
+        alphaNumStr(coalesce(k("SeriesDescription"), lit("ser")))
+          .as("sdesc"))
+      .withColumn("action",
+        when(col("proto").isNull || col("suj").isNull ||
+          col("snum").isNull, lit("skip_missing_key"))
+          .otherwise(lit("move")))
+      .withColumn("dest",
+        when(col("action") === "move",
+          concat_ws("/", col("proto"), col("suj"),
+            concat(lit("S"), col("snum"), lit("_"), col("sdesc")),
+            substring_index(col("path"), "/", -1))))
+      .select(col("path"), col("action"), col("dest"))
+  }
+
   /** A9 — exam assembly: one exam per series-uid prefix (the fixture's
     * exam key), series list sorted by first instance. */
   def exams(stacks: DataFrame): DataFrame =

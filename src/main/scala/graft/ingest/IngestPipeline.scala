@@ -67,8 +67,15 @@ object IngestPipeline {
       "sSliceArray.asSlice[1].sPosition.dTra" -> "0.0",
       "sSliceArray.asSlice[1].sPosition.dSag" -> "0.0",
       "sSliceArray.asSlice[1].sPosition.dCor" -> "2.0")
+    // PatientName carries a latin-1 accent + the PN caret so the
+    // tri_dicom path build exercises the sanitizer AND the codec's
+    // utf8→latin-1 decode fallback
+    val patient1 = el(0x0010, 0x0010, "PN", "Dûpont^Jean"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     val exam011Tags =
-      elS(0x0008, 0x0022, "DA", "20240501") ++
+      patient1 ++
+        elS(0x0020, 0x0011, "IS", "1") ++
+        elS(0x0008, 0x0022, "DA", "20240501") ++
         elS(0x0008, 0x0032, "TM", "103000") ++
         elS(0x0008, 0x0020, "DA", "20240501") ++
         elS(0x0008, 0x0030, "TM", "090000") ++
@@ -91,7 +98,10 @@ object IngestPipeline {
     // GE private sequence name (0019,109c hex probe), offline-recon
     // machine alias, GE exam-name branch (ProtocolName preferred)
     val exam012Tags =
-      elS(0x0008, 0x0020, "DA", "20240502") ++
+      patient1 ++
+        elS(0x0020, 0x0011, "IS", "2") ++
+        elS(0x0008, 0x1030, "LO", "BRAIN_PROTO") ++
+        elS(0x0008, 0x0020, "DA", "20240502") ++
         elS(0x0008, 0x0030, "TM", "113000") ++
         elS(0x0008, 0x0070, "LO", "GE MEDICAL SYSTEMS") ++
         elS(0x0008, 0x1090, "LO", "Ox Offline Recon") ++
@@ -108,7 +118,10 @@ object IngestPipeline {
     // mp2rage protocol + UNI series name) and the ASCCONV coil
     // fallback (no CSA-image coil → asCoilSelectMeas tCoilID)
     val exam021Tags =
-      elS(0x0008, 0x103E, "LO", "UNI_Images") ++
+      elS(0x0010, 0x0010, "PN", "SUBJ02") ++
+        elS(0x0020, 0x0011, "IS", "1") ++
+        elS(0x0008, 0x1030, "LO", "PROTO B/2") ++
+        elS(0x0008, 0x103E, "LO", "UNI_Images") ++
         elS(0x0018, 0x0024, "SH", "tfl3d1_16ns") ++
         elS(0x0018, 0x0080, "DS", "5") ++
         seriesBlob(
@@ -137,7 +150,10 @@ object IngestPipeline {
         elI(0x0018, 0x0086, "1") ++
         elI(0x0020, 0x1002, "5") ++
         elI(0x0018, 0x0024, "ep_b1000#4") ++
-        elI(0x0018, 0x0080, "8000")
+        elI(0x0018, 0x0080, "8000") ++
+        elI(0x0010, 0x0010, "SUBJ03") ++
+        elI(0x0020, 0x0011, "1") ++
+        elI(0x0008, 0x1030, "PROTO_C")
       put(s"EXAM03.1_e1_i$i.dcm",
         file(ds, transferSyntax = "1.2.840.10008.1.2"))
     }
@@ -146,7 +162,11 @@ object IngestPipeline {
     // slice-gap null branch
     (1 to 3).foreach { i =>
       put(s"EXAM03.2_e1_i$i.dcm", fileDeflated(
-        explicitDs("EXAM03.2", i, 1, 3, seriesBlob(
+        explicitDs("EXAM03.2", i, 1, 3,
+          elS(0x0010, 0x0010, "PN", "SUBJ03") ++
+          elS(0x0020, 0x0011, "IS", "2") ++
+          elS(0x0008, 0x1030, "LO", "PROTO_C") ++
+          seriesBlob(
           "lTotalScanTimeSec" -> "450",
           "sSliceArray.asSlice[0].sPosition.dTra" -> "1.0",
           "sSliceArray.asSlice[1].sPosition.dTra" -> "4.0")),
@@ -210,6 +230,23 @@ object IngestPipeline {
           col("slice_gap"), col("phase_dir"), col("coil_name"),
           col("machine_name"), col("exam_name"), col("duration_sec"))
         .orderBy(col("path"))
+    }),
+
+    // tri_dicom (Exam_info.py:1545-1656) as a move MANIFEST: every
+    // loose file's destination derived from its parsed header in one
+    // projection (proto/subject/series path components through the
+    // reference's alpha_num_str sanitizer, Exam_info.py:1059-1146);
+    // files missing a path key surface as skip rows, never silently.
+    // DuckDB re-derives path, action, and dest from the staged kv.
+    "i3_tri_dicom" -> ((s, _) => {
+      val src = new java.io.File(StageRoot, "i3_src")
+      writeCorpus(src)
+      val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
+      val meta = DicomLike.parseMeta(binary)
+      meta.select(col("path"), col("length"),
+          explode(col("meta")).as(Seq("key", "value")))
+        .write.mode("overwrite").parquet(s"$StageRoot/i3_kv")
+      DicomLike.triDicomMoves(meta).orderBy(col("path"))
     }))
 
   /** Independent DuckDB re-derivation from the staged kv parquet.
@@ -359,5 +396,46 @@ object IngestPipeline {
          |       THEN COALESCE(proto, studydesc, 'Atrier')
          |       ELSE studydesc END AS exam_name,
          |  COALESCE(TRY_CAST(scan_sec AS INT), 0) AS duration_sec
-         |FROM d ORDER BY path""".stripMargin)
+         |FROM d ORDER BY path""".stripMargin,
+
+    "i3_tri_dicom" ->
+      s"""WITH kv AS (
+         |  SELECT * FROM read_parquet('$StageRoot/i3_kv/*.parquet')),
+         |p AS (
+         |  SELECT path,
+         |    MAX(CASE WHEN key='StudyDescription' THEN value END) AS v_proto,
+         |    MAX(CASE WHEN key='PatientName' THEN value END) AS v_suj,
+         |    MAX(CASE WHEN key='SeriesNumber' THEN value END) AS snum,
+         |    MAX(CASE WHEN key='SeriesDescription' THEN value END) AS v_sdesc
+         |  FROM kv GROUP BY path),
+         |san AS (
+         |  SELECT path, snum,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(translate(v_proto,
+         |        'éèêëàâäôöîïûüùçµ', 'eeeeaaaooiiuuucm'),
+         |      '/', '_', 'g'), '[^\\x00-\\x7F]', '', 'g'),
+         |      '[^A-Za-z0-9_]', '_', 'g'), '_+', '_', 'g'),
+         |      '^_|_$$', '', 'g') AS proto,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(translate(v_suj,
+         |        'éèêëàâäôöîïûüùçµ', 'eeeeaaaooiiuuucm'),
+         |      '/', '_', 'g'), '[^\\x00-\\x7F]', '', 'g'),
+         |      '[^A-Za-z0-9_]', '_', 'g'), '_+', '_', 'g'),
+         |      '^_|_$$', '', 'g') AS suj,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(translate(COALESCE(v_sdesc, 'ser'),
+         |        'éèêëàâäôöîïûüùçµ', 'eeeeaaaooiiuuucm'),
+         |      '/', '_', 'g'), '[^\\x00-\\x7F]', '', 'g'),
+         |      '[^A-Za-z0-9_]', '_', 'g'), '_+', '_', 'g'),
+         |      '^_|_$$', '', 'g') AS sdesc
+         |  FROM p)
+         |SELECT path,
+         |  CASE WHEN proto IS NULL OR suj IS NULL OR snum IS NULL
+         |       THEN 'skip_missing_key' ELSE 'move' END AS action,
+         |  CASE WHEN proto IS NOT NULL AND suj IS NOT NULL
+         |        AND snum IS NOT NULL
+         |       THEN proto || '/' || suj || '/S' || snum || '_' || sdesc
+         |            || '/' || regexp_extract(path, '[^/]*$$')
+         |  END AS dest
+         |FROM san ORDER BY path""".stripMargin)
 }
