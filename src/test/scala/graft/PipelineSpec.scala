@@ -70,4 +70,71 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("series_uid") === "EXAM02SERC").head
     assert(healed.getAs[String]("corrupt") == "")
   }
+
+  // §3.3 (do_results_DB.py --set_results): MPRAGE series → per-series
+  // seg8 results dir probe → parse → results_anat upsert. The
+  // reference loops rows and probes directories one at a time; here
+  // the seg8 scan is one source, the probe is an equi-join on the
+  // extracted <proto>/<suj>/<ser> key (not a LIKE/contains join —
+  // hash-joinable at any scale), and the sink is the staged MERGE.
+  test("§3.3 results pipeline: MPRAGE filter → seg8 equi-join → " +
+      "upsert → idempotent rerun") {
+    import spark.implicits._
+    import graft.sources.FileScans
+    import graft.catalog.JdbcCatalog
+    val url = "jdbc:derby:memory:graft_seg8pipe;create=true"
+    val root = Files.createTempDirectory("graft_res")
+    def plant(rel: String, line: String): Unit = {
+      val d = root.resolve(rel).resolve("vbm8")
+      Files.createDirectories(d)
+      Files.write(d.resolve("r_seg8.txt"), (line + "\n").getBytes): Unit
+    }
+    plant("PROTO/subj1/ser1", "0.61\t0.42\t0.23")
+    plant("PROTO/subj2/ser2", "0.55\t0.40\t0.20") // non-MPRAGE: unused
+    val series = Seq(
+      (1L, "MPRAGE", "PROTO/subj1/ser1"),
+      (2L, "DWI", "PROTO/subj2/ser2"),     // filtered out by SeqType
+      (3L, "MPRAGE", "PROTO/subj3/ser3"))  // no result on disk yet
+      .toDF("sid", "seq_type", "res_dir")
+    val seg8 = FileScans.readSeg8(spark, root.toString)
+      .withColumn("res_dir",
+        regexp_extract(col("path"),
+          "([^/]+/[^/]+/[^/]+)/vbm8/[^/]*$", 1))
+    val results = series.filter(col("seq_type") === "MPRAGE")
+      .join(seg8, Seq("res_dir"), "left")
+      .select(col("sid"),
+        when(col("path").isNotNull, lit("done"))
+          .otherwise(lit("missing")).as("status"),
+        col("vbmgrayvol"), col("vbmwhitevol"), col("vbmcsfvol"))
+    // the target table exists before any upsert (the reference's DDL)
+    JdbcCatalog.write(results.limit(0), url, "RESULTS_ANAT",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val affected = JdbcCatalog.stagedUpsert(
+      spark, url, "RESULTS_ANAT", results, "sid")
+    assert(affected == 2L)
+    val back = JdbcCatalog.scan(spark, url, "RESULTS_ANAT")
+      .orderBy("sid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "done"), (3L, "missing")))
+    // idempotent rerun: nothing changed, nothing rewritten
+    assert(JdbcCatalog.stagedUpsert(
+      spark, url, "RESULTS_ANAT", results, "sid") == 0L)
+    // late-arriving seg8 for subj3: the rerun flips exactly that row
+    plant("PROTO/subj3/ser3", "0.70\t0.30\t0.10")
+    val seg8b = FileScans.readSeg8(spark, root.toString)
+      .withColumn("res_dir",
+        regexp_extract(col("path"),
+          "([^/]+/[^/]+/[^/]+)/vbm8/[^/]*$", 1))
+    val results2 = series.filter(col("seq_type") === "MPRAGE")
+      .join(seg8b, Seq("res_dir"), "left")
+      .select(col("sid"),
+        when(col("path").isNotNull, lit("done"))
+          .otherwise(lit("missing")).as("status"),
+        col("vbmgrayvol"), col("vbmwhitevol"), col("vbmcsfvol"))
+    assert(JdbcCatalog.stagedUpsert(
+      spark, url, "RESULTS_ANAT", results2, "sid") == 1L)
+    val s3 = JdbcCatalog.scan(spark, url, "RESULTS_ANAT")
+      .filter(col("sid") === 3L).head
+    assert(s3.getString(1) == "done" && s3.getDouble(2) == 0.70)
+  }
 }
