@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60}
+import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, TextQualityGate}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -47,7 +47,11 @@ object GraftFunctions {
     (FunctionIdentifier("dicom_voxel_hash"),
       new ExpressionInfo(classOf[DicomVoxelHash].getName,
         "dicom_voxel_hash"),
-      (es: Seq[Expression]) => DicomVoxelHash(es.head)))
+      (es: Seq[Expression]) => DicomVoxelHash(es.head)),
+    (FunctionIdentifier("text_quality_gate"),
+      new ExpressionInfo(classOf[TextQualityGate].getName,
+        "text_quality_gate"),
+      (es: Seq[Expression]) => TextQualityGate(es.head)))
 
   /** Idempotent per-session registration (functions + the bucket-prune
     * optimizer rule — extraOptimizations is the live-session analog of

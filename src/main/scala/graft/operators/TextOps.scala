@@ -261,21 +261,38 @@ object TextOps {
     * function runs over a batch table or a `readStream` source with no
     * watermark or state — parity asserted in StreamingSpec.
     *
-    * Expression shape matters here, not just semantics. The naive
-    * version derived `w`/`bi`/`dup_bi_frac` as separate columns; when a
-    * downstream `filter(keep)` was pushed through the projection,
-    * Catalyst substituted the WHOLE chain into the predicate, and
-    * because the references sit inside CaseWhen branches (lazily
-    * evaluated, excluded from codegen subexpression elimination) the
-    * split/bigram work re-ran per reference — `element_at(split(text),
-    * i)` per index made the predicate O(words²): 12.1 s vs 0.8 s for
-    * the same data at sf0.1 (round-6 verdict). The fix is a
-    * let-binding: `transform(array(x), w -> body)` evaluates `x` once
-    * and binds it as a lambda variable, so `w` and `bi` are VALUES, not
-    * re-inlined expressions, no matter where the optimizer moves the
-    * predicate. Each top-level reference (keep, n_words, reason) costs
-    * at most one linear pass per row — pushdown-proof by construction. */
-  def qualityGate(docs: DataFrame): DataFrame =
+    * The gate is the hottest operator of a training-data pipeline, so
+    * it runs as the native codegen'd
+    * [[graft.functions.expressions.TextQualityGate]] expression: one
+    * pass per row, exact HashSet bigram dedup, no interpreted
+    * higher-order functions, and inherently pushdown-proof — a
+    * `filter(keep)` inlines one linear expression, wherever the
+    * optimizer moves it. [[qualityGateSql]] keeps the pure-SQL
+    * let-binding form; TextQualitySpec asserts the two agree row for
+    * row (and the DuckDB oracle checks the native form end-to-end). */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("st", expr("text_quality_gate(text)"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.keep").as("keep"),
+        coalesce(col("st.reason"), lit("ok")).as("reason"))
+  }
+
+  /** The pure-SQL form of the gate (no custom expression — runs on a
+    * stock Spark session). Expression SHAPE matters here, not just
+    * semantics: the naive version derived `w`/`bi`/`dup_bi_frac` as
+    * separate columns; when a downstream `filter(keep)` was pushed
+    * through the projection, Catalyst substituted the WHOLE chain into
+    * the predicate, and because the references sit inside CaseWhen
+    * branches (lazily evaluated, excluded from codegen subexpression
+    * elimination) the split/bigram work re-ran per reference —
+    * `element_at(split(text), i)` per index made the predicate
+    * O(words²): 12.1 s vs 0.8 s at sf0.1 (round-6 verdict). The fix is
+    * a let-binding: `transform(array(x), w -> body)` evaluates `x`
+    * once and binds it as a lambda VALUE, not a re-inlined expression,
+    * no matter where the optimizer moves the predicate. */
+  def qualityGateSql(docs: DataFrame): DataFrame =
     docs
       .withColumn("st", expr(
         """element_at(transform(array(split(text, ' ')), w ->

@@ -29,8 +29,9 @@ class HofPredicateAuditSpec extends AnyFunSuite {
   /** Queries allowed to keep a HOF inside a predicate, with why the
     * shape is linear-safe at scale. */
   private val justified: Map[String, String] = Map(
-    "t16_training_mix" ->
-      "filter(keep) inlines the let-bound gate struct: one evaluated-once expression, linear per row",
+    // t16's filter(keep) now inlines the NATIVE text_quality_gate
+    // expression (not a HOF) — it left this list when the gate went
+    // native; the SQL fallback form stays let-bound (TextQualitySpec)
     "d11_minhash_estimate" ->
       "zip_with over fixed 128-long signatures: constant work per pair")
 
