@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   * non-DICOM junk file the sniff must drop. */
 object IngestPipeline {
 
-  private val StageRoot = "/tmp/graft_stage"
+  /** Driver-local staging root for the corpus and the kv parquet the
+    * oracle reads; overridable so concurrent users/CI runs don't
+    * collide. Read once at class-init: the query side and the oracle
+    * SQL are built from the same value in the same JVM, so the
+    * DuckDB compare always points where the query staged. */
+  private val StageRoot =
+    sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
 
   /** Deterministic corpus — same bytes every call (overwrite-stable
-    * under Bench's warmup+3 timed runs). */
+    * under Bench's warmup+3 timed runs). The directory is cleared
+    * first: residue from an older corpus definition would otherwise
+    * pollute the scan and fail the oracle confusingly. */
   private def writeCorpus(dir: java.io.File): Unit = {
     import graft.DicomFixture._
     dir.mkdirs()
+    dir.listFiles().foreach(f => f.delete(): Unit)
     def put(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(
         new java.io.File(dir, name).toPath, bytes)
