@@ -689,6 +689,58 @@ object DedupOps {
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact substring-span dedup — the SLIDING-window complement of
+    // d10's disjoint chunks (the "exact substring dedup" of
+    // training-corpus practice: mark every ≥20-word span that appears
+    // verbatim in another document). Every 20-word window is hashed;
+    // windows seen in ≥2 DISTINCT docs mark their positions, and the
+    // per-doc duplicated-word coverage is the union of the marked
+    // [start, start+19] intervals, folded with lead(): equal-length
+    // intervals sorted by start contribute min(20, next-start) each.
+    // Planted overlap: every 7th doc gets a re-keyed copy of its first
+    // 30 words, so sources carry an 11-window duplicated prefix while
+    // their tails stay unique. Scale shape: the window-hash groupBy is
+    // the only corpus-wide shuffle (map-side partials absorb
+    // boilerplate windows shared by millions of docs); the interval
+    // fold partitions by doc_id and a doc's own window count bounds
+    // the partition — no all-pairs, no corpus-wide window function.
+    "d13_substring_spans" -> ((s, dir) => {
+      val base = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val copies = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          slice(col("w"), 1, 30).as("w"))
+      val docs = base.union(copies).filter(size(col("w")) >= 20)
+        .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
+      val wins = docs.select(col("doc_id"), col("n_words"),
+          posexplode(expr(
+            """transform(sequence(1, size(w)-19), i ->
+              |  md5(cast(concat_ws(' ', slice(w, i, 20)) as binary)))"""
+              .stripMargin)))
+        .select(col("doc_id"), col("n_words"),
+          (col("pos") + 1).as("start"), col("col").as("h"))
+        .cache() // feeds the cross-doc counts and the position join-back
+      val dup = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("start"))
+      val cov = wins.join(dup, "h")
+        .withColumn("nxt", lead(col("start"), 1).over(byDoc))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"),
+          sum(least(lit(20), coalesce(col("nxt") - col("start"), lit(20))))
+            .as("covered_words"))
+      docs.select(col("doc_id"), col("n_words"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+          (coalesce(col("covered_words"), lit(0L)).cast("double") /
+            col("n_words")).as("dup_span_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -726,6 +778,40 @@ object DedupOps {
         |            AS BIGINT) AS n_dup_chunks
         |FROM chunks c JOIN hc USING (h)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "d13_substring_spans" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |allw AS (SELECT doc_id, w FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 200000, w[1:30] FROM base
+        |         WHERE doc_id % 7 = 0),
+        |docs AS (SELECT doc_id, len(w) AS n_words, w FROM allw
+        |         WHERE len(w) >= 20),
+        |wins AS (
+        |  SELECT doc_id, n_words, i AS start,
+        |         md5(array_to_string(w[i : i+19], ' ')) AS h
+        |  FROM docs
+        |  CROSS JOIN (SELECT unnest(range(1,
+        |    (SELECT MAX(n_words) FROM docs) - 18)) AS i) t
+        |  WHERE i + 19 <= n_words),
+        |dup AS (SELECT h FROM wins
+        |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, start,
+        |              LEAD(start) OVER (PARTITION BY doc_id
+        |                                ORDER BY start) AS nxt
+        |       FROM wins JOIN dup USING (h)),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_dup_windows,
+        |               CAST(SUM(LEAST(20, COALESCE(nxt - start, 20)))
+        |                    AS BIGINT) AS covered_words
+        |        FROM dw GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_words,
+        |       COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+        |       COALESCE(c.covered_words, 0) AS covered_words,
+        |       CAST(COALESCE(c.covered_words, 0) AS DOUBLE) / d.n_words
+        |         AS dup_span_frac
+        |FROM docs d LEFT JOIN cov c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d12_dedup_pipeline" ->
       """WITH RECURSIVE allw AS (

@@ -421,6 +421,54 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 top-k retrieval — the lexical-search complement of the
+    // v-family's embedding ANN: score every document against a fixed
+    // query term set with tf-saturated BM25 (k1 = 1.2, b = 0.75) and
+    // return the top 20. The idf is the exact-rational variant
+    // (N − df + ½)/(df + ½) — the exponentiated form of the
+    // Robertson–Sparck-Jones log idf — so every arithmetic step is
+    // +/−/×/÷ on doubles and both engines agree bitwise (ln is not
+    // correctly-rounded and may differ across libm builds; sqrt is the
+    // only transcendental the suite trusts). Per-term scores are summed
+    // in a FIXED literal order via conditional aggregates: a plain
+    // float SUM over shuffled rows would reassociate and flap bits.
+    // Scale shape: the term filter prunes the exploded token stream at
+    // the scan, the df/stats aggregates are term-cardinality tiny and
+    // broadcast, and the per-doc score needs one (doc, term) hash
+    // aggregate — at 100 TB this is one corpus scan plus
+    // query-term-bounded state, the shape of a real retrieval probe.
+    "t18_bm25" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+      val toks = docs
+        .select(col("doc_id"), size(col("w")).as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin("key", "table", "merge"))
+      val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val sc = tf.join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+      sc.groupBy(col("doc_id"))
+        .agg(round(
+          coalesce(sum(when(col("term") === "key", col("s"))), lit(0.0)) +
+          coalesce(sum(when(col("term") === "table", col("s"))), lit(0.0)) +
+          coalesce(sum(when(col("term") === "merge", col("s"))), lit(0.0)),
+          6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -474,6 +522,33 @@ object TextOps {
         |      '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9 ]+')) AS DOUBLE)
         |    / len(string_split(txt, ' ')), 6) AS fertility
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t18_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM docs),
+        |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term
+        |         FROM docs),
+        |qt AS (SELECT doc_id, dl, term FROM toks
+        |       WHERE term IN ('key', 'table', 'merge')),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM qt GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |        FROM qt GROUP BY 1),
+        |sc AS (SELECT doc_id, term,
+        |         ((n_docs - df + 0.5) / (df + 0.5)) *
+        |         ((tf * 2.2) /
+        |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  ROUND(COALESCE(SUM(CASE WHEN term = 'key' THEN s END), 0)
+        |      + COALESCE(SUM(CASE WHEN term = 'table' THEN s END), 0)
+        |      + COALESCE(SUM(CASE WHEN term = 'merge' THEN s END), 0), 6)
+        |    AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t10_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
