@@ -56,6 +56,41 @@ object MergeOps {
     joined.select(out: _*)
   }
 
+  /** SCD Type-2 history apply (beyond ref — the dimension-history form
+    * of K2's compare-and-update): `dim` is the current history slice
+    * (batch data columns + a `valid_from` string), `batch` the incoming
+    * snapshot. Unchanged/untouched rows stay open; a changed row's
+    * current version CLOSES at `ts` and a new open version appends;
+    * unseen keys insert open at `ts`. ONE full-outer shuffle on the
+    * key, then each joined row explodes into its 1-or-2 output
+    * versions — no second join, no window. The change comparison is
+    * null-safe equality on every non-key batch column (merge()'s
+    * semantics minus the float rounding: SCD attributes are
+    * categorical). */
+  def scd2(dim: DataFrame, batch: DataFrame, key: String, ts: String)
+      : DataFrame = {
+    val cols = batch.columns.toSeq
+    val d = dim.select(cols.map(c => col(c).as(s"d_$c")) :+
+      col("valid_from").as("d_from"): _*)
+    val b = batch.select(cols.map(c => col(c).as(s"b_$c")): _*)
+    val unchanged = cols.filterNot(_ == key)
+      .map(c => col(s"d_$c") <=> col(s"b_$c"))
+      .foldLeft(lit(true))(_ && _)
+    val noTo = lit(null).cast("string")
+    def ver(p: String, from: Column, to: Column, current: Boolean) =
+      struct(cols.map(c => col(s"${p}_$c").as(c)) :+
+        from.as("valid_from") :+ to.as("valid_to") :+
+        lit(current).as("is_current"): _*)
+    d.join(b, col(s"d_$key") === col(s"b_$key"), "full_outer")
+      .select(explode(
+        when(col(s"d_$key").isNull, array(ver("b", lit(ts), noTo, true)))
+          .when(col(s"b_$key").isNull || unchanged,
+            array(ver("d", col("d_from"), noTo, true)))
+          .otherwise(array(ver("d", col("d_from"), lit(ts), false),
+            ver("b", lit(ts), noTo, true)))).as("r"))
+      .select(col("r.*"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K3/K5 — MERGE over orders: batch = modified rows (price bump),
     // untouched rows, and brand-new keys; o_orderdate is on the
@@ -72,6 +107,23 @@ object MergeOps {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"), col("merge_status"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // SCD2 over the customer dimension: every 10th customer moves
+    // segment (a change → close + reopen), every (10k+3)th key arrives
+    // re-keyed (an insert), the rest stay open untouched. The history
+    // before the batch is the snapshot opened at 2020-01-01.
+    "k13_scd2_history" -> ((s, dir) => {
+      val cust = load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val dim = cust.withColumn("valid_from", lit("2020-01-01"))
+      val batch = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .union(cust.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_name"), col("c_mktsegment")))
+      scd2(dim, batch, "c_custkey", "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
     })
   )
 
@@ -115,6 +167,33 @@ object MergeOps {
         |       WHEN bk IS NULL THEN 'kept'
         |       WHEN unchanged THEN 'kept'
         |       ELSE 'updated' END AS merge_status
-        |FROM j ORDER BY o_orderkey""".stripMargin
+        |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    "k13_scd2_history" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment
+        |             FROM customer),
+        |b AS (SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment
+        |      FROM customer WHERE c_custkey % 10 = 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, c_name, c_mktsegment
+        |      FROM customer WHERE c_custkey % 10 = 3),
+        |j AS (SELECT d.c_custkey AS dk, b.c_custkey AS bk,
+        |             d.c_name AS dn, b.c_name AS bn,
+        |             d.c_mktsegment AS ds, b.c_mktsegment AS bs,
+        |             (d.c_name IS NOT DISTINCT FROM b.c_name AND
+        |              d.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment)
+        |               AS unchanged
+        |      FROM dim d FULL OUTER JOIN b ON d.c_custkey = b.c_custkey)
+        |SELECT dk AS c_custkey, dn AS c_name, ds AS c_mktsegment,
+        |       '2020-01-01' AS valid_from,
+        |       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        |FROM j WHERE dk IS NOT NULL AND (bk IS NULL OR unchanged)
+        |UNION ALL
+        |SELECT dk, dn, ds, '2020-01-01', '2024-06-01', FALSE
+        |FROM j WHERE dk IS NOT NULL AND bk IS NOT NULL AND NOT unchanged
+        |UNION ALL
+        |SELECT bk, bn, bs, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+        |FROM j WHERE bk IS NOT NULL AND (dk IS NULL OR NOT unchanged)
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
-import graft.functions.Fns.decSumD
+import graft.functions.Fns.{decSum, decSumD}
 
 /** Incremental/streaming layer — SURVEY.md §2.9.
   *
@@ -129,9 +129,36 @@ object EventStream {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * algebra a 100 TB refresh actually runs: the standing hourly
+    * aggregate is kept as MERGEABLE partials (count + exact DECIMAL
+    * sum), a new batch aggregates alone, and the refreshed view is a
+    * re-aggregation of the two partial sets — only the delta is ever
+    * rescanned. The oracle recomputes the whole aggregate from
+    * scratch, pinning the maintenance algebra (partial ∪ partial →
+    * merge ≡ full recompute) under the hash gate. Decimal partials
+    * keep the merge exact and associative; a double partial would make
+    * the result depend on which rows landed in which batch. */
+  def incrementalHourly(events: DataFrame, cutoff: String): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    def partial(df: DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("pn"), decSum(col("value")).as("pv"))
+    partial(events.filter(col("ts") < cut))
+      .unionByName(partial(events.filter(col("ts") >= cut)))
+      .groupBy(col("window"), col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling_window" -> ((s, dir) =>
       hourlyCountsBatch(load(s, dir, "events"))),
+    "s5_incremental_agg" -> ((s, dir) =>
+      incrementalHourly(load(s, dir, "events"), "2024-01-20 00:00:00")),
     "s2_sessionize" -> ((s, dir) =>
       sessionizeBatch(load(s, dir, "events"), 7200L)),
     "s3_sliding_window" -> ((s, dir) =>
@@ -142,6 +169,14 @@ object EventStream {
 
   val oracle: Map[String, String] = Map(
     "s1_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // from-scratch recompute: equality proves the partial-merge algebra
+    "s5_incremental_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)

@@ -72,4 +72,28 @@ class MergeSpec extends AnyFunSuite {
       assert(a1 == a2, s"not idempotent for batch $rows")
     }
   }
+
+  test("scd2: change closes + reopens, insert opens, re-apply is a no-op") {
+    import graft.operators.MergeOps.scd2
+    val dim = Seq((1L, "x"), (2L, "y"))
+      .toDF("id", "seg").withColumn("valid_from", lit("2020-01-01"))
+    val batch = Seq((1L, "x"), (2L, "MOVED"), (3L, "z"))
+      .toDF("id", "seg")
+    val h1 = scd2(dim, batch, "id", "2024-06-01")
+    val got = h1.orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "x", "2020-01-01", None, true),            // untouched, open
+      (2L, "y", "2020-01-01", Some("2024-06-01"), false), // closed
+      (2L, "MOVED", "2024-06-01", None, true),        // new version
+      (3L, "z", "2024-06-01", None, true)))           // insert
+    // idempotence: the open slice already equals the batch, so a
+    // re-apply at a later ts must close nothing and insert nothing
+    val open = h1.filter(col("is_current"))
+      .select(col("id"), col("seg"), col("valid_from"))
+    val h2 = scd2(open, batch, "id", "2024-07-01")
+    assert(h2.filter(!col("is_current")).count() == 0)
+    assert(h2.filter(col("valid_from") === "2024-07-01").count() == 0)
+  }
 }
