@@ -323,10 +323,98 @@ object SimilarityOps {
         .select(col("q_id"), col("rk"), col("vec_id").as("n_id"),
           col("adc"))
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // Hybrid retrieval — reciprocal-rank fusion (RRF, the standard
+    // k=60 form) of the lexical BM25 ranking (t18's scored frame) and
+    // the cosine ranking against query vector 0. Each side is cut to
+    // its top 100 with a distributed TakeOrdered (orderBy + limit —
+    // NOT a global window over the corpus); only then does a
+    // row_number window run, over exactly 100 rows. A doc missing
+    // from one list contributes 0 from that side. Fusion itself is a
+    // 100-row full-outer join — driver-scale, after both corpus scans
+    // reduced to top-k. 1/(60+rank) on int ranks divides identically
+    // in both engines; the two contributions add in fixed order.
+    "v7_hybrid_rrf" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val lex = TextOps.bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+        .withColumn("rank_lex", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_lex"))
+      val e = withV(load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("va"))
+      val vec = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("v").as("vb"))
+        .crossJoin(broadcast(q))
+        .withColumn("r", expr(simExpr))
+        .orderBy(col("r").desc, col("doc_id")).limit(100)
+        .withColumn("rank_vec", row_number().over(
+          Window.orderBy(col("r").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0)).as("rank_vec"),
+          col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(15)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "v7_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM d),
+        |qt AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+        |qf AS (SELECT doc_id, dl, term FROM qt
+        |       WHERE term IN ('key', 'table', 'merge')),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |       FROM qf GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        |        FROM qf GROUP BY 1),
+        |sc AS (SELECT doc_id, term,
+        |         ((n_docs - df + 0.5) / (df + 0.5)) *
+        |         ((tf * 2.2) /
+        |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |lexscore AS (
+        |  SELECT doc_id,
+        |    ROUND(COALESCE(SUM(CASE WHEN term = 'key' THEN s END), 0)
+        |        + COALESCE(SUM(CASE WHEN term = 'table' THEN s END), 0)
+        |        + COALESCE(SUM(CASE WHEN term = 'merge' THEN s END), 0),
+        |      6) AS score
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id, rank_lex FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS rank_lex FROM lexscore) WHERE rank_lex <= 100),
+        |e AS (SELECT vec_id,
+        |        [CAST(x AS DOUBLE) for x in embedding] AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |vp AS (SELECT t.vec_id AS doc_id,
+        |         round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
+        |               / (q.nrm * t.nrm), 6) AS r
+        |       FROM n q, n t WHERE q.vec_id = 0 AND t.vec_id <> 0),
+        |vec AS (SELECT doc_id, rank_vec FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY r DESC, doc_id)
+        |    AS rank_vec FROM vp) WHERE rank_vec <= 100)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  CAST(COALESCE(rank_lex, 0) AS INT) AS rank_lex,
+        |  CAST(COALESCE(rank_vec, 0) AS INT) AS rank_vec,
+        |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_lex), 0)
+        |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_vec), 0)
+        |    AS rrf_score
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
     "v4_label_centroids" ->
       """SELECT label, i - 1 AS dim,
         |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6)

@@ -316,6 +316,41 @@ object TextOps {
         col("st.reason").isNull.as("keep"),
         coalesce(col("st.reason"), lit("ok")).as("reason"))
 
+  /** t18's BM25 scored frame (doc_id, score) — every document holding
+    * at least one query term, scored. Shared with the hybrid fusion
+    * query (v7): the fused ranking must see the SAME scores the
+    * lexical top-k returns. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val toks = docs
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin("key", "table", "merge"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val sc = tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    sc.groupBy(col("doc_id"))
+      .agg(round(
+        coalesce(sum(when(col("term") === "key", col("s"))), lit(0.0)) +
+        coalesce(sum(when(col("term") === "table", col("s"))), lit(0.0)) +
+        coalesce(sum(when(col("term") === "merge", col("s"))), lit(0.0)),
+        6).as("score"))
+  }
+
   private def queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus novelty: the fraction of a doc's DISTINCT trigrams
     // that appear nowhere else in the corpus (df == 1) — the
@@ -437,37 +472,10 @@ object TextOps {
     // broadcast, and the per-doc score needs one (doc, term) hash
     // aggregate — at 100 TB this is one corpus scan plus
     // query-term-bounded state, the shape of a real retrieval probe.
-    "t18_bm25" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
-      val toks = docs
-        .select(col("doc_id"), size(col("w")).as("dl"),
-          explode(col("w")).as("term"))
-        .filter(col("term").isin("key", "table", "merge"))
-      val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfq = toks.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val sc = tf.join(broadcast(dfq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("s",
-          ((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
-      sc.groupBy(col("doc_id"))
-        .agg(round(
-          coalesce(sum(when(col("term") === "key", col("s"))), lit(0.0)) +
-          coalesce(sum(when(col("term") === "table", col("s"))), lit(0.0)) +
-          coalesce(sum(when(col("term") === "merge", col("s"))), lit(0.0)),
-          6).as("score"))
+    "t18_bm25" -> ((s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes

@@ -231,6 +231,31 @@ object NiftiSink {
   private def fsSafe(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** The side JSON the reference writes next to each volume
+    * (`dic_param_*.json`, Exam_info.py:1042-1054): the stack's header
+    * parameters, keys sorted for byte determinism, values JSON-escaped.
+    * Slice-count and instance range are appended so the sidecar alone
+    * answers "is this stack complete". */
+  def sidecarJson(meta: Map[String, String], nSlices: Int,
+      instMin: Int, instMax: Int): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val fields = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" } ++
+      Seq(s""""_n_slices": "$nSlices"""",
+        s""""_instance_min": "$instMin"""",
+        s""""_instance_max": "$instMax"""")
+    fields.mkString("{", ", ", "}").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Distributed stack conversion: raw (path, content) DICOM bytes →
     * one `.nii.gz` per (series, echo) under `outDir`, returning the
     * manifest. Non-DICOM / pixel-less / truncated files drop here
@@ -263,6 +288,11 @@ object NiftiSink {
           val fs = dir.getFileSystem(conf.value)
           fs.mkdirs(dir)
           val (file, status) = writeNoClobberFs(fs, dir, name, gzipBytes(img))
+          // reference K6 writes the parameter JSON next to the volume
+          // (Exam_info.py:1042-1054); same no-clobber discipline
+          writeNoClobberFs(fs, dir, s"dic_param_${fsSafe(uid)}_e$echo.json",
+            sidecarJson(sorted.head.meta, sorted.length,
+              sorted.head.instance, sorted.last.instance))
           Iterator.single(StackResult(uid, echo, sorted.length, file, status))
         } catch {
           case e: IllegalArgumentException =>

@@ -118,6 +118,13 @@ class NiftiSinkSpec extends AnyFunSuite {
       Seq(("SA", 1, 3, "written"), ("SB", 2, 2, "written")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out.toString, "SA_e1.nii.gz")))
+    // sidecar JSON (dic_param_*.json) parses and carries the stack meta
+    val sj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out.toString, "dic_param_SA_e1.json")),
+      "UTF-8")
+    assert(sj.contains("\"SeriesInstanceUID\": \"SA\"") &&
+      sj.contains("\"_n_slices\": \"3\"") &&
+      sj.contains("\"_instance_max\": \"3\""))
     // decoded volume matches a driver-side build of the same stack
     val viaFile = NiftiSink.gunzipBytes(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out.toString, "SA_e1.nii.gz")))
