@@ -46,6 +46,51 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-order (Morton-curve) clustered write — multi-dimensional data
+    * skipping. A single-column sort makes per-file min/max ranges tiny
+    * on that column and useless on every other; interleaving the bits
+    * of ALL clustered columns into one sort key shrinks per-file
+    * ranges on EVERY dimension (≈ numFiles^(1/n) reduction each), so
+    * parquet row-group/file pruning works for predicates on any
+    * clustered column. At 100 TB this is a one-time layout cost at
+    * ingest (one range shuffle) bought back by every selective scan.
+    *
+    * Columns are min/max-normalized to 16-bit ranks via one tiny
+    * aggregate (collected: 2·n doubles of driver state); heavily
+    * skewed columns would want quantile boundaries instead — the
+    * interleave is unchanged, only the normalization swaps. Nulls
+    * rank 0. The z-key is dropped after ordering; files come from one
+    * `repartitionByRange` on the key (range, not hash: the curve stays
+    * contiguous per file). */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
+    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn$i"),
+        max(col(c)).cast("double").as(s"mx$i"))
+    }
+    val mm = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val n = cols.size
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(65535), greatest(lit(0),
+        ((col(c).cast("double") - lit(mn)) / lit(span) * 65535.0)
+          .cast("int"))).cast("long")
+    }
+    val zkey = (0 until 16).flatMap { bit =>
+      normed.zipWithIndex.map { case (nc, j) =>
+        shiftleft(shiftright(nc, bit).bitwiseAND(1), bit * n + j)
+      }
+    }.reduce(_ + _)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(
       if (path.contains("://")) path else s"file://$path"),
