@@ -477,6 +477,34 @@ object TextOps {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)),
 
+    // Temperature-resampled multilingual training mix — the
+    // low-resource upweighting a multilingual run applies so the
+    // dominant language does not swamp the rest: sampling weight ∝
+    // (token count)^τ with τ = 0.5, i.e. sqrt — deliberately, because
+    // IEEE sqrt is correctly rounded and bit-identical across engines
+    // where pow/exp are not. The denominator folds the per-language
+    // sqrt terms in a FIXED literal order over the corpus's language
+    // codes (float addition must not depend on row order; an unknown
+    // code would surface as weights not summing to 1, loudly). One
+    // tiny per-language aggregate; the totals broadcast.
+    "t19_temperature_mix" -> ((s, dir) => {
+      val per = load(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).as("n_words"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"))
+      def term(l: String) = coalesce(
+        sum(when(col("lang") === l, sqrt(col("n_tokens")))), lit(0.0))
+      val tot = per.agg(sum(col("n_docs")).as("nn"),
+        (term("de") + term("en") + term("es") + term("fr") + term("zh"))
+          .as("denom"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") / col("nn"), 6).as("p_raw"),
+          round(sqrt(col("n_tokens")) / col("denom"), 6).as("w_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -557,6 +585,26 @@ object TextOps {
         |    AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t19_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |    COALESCE(SUM(CASE WHEN lang = 'de' THEN sqrt(n_tokens) END), 0)
+        |    + COALESCE(SUM(CASE WHEN lang = 'en' THEN sqrt(n_tokens) END), 0)
+        |    + COALESCE(SUM(CASE WHEN lang = 'es' THEN sqrt(n_tokens) END), 0)
+        |    + COALESCE(SUM(CASE WHEN lang = 'fr' THEN sqrt(n_tokens) END), 0)
+        |    + COALESCE(SUM(CASE WHEN lang = 'zh' THEN sqrt(n_tokens) END), 0)
+        |      AS denom
+        |  FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |  ROUND(CAST(n_docs AS DOUBLE) / nn, 6) AS p_raw,
+        |  ROUND(sqrt(n_tokens) / denom, 6) AS w_sampled
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "t10_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
