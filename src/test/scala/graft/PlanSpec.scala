@@ -160,4 +160,32 @@ class PlanSpec extends AnyFunSuite {
     val windowOps = "Window ".r.findAllIn(p).size
     assert(windowOps <= 1, s"expected a single Window operator, got $windowOps")
   }
+
+  test("t18: df and corpus stats broadcast into the scored stream") {
+    val p = plan("t18_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term df table not broadcast:\n${p.take(2000)}")
+    // the final top-20 is a distributed TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n${p.take(2000)}")
+  }
+
+  test("v7: both ranking sides cut to top-k via distributed TakeOrdered") {
+    val p = plan("v7_hybrid_rrf")
+    // three TakeOrdered nodes: lexical top-100, vector top-100, fused
+    // top-15 — the corpus never funnels through a single global sort
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"expected 3 TakeOrdered cuts:\n${p.take(3000)}")
+  }
+
+  test("k13: SCD2 is one full-outer join and one explode, no second join") {
+    val p = plan("k13_scd2_history")
+    assert(p.contains("FullOuter"), "missing full-outer join")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "version fan-out must be a single explode")
+    val joins = "Join ".r.findAllIn(p).size +
+      "SortMergeJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins <= 2, s"expected a single join, plan has $joins")
+  }
 }
