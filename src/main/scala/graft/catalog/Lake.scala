@@ -91,6 +91,24 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet bloom-filtered write — point-lookup pruning for
+    * high-cardinality keys where min/max ranges are useless (a UID
+    * equality probe hits every file by min/max but almost no file by
+    * bloom). Complements [[zorderWrite]]: z-order serves range
+    * predicates on few dimensions, blooms serve equality on columns
+    * you cannot afford to cluster by. Pure write-time metadata — the
+    * reader side is free (Spark's parquet reader consults the filter
+    * on `col = literal` pushdown automatically). */
+  def writeWithBloom(df: DataFrame, bloomCols: Seq[String], path: String,
+      expectedNdv: Long = 100000L): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(
       if (path.contains("://")) path else s"file://$path"),

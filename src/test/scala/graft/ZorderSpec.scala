@@ -55,6 +55,28 @@ class ZorderSpec extends AnyFunSuite {
     assert(ly > 0.8, s"expected y unlocalized under linear sort, got $ly")
   }
 
+  test("bloom-filtered writes carry the filter for exactly the asked columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    val df = (0 until 2000).map(i => (i.toLong, s"uid_$i", i % 7))
+      .toDF("id", "uid", "bucket")
+    graft.catalog.Lake.writeWithBloom(df, Seq("uid"), dir, 2000)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(byName("uid") >= 0, s"uid has no bloom filter: $byName")
+      assert(byName("id") < 0 && byName("bucket") < 0,
+        s"unexpected bloom filters: $byName")
+    } finally reader.close()
+  }
+
   test("nulls and constant columns do not break the key") {
     import spark.implicits._
     val df = Seq((1L, Option(5L), 7L), (2L, None, 7L), (3L, Option(9L), 7L))

@@ -13,7 +13,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 DEFAULT = ["d3_simhash_hamming", "d5_embedding_neardup", "v2_ann_bucketed",
            "j3_band_self_join", "a1_dup_exam_groups", "k3_merge_upsert",
-           "p4_derived_skip", "x3_reconcile_counts", "d9_semantic_dedup"]
+           "p4_derived_skip", "x3_reconcile_counts", "d9_semantic_dedup",
+           "d13_substring_spans", "v7_hybrid_rrf", "s5_incremental_agg"]
 
 
 def main(sf_dir, out_dir, names):
