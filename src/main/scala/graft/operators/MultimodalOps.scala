@@ -99,27 +99,60 @@ object MultimodalOps {
     // discipline needed) and only (doc_id, chunk_idx, 3 ints) flows
     // downstream — the payload never crosses a shuffle, the same
     // contract as m1/m2.
-    "m3_chunk_features" -> ((s, dir) => {
-      // byte-sum restricted to printable ASCII: Spark's ascii() and
-      // DuckDB's ord() agree only there (multibyte chars return the
-      // signed lead byte vs the code point) — the guard keeps the
-      // oracle exact on any corpus, not just the ASCII fixture
-      sampledChunks(load(s, dir, "documents"))
-        .withColumn("ca", expr("regexp_replace(c, '[^ -~]', '')"))
-        .select(col("doc_id"), col("chunk_idx"),
-          // empty-ca guard: Spark's sequence(1, 0) is DESCENDING
-          // ([1,0]), and DuckDB's list_sum([]) is NULL — both sides
-          // pin the all-non-ASCII chunk to 0 explicitly
-          expr("""if(length(ca) = 0, 0,
-                |   aggregate(transform(sequence(1, length(ca)),
-                |               i -> ascii(substring(ca, i, 1))),
-                |             0, (a, b) -> a + b))""".stripMargin)
-            .as("sum_bytes"),
-          expr("length(c) - length(replace(c, ' ', ''))").as("n_space"),
-          expr("length(regexp_replace(c, '[^A-Z]', ''))").as("n_upper"))
+    "m3_chunk_features" -> ((s, dir) =>
+      chunkFeatures(s, dir).orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Feature-space quantization — the "assign every decoded chunk to
+    // its nearest prototype" step a multimodal curriculum runs after
+    // feature extraction (m3): k=4 centroids are the per-(chunk_idx%4)
+    // feature means (a deterministic stand-in for a fitted codebook —
+    // the real pipeline plugs operators/KMeans.fit in unchanged), each
+    // chunk takes the argmin squared-L2 centroid. All arithmetic is
+    // subtraction/multiplication/addition of exact-int-derived doubles
+    // in fixed order; the argmin is a row_number over exactly k=4 rows
+    // per chunk. Centroids broadcast — the corpus-side cost is one
+    // scan plus a 4-way fan-out, never a shuffle of the chunks.
+    "m4_chunk_quantize" -> ((s, dir) => {
+      val feats = chunkFeatures(s, dir)
+      val cent = feats.groupBy((col("chunk_idx") % 4).as("cid"))
+        .agg(avg(col("sum_bytes")).as("c1"), avg(col("n_space")).as("c2"),
+          avg(col("n_upper")).as("c3"))
+      val sc = feats.crossJoin(broadcast(cent))
+        .withColumn("d2",
+          (col("sum_bytes") - col("c1")) * (col("sum_bytes") - col("c1")) +
+          (col("n_space") - col("c2")) * (col("n_space") - col("c2")) +
+          (col("n_upper") - col("c3")) * (col("n_upper") - col("c3")))
+      val byChunk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("chunk_idx"))
+        .orderBy(col("d2"), col("cid"))
+      sc.withColumn("rn", row_number().over(byChunk))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_idx"), col("cid"),
+          round(col("d2"), 6).as("d2"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
+
+  /** m3's per-chunk integer feature frame (doc_id, chunk_idx,
+    * sum_bytes, n_space, n_upper) — shared with the quantize step
+    * (m4). Byte-sum restricted to printable ASCII: Spark's ascii()
+    * and DuckDB's ord() agree only there (multibyte chars return the
+    * signed lead byte vs the code point) — the guard keeps the oracle
+    * exact on any corpus, not just the ASCII fixture. */
+  private def chunkFeatures(s: SparkSession, dir: String): DataFrame =
+    sampledChunks(load(s, dir, "documents"))
+      .withColumn("ca", expr("regexp_replace(c, '[^ -~]', '')"))
+      .select(col("doc_id"), col("chunk_idx"),
+        // empty-ca guard: Spark's sequence(1, 0) is DESCENDING
+        // ([1,0]), and DuckDB's list_sum([]) is NULL — both sides
+        // pin the all-non-ASCII chunk to 0 explicitly
+        expr("""if(length(ca) = 0, 0,
+              |   aggregate(transform(sequence(1, length(ca)),
+              |               i -> ascii(substring(ca, i, 1))),
+              |             0, (a, b) -> a + b))""".stripMargin)
+          .as("sum_bytes"),
+        expr("length(c) - length(replace(c, ' ', ''))").as("n_space"),
+        expr("length(regexp_replace(c, '[^A-Z]', ''))").as("n_upper"))
 
   val oracle: Map[String, String] = Map(
     "m3_chunk_features" ->
@@ -143,6 +176,41 @@ object MultimodalOps {
         |  CAST(length(regexp_replace(c, '[^A-Z]', '', 'g')) AS INT)
         |    AS n_upper
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "m4_chunk_quantize" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id,
+        |    unnest([i for i in range(0, n_chunks) if i % 4 = 0])
+        |      AS chunk_idx, text
+        |  FROM d),
+        |c0 AS (SELECT doc_id, chunk_idx,
+        |    substring(text, chunk_idx * 64 + 1, 64) AS c FROM ch),
+        |c AS (SELECT doc_id, chunk_idx, c,
+        |    regexp_replace(c, '[^ -~]', '', 'g') AS ca FROM c0),
+        |feats AS (SELECT doc_id, chunk_idx,
+        |  CAST(COALESCE(list_sum([ord(substring(ca, i, 1))
+        |                 for i in range(1, length(ca)+1)]), 0) AS INT)
+        |    AS sum_bytes,
+        |  CAST(length(c) - length(replace(c, ' ', '')) AS INT)
+        |    AS n_space,
+        |  CAST(length(regexp_replace(c, '[^A-Z]', '', 'g')) AS INT)
+        |    AS n_upper
+        |  FROM c),
+        |cent AS (SELECT chunk_idx % 4 AS cid,
+        |    AVG(sum_bytes) AS c1, AVG(n_space) AS c2, AVG(n_upper) AS c3
+        |  FROM feats GROUP BY 1),
+        |sc AS (SELECT doc_id, chunk_idx, cid,
+        |    (sum_bytes - c1) * (sum_bytes - c1)
+        |    + (n_space - c2) * (n_space - c2)
+        |    + (n_upper - c3) * (n_upper - c3) AS d2
+        |  FROM feats CROSS JOIN cent)
+        |SELECT doc_id, chunk_idx, cid, ROUND(d2, 6) AS d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+        |                               ORDER BY d2, cid) AS rn
+        |  FROM sc) r
+        |WHERE rn = 1 ORDER BY doc_id, chunk_idx""".stripMargin,
     "m2_chunk_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |    CAST(ceil(length(text) / 64.0) AS INT) AS n_chunks
