@@ -141,18 +141,31 @@ object EventStream {
     * the result depend on which rows landed in which batch. */
   def incrementalHourly(events: DataFrame, cutoff: String): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")
-    def partial(df: DataFrame) =
-      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("pn"), decSum(col("value")).as("pv"))
-    partial(events.filter(col("ts") < cut))
-      .unionByName(partial(events.filter(col("ts") >= cut)))
-      .groupBy(col("window"), col("event_type"))
-      .agg(sum(col("pn")).as("n"),
-        sum(col("pv")).cast("double").as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("total_value"))
-      .orderBy(col("hour_start"), col("event_type"))
+    finalizeHourly(mergePartials(
+      partialHourly(events.filter(col("ts") < cut)),
+      partialHourly(events.filter(col("ts") >= cut))))
   }
+
+  /** One batch's mergeable partials (the foreachBatch body's first
+    * half): count + exact DECIMAL sum per (hour, type). */
+  def partialHourly(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), decSum(col("value")).as("pv"))
+
+  /** Fold two partial sets — associative and exact, so batches can
+    * arrive in any order and any grouping. */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("window"), col("event_type"))
+      .agg(sum(col("pn")).as("pn"), sum(col("pv")).as("pv"))
+
+  /** Partials → the servable view (same schema as
+    * [[hourlyCountsBatch]]). */
+  def finalizeHourly(partials: DataFrame): DataFrame =
+    partials.select(col("window.start").as("hour_start"),
+        col("event_type"), col("pn").as("n"),
+        col("pv").cast("double").as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling_window" -> ((s, dir) =>

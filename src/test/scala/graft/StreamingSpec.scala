@@ -189,4 +189,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(days.toSeq == Seq("part_date=2024-01-01",
       "part_date=2024-01-02", "part_date=2024-01-03"))
   }
+
+  test("foreachBatch partial-merge MV == batch aggregate (s5 algebra)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mv")
+    val store = root.resolve("mv").toString
+    val tmp = root.resolve("mv_tmp").toString
+    val mem = MemoryStream[TestEvent]
+    // each micro-batch aggregates to partials and folds into the MV
+    // store — only the batch is ever rescanned, never the history
+    val q = mem.toDF().writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partials = EventStream.partialHourly(b)
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+            EventStream.mergePartials(
+              b.sparkSession.read.parquet(store), partials)
+          else partials
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap: the store is never half-written
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          b.sparkSession.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(store)): Unit
+      }.start()
+    val unique = events.distinctBy(_.event_id)
+    mem.addData(unique.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(unique.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val mv = EventStream.finalizeHourly(spark.read.parquet(store))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val batch = EventStream.hourlyCountsBatch(unique.toDF())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(mv == batch)
+  }
 }
