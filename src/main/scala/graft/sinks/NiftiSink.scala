@@ -97,6 +97,12 @@ object NiftiSink {
     val (dt, bitpix) = dtype(bits, signed)
     val sliceBytes = rows * cols * (bitpix / 8)
     val nz = slices.length
+    // one JVM array holds the volume: past 2 GiB the allocation would
+    // wrap — fail with the actual numbers instead of a cryptic NASE
+    val totalBytes = 352L + sliceBytes.toLong * nz
+    require(totalBytes <= Int.MaxValue,
+      s"stack too large for a single .nii: $nz slices x $sliceBytes B " +
+        s"= $totalBytes B (limit ${Int.MaxValue}); split by echo/volume")
 
     // PixelSpacing is [between-rows, between-cols] = (dy, dx)
     val spacing = dsVec(meta, "PixelSpacing")

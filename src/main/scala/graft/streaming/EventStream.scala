@@ -172,6 +172,23 @@ object EventStream {
       hourlyCountsBatch(load(s, dir, "events"))),
     "s5_incremental_agg" -> ((s, dir) =>
       incrementalHourly(load(s, dir, "events"), "2024-01-20 00:00:00")),
+    // The NATIVE gap-session operator (session_window) next to s2's
+    // manual lag→flag→running-sum build: same 2-hour gap, and the
+    // oracle re-derives the merge rule exactly (a new session starts
+    // iff the gap is >= 2 h — Spark merges on strict overlap, so an
+    // exact-gap event opens a new window; session end = last ts +
+    // gap). In streaming this operator is state-store-backed with
+    // watermark eviction — the batch form here shares the plan shape:
+    // one shuffle on user_id, sessions assembled inside the aggregate.
+    "s6_session_window" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
     "s2_sessionize" -> ((s, dir) =>
       sessionizeBatch(load(s, dir, "events"), 7200L)),
     "s3_sliding_window" -> ((s, dir) =>
@@ -218,6 +235,26 @@ object EventStream {
         |  MAX(CAST(ts AS TIMESTAMP)) AS session_end,
         |  COUNT(*) AS n_events
         |FROM sessed GROUP BY 1,2 ORDER BY user_id, sess""".stripMargin,
+
+    "s6_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |         OR CAST(ts AS TIMESTAMP) >=
+        |            lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessed AS (
+        |  SELECT user_id, t,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked)
+        |SELECT user_id, MIN(t) AS session_start,
+        |  MAX(t) + INTERVAL 2 HOUR AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessed GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Each event belongs to the two hourly-advancing 2-hour windows
     // starting at trunc(ts)-1h and trunc(ts); the unnest replays
