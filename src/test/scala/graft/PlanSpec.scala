@@ -178,6 +178,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected 3 TakeOrdered cuts:\n${p.take(3000)}")
   }
 
+  test("m4: codebook broadcasts; chunk rows never shuffle for the argmin") {
+    val p = plan("m4_chunk_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroid codebook not broadcast:\n${p.take(2000)}")
+  }
+
+  test("s6: native session_window plans one aggregate exchange on user_id") {
+    val p = plan("s6_session_window")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      s"native session operator missing:\n${p.take(2000)}")
+  }
+
   test("k13: SCD2 is one full-outer join and one explode, no second join") {
     val p = plan("k13_scd2_history")
     assert(p.contains("FullOuter"), "missing full-outer join")
