@@ -94,6 +94,39 @@ class NiftiSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mixed geometry"))
   }
 
+  test("fuzz: random geometries round-trip through the header layout") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 50).foreach { _ =>
+      val (r, c) = (1 + rnd.nextInt(32), 1 + rnd.nextInt(32))
+      val nz = 1 + rnd.nextInt(5)
+      val bits16 = rnd.nextBoolean()
+      val bpp = if (bits16) 2 else 1
+      val (dy, dx, step) = (0.5 + rnd.nextInt(40) / 10.0,
+        0.5 + rnd.nextInt(40) / 10.0, 0.5 + rnd.nextInt(60) / 10.0)
+      val slices = (1 to nz).map { i =>
+        val m = Map("Rows" -> r.toString, "Columns" -> c.toString,
+          "BitsAllocated" -> (bpp * 8).toString,
+          "PixelRepresentation" -> (if (bits16) "1" else "0"),
+          "PixelSpacing" -> s"$dy\\$dx",
+          "ImageOrientationPatient" -> "1\\0\\0\\0\\1\\0",
+          "ImagePositionPatient" -> s"0\\0\\${step * (i - 1)}",
+          "SliceThickness" -> step.toString)
+        val px = new Array[Byte](r * c * bpp)
+        rnd.nextBytes(px)
+        (m, px)
+      }
+      val img = NiftiSink.buildNifti(slices)
+      val h = new Hdr(img)
+      assert((h.short(42), h.short(44), h.short(46)) == ((c, r, nz)))
+      assert(h.short(72) == bpp * 8)
+      assert(h.float(80) == dx.toFloat && h.float(84) == dy.toFloat)
+      // z step recovers from positions when nz > 1, thickness when 1
+      assert(math.abs(h.float(88) - step.toFloat) < 1e-4f)
+      assert(img.length == 352 + r * c * bpp * nz)
+      assert(img.drop(352).toSeq == slices.flatMap(_._2.toSeq))
+    }
+  }
+
   test("gzip member is deterministic and round-trips") {
     val img = NiftiSink.buildNifti(Seq((meta(1), vox(1))))
     val (a, b) = (NiftiSink.gzipBytes(img), NiftiSink.gzipBytes(img))
