@@ -185,6 +185,44 @@ object IngestPipeline {
     put("junk.bin", Array.fill[Byte](600)(0x7A))
   }
 
+  /** Geometry-complete corpus for the NIfTI conversion manifest (i4):
+    * every slice carries Rows/Columns/BitsAllocated/PixelSpacing/
+    * orientation/position + real pixel bytes, so each (series, echo)
+    * stack converts. One 8-bit 3-slice series, one two-echo 16-bit
+    * signed series (two stacks from one series), one junk file the
+    * sniff drops. */
+  private def writeNiftiCorpus(dir: java.io.File): Unit = {
+    import graft.DicomFixture._
+    dir.mkdirs()
+    dir.listFiles().foreach(f => f.delete(): Unit)
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(dir, name).toPath, bytes): Unit
+    def us(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def geo(series: String, inst: Int, echo: Int, bits: Int,
+        signed: Int, rows: Int, cols: Int): Array[Byte] =
+      elS(0x0008, 0x0060, "CS", "MR") ++
+        elS(0x0018, 0x0050, "DS", "2") ++
+        elS(0x0018, 0x0086, "IS", echo.toString) ++
+        elS(0x0020, 0x000E, "UI", series) ++
+        elS(0x0020, 0x0013, "IS", inst.toString) ++
+        elS(0x0020, 0x0032, "DS", s"0\\0\\${2 * (inst - 1)}") ++
+        elS(0x0020, 0x0037, "DS", "1\\0\\0\\0\\1\\0") ++
+        el(0x0028, 0x0010, "US", us(rows)) ++
+        el(0x0028, 0x0011, "US", us(cols)) ++
+        elS(0x0028, 0x0030, "DS", "1.5\\1.5") ++
+        el(0x0028, 0x0100, "US", us(bits)) ++
+        el(0x0028, 0x0103, "US", us(signed))
+    (1 to 3).foreach { i =>
+      put(s"N1_i$i.dcm", file(geo("NIFTI01.1", i, 1, 8, 0, 3, 4),
+        pixel = Array.fill[Byte](12)((i * 3).toByte)))
+    }
+    for (e <- 1 to 2; i <- 1 to 2)
+      put(s"N2_e${e}_i$i.dcm", file(geo("NIFTI01.2", i, e, 16, 1, 2, 2),
+        pixel = Array.fill[Byte](8)((e * 16 + i).toByte)))
+    put("junk.bin", Array.fill[Byte](300)(0x5A))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_ingest_pipeline" -> ((s, _) => {
       val src = new java.io.File(StageRoot, "i1_src")
@@ -256,6 +294,38 @@ object IngestPipeline {
           explode(col("meta")).as(Seq("key", "value")))
         .write.mode("overwrite").parquet(s"$StageRoot/i3_kv")
       DicomLike.triDicomMoves(meta).orderBy(col("path"))
+    }),
+
+    // The NIfTI conversion manifest (convert_series, Exam_info.py:
+    // 962-1057) under the hash gate: the voxel bytes stay golden-tested
+    // in NiftiSinkSpec (DuckDB cannot decode NIfTI), but the stack
+    // grouping, echo split, slice counting, target naming and
+    // no-clobber outcome — the relational half of the conversion — are
+    // re-derived by DuckDB from the staged header kv. The out dir is
+    // cleared first so every run converts afresh (statuses pin to
+    // 'written'; the no-clobber branches are NiftiSinkSpec's job).
+    "i4_nifti_manifest" -> ((s, _) => {
+      val src = new java.io.File(StageRoot, "i4_src")
+      writeNiftiCorpus(src)
+      val out = new java.io.File(StageRoot, "i4_out")
+      out.mkdirs()
+      out.listFiles().foreach(f => f.delete(): Unit)
+      val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
+      DicomLike.parseMeta(binary)
+        .select(col("path"), col("length"),
+          explode(col("meta")).as(Seq("key", "value")))
+        .write.mode("overwrite").parquet(s"$StageRoot/i4_kv")
+      // NO orderBy here: a global sort's RangePartitioner SAMPLING
+      // pass would execute writeStacks' side effects a first time
+      // (files land as 'written') and the real pass a second time
+      // (now 'skipped_identical') — the manifest must come from the
+      // one and only conversion pass. The driver's compare is
+      // order-insensitive.
+      graft.sinks.NiftiSink.writeStacks(binary, out.getAbsolutePath)
+        .toDF()
+        .select(col("series_uid"), col("echo"), col("n_slices"),
+          substring_index(col("file"), "/", -1).as("file_name"),
+          col("status"))
     }))
 
   /** Independent DuckDB re-derivation from the staged kv parquet.
@@ -446,5 +516,25 @@ object IngestPipeline {
          |       THEN proto || '/' || suj || '/S' || snum || '_' || sdesc
          |            || '/' || regexp_extract(path, '[^/]*$$')
          |  END AS dest
-         |FROM san ORDER BY path""".stripMargin)
+         |FROM san ORDER BY path""".stripMargin,
+
+    "i4_nifti_manifest" ->
+      s"""WITH kv AS (
+         |  SELECT * FROM read_parquet('$StageRoot/i4_kv/*.parquet')),
+         |h AS (
+         |  SELECT path,
+         |    MAX(CASE WHEN key='SeriesInstanceUID' THEN value END)
+         |      AS series_uid,
+         |    COALESCE(TRY_CAST(MAX(CASE WHEN key='EchoNumbers'
+         |      THEN value END) AS INT), 1) AS echo,
+         |    TRY_CAST(MAX(CASE WHEN key='InstanceNumber' THEN value END)
+         |      AS INT) AS inst
+         |  FROM kv GROUP BY path)
+         |SELECT series_uid, echo, COUNT(*) AS n_slices,
+         |  regexp_replace(series_uid, '[^A-Za-z0-9._-]', '_', 'g')
+         |    || '_e' || echo || '.nii.gz' AS file_name,
+         |  'written' AS status
+         |FROM h WHERE series_uid IS NOT NULL AND inst IS NOT NULL
+         |GROUP BY series_uid, echo
+         |ORDER BY series_uid, echo""".stripMargin)
 }
