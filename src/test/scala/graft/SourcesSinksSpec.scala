@@ -256,6 +256,41 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("tar source: sink round-trip, long names, and system-tar shards") {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("tar_src").toString
+    val long = "deeply/nested/" + "d/" * 50 + "member.bin"
+    val rows = Seq(
+      ("series_001/img.bin", Array.fill(700)(5.toByte)),
+      (long, Array.fill(13)(9.toByte)),
+      ("empty.bin", Array.emptyByteArray))
+    graft.sinks.TarSink.writeTar(
+      rows.toDF("path", "payload").repartition(1),
+      "path", "payload", dir, 42L)
+    val got = graft.sources.TarSource.read(spark, dir)
+      .select("name", "payload").as[(String, Array[Byte])]
+      .collect().map { case (n, p) => n -> p.toSeq }.toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    rows.foreach { case (n, p) => assert(got(n) == p.toSeq, n) }
+    // a shard written by the SYSTEM tar binary reads the same way
+    val sys = Files.createTempDirectory("tar_sys")
+    Files.write(sys.resolve("hello.txt"), "payload!".getBytes)
+    val shardDir = Files.createTempDirectory("tar_sys_shard").toString
+    assert(Seq("tar", "--format=ustar", "-cf", s"$shardDir/s.tar",
+      "-C", sys.toString, "hello.txt").! == 0)
+    val fromSys = graft.sources.TarSource.read(spark, shardDir)
+      .select("name", "payload").as[(String, Array[Byte])].collect()
+    assert(fromSys.map(_._1).toSeq == Seq("hello.txt"))
+    assert(new String(fromSys.head._2) == "payload!")
+    // a corrupt size field fails the shard loudly, not a mis-frame
+    val bad = Files.readAllBytes(
+      new java.io.File(dir, "part-00000.tar").toPath)
+    bad(124) = 'z'.toByte
+    val e = intercept[Exception](graft.sources.TarSource.members(bad))
+    assert(e.isInstanceOf[NumberFormatException] ||
+      e.isInstanceOf[IllegalArgumentException])
+  }
+
   test("K12 tar sink: re-run writes byte-identical archives (retry-safe)") {
     val d1 = Files.createTempDirectory("tar_a").toString
     val d2 = Files.createTempDirectory("tar_b").toString
