@@ -73,7 +73,12 @@ object Lake {
     val mm = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val n = cols.size
     val normed = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      // an all-null column (or an empty frame) has null min/max: rank
+      // everything 0 on that dimension, per the null contract below —
+      // a raw getDouble would NPE from the driver
+      val (mn, mx) =
+        if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0.0, 0.0)
+        else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
       val span = if (mx > mn) mx - mn else 1.0
       least(lit(65535), greatest(lit(0),
         ((col(c).cast("double") - lit(mn)) / lit(span) * 65535.0)

@@ -104,17 +104,22 @@ object MultimodalOps {
 
     // Feature-space quantization — the "assign every decoded chunk to
     // its nearest prototype" step a multimodal curriculum runs after
-    // feature extraction (m3): k=4 centroids are the per-(chunk_idx%4)
-    // feature means (a deterministic stand-in for a fitted codebook —
-    // the real pipeline plugs operators/KMeans.fit in unchanged), each
-    // chunk takes the argmin squared-L2 centroid. All arithmetic is
-    // subtraction/multiplication/addition of exact-int-derived doubles
-    // in fixed order; the argmin is a row_number over exactly k=4 rows
-    // per chunk. Centroids broadcast — the corpus-side cost is one
-    // scan plus a 4-way fan-out, never a shuffle of the chunks.
+    // feature extraction (m3): k=4 centroids are deterministic group
+    // means (a stand-in for a fitted codebook — the real pipeline
+    // plugs operators/KMeans.fit in unchanged), each chunk takes the
+    // argmin squared-L2 centroid. Seed groups come from the chunk's
+    // POSITION RANK (chunk_idx div 4 — sampledChunks emits only
+    // multiples of 4, so a plain %4 would collapse to one group), and
+    // the assignment is free to disagree with the seed — the argmin is
+    // real. All arithmetic is subtraction/multiplication/addition of
+    // exact-int-derived doubles in fixed order; the argmin is a
+    // row_number over exactly k=4 rows per chunk. Centroids
+    // broadcast — the corpus-side cost is one scan plus a 4-way
+    // fan-out, never a shuffle of the chunks.
     "m4_chunk_quantize" -> ((s, dir) => {
       val feats = chunkFeatures(s, dir)
-      val cent = feats.groupBy((col("chunk_idx") % 4).as("cid"))
+      val cent = feats.groupBy(
+          expr("(chunk_idx div 4) % 4").as("cid"))
         .agg(avg(col("sum_bytes")).as("c1"), avg(col("n_space")).as("c2"),
           avg(col("n_upper")).as("c3"))
       val sc = feats.crossJoin(broadcast(cent))
@@ -198,7 +203,7 @@ object MultimodalOps {
         |  CAST(length(regexp_replace(c, '[^A-Z]', '', 'g')) AS INT)
         |    AS n_upper
         |  FROM c),
-        |cent AS (SELECT chunk_idx % 4 AS cid,
+        |cent AS (SELECT (chunk_idx // 4) % 4 AS cid,
         |    AVG(sum_bytes) AS c1, AVG(n_space) AS c2, AVG(n_upper) AS c3
         |  FROM feats GROUP BY 1),
         |sc AS (SELECT doc_id, chunk_idx, cid,

@@ -95,14 +95,18 @@ object NiftiSink {
     val bits = iv(meta, "BitsAllocated").getOrElse(8)
     val signed = iv(meta, "PixelRepresentation").contains(1)
     val (dt, bitpix) = dtype(bits, signed)
-    val sliceBytes = rows * cols * (bitpix / 8)
+    // Long math BEFORE any Int use: 65535×65535×2 already wraps an
+    // Int, which would both defeat this guard and let an undersized
+    // payload slip past the per-slice length require below
+    val sliceBytesL = rows.toLong * cols.toLong * (bitpix / 8)
     val nz = slices.length
     // one JVM array holds the volume: past 2 GiB the allocation would
     // wrap — fail with the actual numbers instead of a cryptic NASE
-    val totalBytes = 352L + sliceBytes.toLong * nz
+    val totalBytes = 352L + sliceBytesL * nz
     require(totalBytes <= Int.MaxValue,
-      s"stack too large for a single .nii: $nz slices x $sliceBytes B " +
+      s"stack too large for a single .nii: $nz slices x $sliceBytesL B " +
         s"= $totalBytes B (limit ${Int.MaxValue}); split by echo/volume")
+    val sliceBytes = sliceBytesL.toInt
 
     // PixelSpacing is [between-rows, between-cols] = (dy, dx)
     val spacing = dsVec(meta, "PixelSpacing")
@@ -171,6 +175,13 @@ object NiftiSink {
       val r = iv(m, "Rows").getOrElse(-1); val c = iv(m, "Columns").getOrElse(-1)
       require(r == rows && c == cols,
         s"mixed geometry in stack: ${r}x$c vs ${rows}x$cols")
+      // depth is geometry too: an 8-bit head slice + a 16-bit member
+      // would otherwise copy half the member's bytes as voxels
+      val b = iv(m, "BitsAllocated").getOrElse(8)
+      val sg = iv(m, "PixelRepresentation").contains(1)
+      require(b == bits && sg == signed,
+        s"mixed pixel depth in stack: ${b}bit(signed=$sg) vs " +
+          s"${bits}bit(signed=$signed)")
       require(px.length >= sliceBytes,
         s"slice payload ${px.length} < geometry $sliceBytes")
       // trim the even-length pad byte; position the slab explicitly
@@ -286,7 +297,12 @@ object NiftiSink {
     slices.groupByKey(s => (s.seriesUid, s.echo))
       .flatMapGroups { (key: (String, Int), it: Iterator[NSlice]) =>
         val (uid, echo) = key
-        val sorted = it.toArray.sortBy(_.instance)
+        // tiebreak duplicate InstanceNumbers by pixel content: a
+        // stable sort over shuffle-ARRIVAL order would make the
+        // volume bytes run-dependent and flap the no-clobber compare
+        // between skipped_identical and duplicate_but_different
+        val sorted = it.toArray.sortBy(s =>
+          (s.instance, java.util.Arrays.hashCode(s.pixels)))
         val name = s"${fsSafe(uid)}_e$echo.nii.gz"
         try {
           val img = buildNifti(sorted.map(s => (s.meta, s.pixels)).toSeq)

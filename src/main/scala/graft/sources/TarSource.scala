@@ -44,11 +44,16 @@ object TarSource {
   }
 
   /** Parses one in-memory USTAR archive into (name, payload) members.
-    * Exposed for direct reuse (and the round-trip spec). */
+    * GNU long-name ('L') and PAX ('x') extension entries are APPLIED,
+    * not just skipped: a default-format `tar -cf` stores a >100-byte
+    * path in the extension block and truncates the following header's
+    * name field — returning the truncated name would be silently wrong
+    * data. Exposed for direct reuse (and the round-trip spec). */
   def members(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     var done = false
+    var overrideName: Option[String] = None
     while (!done && off + 512 <= bytes.length) {
       val block = java.util.Arrays.copyOfRange(bytes, off, off + 512)
       if (block.forall(_ == 0)) done = true // end-of-archive marker
@@ -63,15 +68,35 @@ object TarSource {
         if (size < 0 || off + 512 + size > bytes.length)
           throw new IllegalArgumentException(
             s"tar member at offset $off claims $size bytes past the shard")
-        val name = {
+        val payload = java.util.Arrays.copyOfRange(bytes,
+          off + 512, off + 512 + size.toInt)
+        val headerName = {
           val prefix = str(345, 155)
           val base = str(0, 100)
           if (prefix.isEmpty) base else s"$prefix/$base"
         }
-        val typeflag = block(156)
-        if (typeflag == '0'.toByte || typeflag == 0.toByte)
-          out += ((name, java.util.Arrays.copyOfRange(bytes,
-            off + 512, off + 512 + size.toInt)))
+        block(156) match {
+          case b if b == '0'.toByte || b == 0.toByte =>
+            out += ((overrideName.getOrElse(headerName), payload))
+            overrideName = None
+          case b if b == 'L'.toByte =>
+            // GNU long name: payload = real name of the NEXT member,
+            // NUL-terminated
+            val end = payload.indexOf(0.toByte) match {
+              case -1 => payload.length; case i => i
+            }
+            overrideName = Some(new String(payload, 0, end,
+              java.nio.charset.StandardCharsets.US_ASCII))
+          case b if b == 'x'.toByte =>
+            // PAX extended header: "<len> path=<value>\n" records
+            val text = new String(payload,
+              java.nio.charset.StandardCharsets.UTF_8)
+            text.split("\n").find(_.contains(" path=")).foreach { rec =>
+              overrideName = Some(rec.substring(
+                rec.indexOf(" path=") + 6))
+            }
+          case _ => () // dirs, links, global PAX: structural skip
+        }
         val padded = ((size + 511) / 512) * 512
         off += 512 + padded.toInt
       }

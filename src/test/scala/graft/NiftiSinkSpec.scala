@@ -92,6 +92,23 @@ class NiftiSinkSpec extends AnyFunSuite {
       NiftiSink.buildNifti(Seq((meta(1), vox(1)), (bad, vox(2))))
     }
     assert(e.getMessage.contains("mixed geometry"))
+    // depth is geometry too: an 8-bit head + 16-bit member must fail,
+    // not write half the member's bytes as voxels
+    val deep = meta(2) + ("BitsAllocated" -> "16")
+    val e2 = intercept[IllegalArgumentException] {
+      NiftiSink.buildNifti(
+        Seq((meta(1), vox(1)), (deep, Array.fill[Byte](24)(1))))
+    }
+    assert(e2.getMessage.contains("mixed pixel depth"))
+  }
+
+  test("oversized geometry fails the Long guard, not Int overflow") {
+    val huge = meta(1) ++ Map("Rows" -> "65535", "Columns" -> "65535",
+      "BitsAllocated" -> "16")
+    val e = intercept[IllegalArgumentException] {
+      NiftiSink.buildNifti(Seq((huge, Array.fill[Byte](16)(0))))
+    }
+    assert(e.getMessage.contains("stack too large"))
   }
 
   test("fuzz: random geometries round-trip through the header layout") {
@@ -125,6 +142,29 @@ class NiftiSinkSpec extends AnyFunSuite {
       assert(img.length == 352 + r * c * bpp * nz)
       assert(img.drop(352).toSeq == slices.flatMap(_._2.toSeq))
     }
+  }
+
+  test("duplicate InstanceNumbers stack deterministically (content tiebreak)") {
+    import spark.implicits._
+    // the DUP corruption shape: two distinct slices both claim
+    // instance 2 — whichever arrival order the shuffle produces, the
+    // written volume must be byte-identical (else a re-conversion of
+    // unchanged data lands as duplicate_but_different)
+    val dupA = (s"SD.a", file(sliceDs("SD", 2), pixel = vox(7)))
+    val dupB = (s"SD.b", file(sliceDs("SD", 2), pixel = vox(9)))
+    val first = (s"SD.1", file(sliceDs("SD", 1), pixel = vox(1)))
+    val o1 = java.nio.file.Files.createTempDirectory("nifti_dup1")
+    val o2 = java.nio.file.Files.createTempDirectory("nifti_dup2")
+    NiftiSink.writeStacks(
+      Seq(first, dupA, dupB).toDF("path", "content"), o1.toString)
+      .collect()
+    NiftiSink.writeStacks(
+      Seq(dupB, first, dupA).toDF("path", "content"), o2.toString)
+      .collect()
+    val (b1, b2) = (
+      java.nio.file.Files.readAllBytes(o1.resolve("SD_e1.nii.gz")),
+      java.nio.file.Files.readAllBytes(o2.resolve("SD_e1.nii.gz")))
+    assert(java.util.Arrays.equals(b1, b2))
   }
 
   test("gzip member is deterministic and round-trips") {

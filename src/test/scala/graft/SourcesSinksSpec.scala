@@ -291,6 +291,28 @@ class SourcesSinksSpec extends AnyFunSuite {
       e.isInstanceOf[IllegalArgumentException])
   }
 
+  test("tar source applies GNU-L and PAX long-name extension entries") {
+    import scala.sys.process._
+    // default `tar -cf` (GNU format) stores a >100-byte path in an 'L'
+    // extension entry and truncates the following header's name field;
+    // returning the truncated name would be silently wrong data
+    val longName = ("verydeep/" * 14) + "member_with_a_quite_long_name.bin"
+    assert(longName.length > 100)
+    val src = Files.createTempDirectory("tar_long")
+    val member = src.resolve(longName)
+    Files.createDirectories(member.getParent)
+    Files.write(member, "long-name payload".getBytes)
+    for (fmt <- Seq("gnu", "pax")) {
+      val shard = Files.createTempDirectory(s"tar_long_$fmt").toString
+      assert(Seq("tar", s"--format=$fmt", "-cf", s"$shard/s.tar",
+        "-C", src.toString, longName).! == 0)
+      val got = graft.sources.TarSource.read(spark, shard)
+        .select("name", "payload").as[(String, Array[Byte])].collect()
+      assert(got.map(_._1).toSeq == Seq(longName), s"format=$fmt")
+      assert(new String(got.head._2) == "long-name payload")
+    }
+  }
+
   test("K12 tar sink: re-run writes byte-identical archives (retry-safe)") {
     val d1 = Files.createTempDirectory("tar_a").toString
     val d2 = Files.createTempDirectory("tar_b").toString

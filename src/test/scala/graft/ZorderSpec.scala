@@ -84,5 +84,11 @@ class ZorderSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("zorder_edge").toString
     graft.catalog.Lake.zorderWrite(df, Seq("x", "y"), dir, 2)
     assert(spark.read.parquet(dir).count() == 3)
+    // an ALL-null column must rank 0 everywhere, not NPE on the driver
+    val allNull = Seq((1L, Option.empty[Long], 7L),
+      (2L, Option.empty[Long], 9L)).toDF("id", "x", "y")
+    val dir2 = java.nio.file.Files.createTempDirectory("zorder_null").toString
+    graft.catalog.Lake.zorderWrite(allNull, Seq("x", "y"), dir2, 1)
+    assert(spark.read.parquet(dir2).count() == 2)
   }
 }
