@@ -741,6 +741,53 @@ object DedupOps {
           (coalesce(col("covered_words"), lit(0L)).cast("double") /
             col("n_words")).as("dup_span_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined chunking + chunk dedup — the SHIFT-INVARIANT
+    // complement of d10's fixed 20-word grid (FastCDC/rolling-hash
+    // chunking in relational form, with single-word content anchors:
+    // a chunk boundary opens at every word whose md5 bucket ≡ 0
+    // (mod 8), so expected chunk length is 8 words and boundaries
+    // depend only on CONTENT, never on position). Planted copies get a
+    // 3-word prefix: d10's grid would misalign every chunk of the
+    // copy, but the CDC boundaries re-synchronize at the first anchor
+    // word, so copies still share every post-anchor chunk with their
+    // source — the property content-defined chunking exists for.
+    // Scale shape: anchor flags and chunk ids are per-doc windows
+    // (a doc's own word count bounds the partition); the cross-corpus
+    // work is one chunk-hash groupBy with map-side partials plus the
+    // equi-join back — no all-pairs, no corpus-wide window.
+    "d14_cdc_chunks" -> ((s, dir) => {
+      val base = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val copies = base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(array(lit("zq"), lit("zr"), lit("zs")), col("w"))
+            .as("w"))
+      val toks = base.union(copies)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+        .withColumn("anchor",
+          (conv(substring(md5(col("word")), 1, 15), 16, 10)
+            .cast("bigint") % 8 === 0).cast("int"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val chunks = toks
+        .withColumn("chunk_no", sum(col("anchor")).over(byDoc))
+        .groupBy(col("doc_id"), col("chunk_no"))
+        .agg(md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, word))), x -> x.word)")))
+          .as("h"))
+        .cache() // feeds the cross-doc counts and the join-back
+      val hc = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(hc, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -812,6 +859,39 @@ object DedupOps {
         |         AS dup_span_frac
         |FROM docs d LEFT JOIN cov c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "d14_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |allw AS (SELECT doc_id, w FROM base
+        |         UNION ALL
+        |         SELECT doc_id + 300000, ['zq', 'zr', 'zs'] || w
+        |         FROM base WHERE doc_id % 6 = 0),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word,
+        |         CASE WHEN ('0x' || substr(md5(w[i]), 1, 15))::BIGINT
+        |                   % 8 = 0 THEN 1 ELSE 0 END AS anchor
+        |  FROM allw
+        |  CROSS JOIN (SELECT unnest(range(1,
+        |    (SELECT MAX(len(w)) FROM allw) + 1)) AS i) t
+        |  WHERE i <= len(w)),
+        |numbered AS (
+        |  SELECT doc_id, pos, word,
+        |         SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS chunk_no
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, chunk_no,
+        |         md5(string_agg(word, ' ' ORDER BY pos)) AS h
+        |  FROM numbered GROUP BY doc_id, chunk_no),
+        |hc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd
+        |       FROM chunks GROUP BY h)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup_chunks
+        |FROM chunks c JOIN hc USING (h)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d12_dedup_pipeline" ->
       """WITH RECURSIVE allw AS (

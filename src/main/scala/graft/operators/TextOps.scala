@@ -505,6 +505,99 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // DSIR-style domain-affinity scoring (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every corpus document by how target-domain-like its token
+    // distribution is. The per-token importance weight is the
+    // smoothed-probability ratio p_target(tok)/p_corpus(tok) =
+    // ((ct+1)·(Nc+V)) / ((cc+1)·(Nt+V)) — kept as +/×/÷ on doubles
+    // (each IEEE op is correctly rounded, so both engines agree
+    // bitwise; log-space DSIR would need ln, which is not), and the
+    // per-doc sum goes through the DECIMAL path so row order cannot
+    // reassociate it. Marker tokens are planted on the target docs and
+    // on every 4th corpus doc so the score genuinely separates.
+    // Scale shape: the vocab table and its totals are
+    // vocabulary-sized (token aggregates with map-side partials) and
+    // BROADCAST back onto the exploded token stream; the only
+    // corpus-wide shuffle is the per-doc hash aggregate — at 100 TB
+    // this is one scan plus vocab-bounded state, the DSIR pass shape.
+    "t20_domain_affinity" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val target = d.filter(col("source") === "src0")
+        .select(concat(col("text"),
+          lit(" quantum flux qubit quantum")).as("text"))
+      val corpus = d.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" quantum flux")))
+          .otherwise(col("text")).as("text"))
+      val tokT = target.select(explode(split(col("text"), " ")).as("tok"))
+      val tokC = corpus.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = tokC.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+        .join(tokT.groupBy(col("tok")).agg(count(lit(1)).as("ct")),
+          Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+      val tot = vocab.agg(count(lit(1)).as("v"),
+        sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
+      val wt = vocab.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          (((col("ct") + lit(1L)).cast("double") *
+            (col("nc") + col("v")).cast("double")) /
+           ((col("cc") + lit(1L)).cast("double") *
+            (col("nt") + col("v")).cast("double"))).as("wt"))
+      tokC.join(broadcast(wt), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.functions.Fns.decSumD(col("wt")).as("aff_sum"))
+        .withColumn("affinity",
+          round(col("aff_sum") / col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition REMOVAL — the transform complement of
+    // t10's detection: treat each non-overlapping 10-word segment as a
+    // paragraph (the suite's single-line stand-in, d10's convention),
+    // keep only the FIRST occurrence of each distinct segment within
+    // its document, and rebuild the cleaned text in original order
+    // (the "remove duplicated paragraphs within a page" C4 step).
+    // Every 4th doc is planted with its own leading segment prepended,
+    // so the dedup genuinely drops text. Scale shape: the keep-first
+    // window and the ordered rebuild both partition by doc_id — a
+    // document's own segment count bounds every partition, nothing is
+    // corpus-wide except the final ORDER BY.
+    "t21_self_dedup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w0"))
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+          concat(slice(col("w0"), 1, 10), col("w0")))
+          .otherwise(col("w0")).as("w"))
+      val segs = docs.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, cast(floor((size(w)-1)/10) as int)),
+              |  i -> concat_ws(' ', slice(w, i*10+1, 10)))""".stripMargin))
+            .as(Seq("seg_no", "seg")))
+        .cache() // feeds the keep-first window and the per-doc totals
+      val byDocSeg = w.partitionBy(col("doc_id"), col("seg"))
+        .orderBy(col("seg_no"))
+      val rebuilt = segs
+        .withColumn("rk", row_number().over(byDocSeg))
+        .filter(col("rk") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_seg_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(seg_no, seg))), x -> x.seg)")))
+            .as("clean_hash"))
+      segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+        .join(rebuilt, "doc_id")
+        .select(col("doc_id"), col("n_seg"), col("n_seg_kept"),
+          (col("n_seg") - col("n_seg_kept")).as("n_dropped"),
+          col("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -605,6 +698,66 @@ object TextOps {
         |  ROUND(CAST(n_docs AS DOUBLE) / nn, 6) AS p_raw,
         |  ROUND(sqrt(n_tokens) / denom, 6) AS w_sampled
         |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    "t20_domain_affinity" ->
+      """WITH target AS (
+        |  SELECT text || ' quantum flux qubit quantum' AS text
+        |  FROM documents WHERE source = 'src0'),
+        |corpus AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text || ' quantum flux'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |tok_t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |          FROM target),
+        |tok_c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM corpus),
+        |ct_t AS (SELECT tok, COUNT(*) AS ct FROM tok_t GROUP BY 1),
+        |ct_c AS (SELECT tok, COUNT(*) AS cc FROM tok_c GROUP BY 1),
+        |vocab AS (SELECT COALESCE(c.tok, t.tok) AS tok,
+        |                 COALESCE(t.ct, 0) AS ct,
+        |                 COALESCE(c.cc, 0) AS cc
+        |          FROM ct_c c FULL OUTER JOIN ct_t t ON c.tok = t.tok),
+        |tot AS (SELECT COUNT(*) AS v, CAST(SUM(ct) AS BIGINT) AS nt,
+        |               CAST(SUM(cc) AS BIGINT) AS nc FROM vocab),
+        |wt AS (SELECT tok,
+        |         (CAST(ct + 1 AS DOUBLE) * CAST(nc + v AS DOUBLE)) /
+        |         (CAST(cc + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)) AS wt
+        |       FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE) AS aff_sum,
+        |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE)
+        |        / COUNT(*), 6) AS affinity
+        |FROM tok_c JOIN wt USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t21_self_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w0
+        |              FROM documents),
+        |docs AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 4 = 1 THEN w0[1:10] || w0
+        |                ELSE w0 END AS w
+        |         FROM base),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_no,
+        |         array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+        |  FROM docs
+        |  CROSS JOIN (SELECT unnest(range(0,
+        |    (SELECT MAX(len(w)) // 10 + 1 FROM docs))) AS i) t
+        |  WHERE i*10 < len(w)),
+        |kept AS (SELECT doc_id, seg_no, seg,
+        |                ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+        |                                   ORDER BY seg_no) AS rk
+        |         FROM segs),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_seg_kept,
+        |               md5(string_agg(seg, ' ' ORDER BY seg_no))
+        |                 AS clean_hash
+        |        FROM kept WHERE rk = 1 GROUP BY doc_id),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_seg FROM segs
+        |       GROUP BY doc_id)
+        |SELECT ns.doc_id, ns.n_seg, reb.n_seg_kept,
+        |       ns.n_seg - reb.n_seg_kept AS n_dropped, reb.clean_hash
+        |FROM ns JOIN reb USING (doc_id) ORDER BY ns.doc_id""".stripMargin,
 
     "t10_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -167,9 +167,37 @@ object EventStream {
         col("pv").cast("double").as("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Per-hour trending top-k: rank event types inside each tumbling
+    * window by count (tie-break on the type name) and keep the top
+    * `k`. Batch form of the dashboard "trending now" panel; the
+    * streaming twin re-ranks the maintained hourly counts inside
+    * foreachBatch (ranking is not incrementally expressible in append
+    * mode — the COUNTS are the incremental state, the rank is a cheap
+    * per-refresh derivation over type-cardinality-bounded rows;
+    * StreamingSpec proves two micro-batches land on the batch answer).
+    * Scale shape: one (hour, type) hash aggregate with map-side
+    * partials; the rank window runs over aggregated rows only —
+    * type-cardinality × hours, never event-cardinality. */
+  def windowedTopK(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+    val byHour = Window.partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    hourly.withColumn("rk", row_number().over(byHour))
+      .filter(col("rk") <= k)
+      .select(col("hour_start"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("hour_start"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling_window" -> ((s, dir) =>
       hourlyCountsBatch(load(s, dir, "events"))),
+    "s7_windowed_topk" -> ((s, dir) =>
+      windowedTopK(load(s, dir, "events"), 3)),
     "s5_incremental_agg" -> ((s, dir) =>
       incrementalHourly(load(s, dir, "events"), "2024-01-20 00:00:00")),
     // The NATIVE gap-session operator (session_window) next to s2's
@@ -212,6 +240,20 @@ object EventStream {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
         |         AS total_value
         |FROM events GROUP BY 1,2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "s7_windowed_topk" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |         event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT hour_start, event_type, n,
+        |         ROW_NUMBER() OVER (PARTITION BY hour_start
+        |                            ORDER BY n DESC, event_type) AS rk
+        |  FROM hourly)
+        |SELECT hour_start, CAST(rk AS INT) AS rk, event_type, n
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY hour_start, rk""".stripMargin,
 
     "s2_sessionize" ->
       """WITH marked AS (
