@@ -178,13 +178,19 @@ object EventStream {
     * Scale shape: one (hour, type) hash aggregate with map-side
     * partials; the rank window runs over aggregated rows only —
     * type-cardinality × hours, never event-cardinality. */
-  def windowedTopK(events: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = events
+  def windowedTopK(events: DataFrame, k: Int): DataFrame =
+    topKFromHourly(events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"))
+        col("n")), k)
+
+  /** The rank-derivation half of [[windowedTopK]], split out so the
+    * streaming twin can re-rank the MAINTAINED hourly counts (the s5
+    * partial store) inside foreachBatch instead of re-scanning
+    * events. */
+  def topKFromHourly(hourly: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byHour = Window.partitionBy(col("hour_start"))
       .orderBy(col("n").desc, col("event_type"))
     hourly.withColumn("rk", row_number().over(byHour))

@@ -201,4 +201,38 @@ class PlanSpec extends AnyFunSuite {
       "BroadcastHashJoin".r.findAllIn(p).size
     assert(joins <= 2, s"expected a single join, plan has $joins")
   }
+
+  test("t20: vocab weights broadcast onto the token stream (DSIR pass)") {
+    val p = plan("t20_domain_affinity")
+    // the per-token weight table and its totals are vocabulary-sized;
+    // both must reach the exploded corpus stream as broadcasts — a
+    // sort-merge join here would shuffle every token of the corpus
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"vocab weight join not broadcast:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"totals not broadcast:\n${p.take(3000)}")
+  }
+
+  test("s7: rank window runs over aggregated rows, after the count agg") {
+    val p = plan("s7_windowed_topk")
+    // exactly one Window (the rank), and it must sit ABOVE the hash
+    // aggregate — ranking raw events would sort event-cardinality rows
+    val win = p.indexOf("Window")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert("Window ".r.findAllIn(p).size == 1, "expected a single Window")
+    assert(win >= 0 && agg > win,
+      "rank window must consume the aggregate, not raw events")
+  }
+
+  test("d14: chunk assembly windows partition by doc_id only") {
+    val p = plan("d14_cdc_chunks")
+    // the running anchor count and the ordered rebuild are per-doc —
+    // any corpus-wide (empty partitionBy) window would serialize the
+    // whole corpus through one task
+    assert(!p.contains("Window [") ||
+      !"""Window \[[^\]]*\], \[\]""".r.findFirstIn(p).isDefined,
+      s"corpus-wide window detected:\n${p.take(3000)}")
+    assert(p.contains("HashAggregate"), "chunk-hash groupBy missing")
+  }
 }

@@ -229,4 +229,46 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(2), r.getDouble(3))).toSeq
     assert(mv == batch)
   }
+
+  test("streaming trending top-k == batch windowedTopK (s7 re-rank)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_topk")
+    val store = root.resolve("mv").toString
+    val tmp = root.resolve("mv_tmp").toString
+    val mem = MemoryStream[TestEvent]
+    // the COUNTS are the incremental state (s5's partial algebra);
+    // the rank is re-derived per refresh over the tiny maintained
+    // table — ranking itself is never incrementally maintained
+    val q = mem.toDF().writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partials = EventStream.partialHourly(b)
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+            EventStream.mergePartials(
+              b.sparkSession.read.parquet(store), partials)
+          else partials
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          b.sparkSession.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(store)): Unit
+      }.start()
+    val unique = events.distinctBy(_.event_id)
+    mem.addData(unique.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(unique.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0).toString, r.getInt(1),
+        r.getString(2), r.getLong(3))).toSeq
+    val streamed = render(EventStream.topKFromHourly(
+      EventStream.finalizeHourly(spark.read.parquet(store))
+        .select(col("hour_start"), col("event_type"), col("n")), 2))
+    val batch = render(EventStream.windowedTopK(unique.toDF(), 2))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.forall(_._2 <= 2))
+  }
 }
