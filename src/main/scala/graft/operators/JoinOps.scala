@@ -247,10 +247,49 @@ object JoinOps {
         .agg(decSumD(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("s_name"))
+    }),
+
+    // Salted skew join under the oracle gate: half the fact rows land
+    // on ONE key (every even event_id → key 0 — the protocol-sized
+    // hot-key skew of SURVEY §7.4), and the join runs through
+    // Skew.saltedJoin: the hot side splits across 8 deterministic
+    // sub-keys (xxhash64 of the unique event_id — no rand(), reruns
+    // identical) while the 100-row dim replicates 8×. The oracle is
+    // the PLAIN join — equality proves salting changes the partition
+    // layout and nothing else. At 100 TB the unsalted shape puts 50%
+    // of the shuffle in one task; the salted one caps any task at
+    // ~1/8 of the hot key.
+    "j13_salted_skew_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          when(col("event_id") % 2 === 0, lit(0L))
+            .otherwise(col("user_id") % 100).as("k"))
+      val dim = s.range(0, 100).select(col("id").as("k"),
+        concat(lit("seg_"), (col("id") % 7).cast("string")).as("seg"))
+      Skew.saltedJoin(ev, dim, "k", "event_id", 8)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("seg"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the plain (unsalted) join — equality pins saltedJoin's semantics
+    "j13_salted_skew_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_id % 2 = 0 THEN 0
+        |              ELSE user_id % 100 END AS k
+        |  FROM events),
+        |dim AS (SELECT range AS k,
+        |               'seg_' || CAST(range % 7 AS VARCHAR) AS seg
+        |        FROM range(0, 100))
+        |SELECT seg, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM ev JOIN dim USING (k)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
     // CASTs to TIMESTAMP (µs) everywhere: the parquet carries ns, which
     // Spark truncates on load — comparing or tie-breaking at ns would
     // diverge from the µs the Spark side sees.

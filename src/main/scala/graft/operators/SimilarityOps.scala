@@ -362,10 +362,72 @@ object SimilarityOps {
           col("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id"))
         .limit(15)
+    }),
+
+    // Late-interaction (ColBERT-style) MaxSim retrieval: each vector is
+    // read as 4 token sub-embeddings (16 dims each — the multi-vector
+    // stand-in), and score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ): every query
+    // token finds its best-matching doc token, summed in FIXED i order
+    // (4 literal terms — no row-order float reassociation; each pair
+    // cosine is the native codegen expression over array slices,
+    // rounded to 6 before max/sum like the whole v-family). Scale
+    // shape: the 8-query side broadcasts, the corpus streams through
+    // ONE projection evaluating the 16 pair cosines inside codegen,
+    // and top-5 per query ranks (q, score) pairs — the multi-vector
+    // refinement pass a ColBERT-style system runs over ANN candidates.
+    "v8_maxsim" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val e = withV(load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("va"))
+      val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"))
+      def sub(c: String, i: Int) = s"slice($c, ${16 * i + 1}, 16)"
+      def rij(i: Int, j: Int) =
+        s"round(cosine_sim(${sub("va", i)}, ${sub("vb", j)}), 6)"
+      val score = (0 until 4).map { i =>
+        s"greatest(${(0 until 4).map(j => rij(i, j)).mkString(", ")})"
+      }.mkString(" + ")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("score", expr(score))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("score"))
+        .orderBy(col("q_id"), col("rk"))
     })
   )
 
+  /** v8's oracle is generated: 4 sub-vector norms per side and the 16
+    * r_ij pair cosines expand mechanically (same structure the Spark
+    * side builds in a loop), keeping both engines' expression trees
+    * identical term by term. */
+  private def maxsimOracle: String = {
+    val norms = (0 until 4).map { i =>
+      s"sqrt(list_sum([v[k]*v[k] for k in range(${16 * i + 1}, ${16 * i + 17})])) AS nrm$i"
+    }.mkString(",\n        |        ")
+    def rij(i: Int, j: Int) =
+      s"round(list_sum([q.v[${16 * i}+k]*t.v[${16 * j}+k] for k in range(1,17)]) / (q.nrm$i * t.nrm$j), 6)"
+    val score = (0 until 4).map { i =>
+      s"greatest(${(0 until 4).map(j => rij(i, j)).mkString(", ")})"
+    }.mkString("\n        |          + ")
+    s"""WITH e AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        $norms
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+        |        $score AS score
+        |      FROM n q, n t WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id)
+        |SELECT q_id, rk, n_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, n_id) AS rk FROM p) s
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "v8_maxsim" -> maxsimOracle,
     "v7_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -225,6 +225,22 @@ class PlanSpec extends AnyFunSuite {
       "rank window must consume the aggregate, not raw events")
   }
 
+  test("v8: query sub-vectors broadcast; corpus scores in one projection") {
+    val p = plan("v8_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"8-query side not broadcast:\n${p.take(2000)}")
+    // all 16 pair cosines must sit in ONE projection (a join per pair
+    // would rescan the corpus 16 times)
+    assert("cosine_sim".r.findAllIn(p).size >= 16,
+      "pair cosines not fused into a single projection")
+  }
+
+  test("j13: salted join carries the salt in its join key") {
+    val p = plan("j13_salted_skew_join")
+    assert(p.contains("__salt"),
+      s"salt column missing from the join:\n${p.take(2000)}")
+  }
+
   test("d14: chunk assembly windows partition by doc_id only") {
     val p = plan("d14_cdc_chunks")
     // the running anchor count and the ordered rebuild are per-doc —
