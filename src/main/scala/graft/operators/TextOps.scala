@@ -508,19 +508,22 @@ object TextOps {
     // DSIR-style domain-affinity scoring (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score
     // every corpus document by how target-domain-like its token
-    // distribution is. The per-token importance weight is the
-    // smoothed-probability ratio p_target(tok)/p_corpus(tok) =
-    // ((ct+1)·(Nc+V)) / ((cc+1)·(Nt+V)) — kept as +/×/÷ on doubles
-    // (each IEEE op is correctly rounded, so both engines agree
-    // bitwise; log-space DSIR would need ln, which is not), and the
-    // per-doc sum goes through the DECIMAL path so row order cannot
-    // reassociate it. Marker tokens are planted on the target docs and
-    // on every 4th corpus doc so the score genuinely separates.
-    // Scale shape: the vocab table and its totals are
-    // vocabulary-sized (token aggregates with map-side partials) and
-    // BROADCAST back onto the exploded token stream; the only
-    // corpus-wide shuffle is the per-doc hash aggregate — at 100 TB
-    // this is one scan plus vocab-bounded state, the DSIR pass shape.
+    // distribution is. Tokens are HASHED into a fixed 4096-bucket
+    // space first — the paper's hashed-n-gram device, and the thing
+    // that makes this scale-safe: a 100 TB corpus has an unbounded
+    // long-tail vocabulary, but the weight table is 4096 rows BY
+    // CONSTRUCTION, so the broadcast can never outgrow the driver.
+    // The per-bucket importance weight is the smoothed-probability
+    // ratio p_target(b)/p_corpus(b) = ((ct+1)·(Nc+B)) / ((cc+1)·(Nt+B))
+    // — kept as +/×/÷ on doubles (each IEEE op is correctly rounded,
+    // so both engines agree bitwise; log-space DSIR would need ln,
+    // which is not), and the per-doc sum goes through the DECIMAL path
+    // so row order cannot reassociate it. Marker tokens are planted on
+    // the target docs and on every 4th corpus doc so the score
+    // genuinely separates. Scale shape: bucket aggregates collapse
+    // map-side into ≤4096 partials per task; the only corpus-wide
+    // shuffle is the per-doc hash aggregate — one scan plus
+    // fixed-size state, the DSIR pass shape.
     "t20_domain_affinity" -> ((s, dir) => {
       val d = load(s, dir, "documents")
       val target = d.filter(col("source") === "src0")
@@ -530,23 +533,27 @@ object TextOps {
         when(col("doc_id") % 4 === 0,
           concat(col("text"), lit(" quantum flux")))
           .otherwise(col("text")).as("text"))
-      val tokT = target.select(explode(split(col("text"), " ")).as("tok"))
-      val tokC = corpus.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val vocab = tokC.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
-        .join(tokT.groupBy(col("tok")).agg(count(lit(1)).as("ct")),
-          Seq("tok"), "full_outer")
-        .select(col("tok"), coalesce(col("ct"), lit(0L)).as("ct"),
+      def buckets(df: DataFrame,
+          cols: org.apache.spark.sql.Column*): DataFrame =
+        df.select(cols :+ explode(split(col("text"), " ")).as("tok"): _*)
+          .select(cols :+ (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+            .cast("bigint") % 4096).as("b"): _*)
+      val bT = buckets(target)
+      val bC = buckets(corpus, col("doc_id"))
+      val wtable = bC.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+        .join(bT.groupBy(col("b")).agg(count(lit(1)).as("ct")),
+          Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
           coalesce(col("cc"), lit(0L)).as("cc"))
-      val tot = vocab.agg(count(lit(1)).as("v"),
-        sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
-      val wt = vocab.crossJoin(broadcast(tot))
-        .select(col("tok"),
+      val tot = wtable.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
+      val nB = lit(4096L)
+      val wt = wtable.crossJoin(broadcast(tot))
+        .select(col("b"),
           (((col("ct") + lit(1L)).cast("double") *
-            (col("nc") + col("v")).cast("double")) /
+            (col("nc") + nB).cast("double")) /
            ((col("cc") + lit(1L)).cast("double") *
-            (col("nt") + col("v")).cast("double"))).as("wt"))
-      tokC.join(broadcast(wt), "tok")
+            (col("nt") + nB).cast("double"))).as("wt"))
+      bC.join(broadcast(wt), "b")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           graft.functions.Fns.decSumD(col("wt")).as("aff_sum"))
@@ -708,27 +715,33 @@ object TextOps {
         |         CASE WHEN doc_id % 4 = 0 THEN text || ' quantum flux'
         |              ELSE text END AS text
         |  FROM documents),
-        |tok_t AS (SELECT unnest(string_split(text, ' ')) AS tok
-        |          FROM target),
-        |tok_c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |          FROM corpus),
-        |ct_t AS (SELECT tok, COUNT(*) AS ct FROM tok_t GROUP BY 1),
-        |ct_c AS (SELECT tok, COUNT(*) AS cc FROM tok_c GROUP BY 1),
-        |vocab AS (SELECT COALESCE(c.tok, t.tok) AS tok,
-        |                 COALESCE(t.ct, 0) AS ct,
-        |                 COALESCE(c.cc, 0) AS cc
-        |          FROM ct_c c FULL OUTER JOIN ct_t t ON c.tok = t.tok),
-        |tot AS (SELECT COUNT(*) AS v, CAST(SUM(ct) AS BIGINT) AS nt,
-        |               CAST(SUM(cc) AS BIGINT) AS nc FROM vocab),
-        |wt AS (SELECT tok,
-        |         (CAST(ct + 1 AS DOUBLE) * CAST(nc + v AS DOUBLE)) /
-        |         (CAST(cc + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)) AS wt
-        |       FROM vocab CROSS JOIN tot)
+        |b_t AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
+        |          AS b
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |              FROM target)),
+        |b_c AS (SELECT doc_id,
+        |          ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+        |        FROM (SELECT doc_id,
+        |                unnest(string_split(text, ' ')) AS tok
+        |              FROM corpus)),
+        |ct_t AS (SELECT b, COUNT(*) AS ct FROM b_t GROUP BY 1),
+        |ct_c AS (SELECT b, COUNT(*) AS cc FROM b_c GROUP BY 1),
+        |wtable AS (SELECT COALESCE(c.b, t.b) AS b,
+        |                  COALESCE(t.ct, 0) AS ct,
+        |                  COALESCE(c.cc, 0) AS cc
+        |           FROM ct_c c FULL OUTER JOIN ct_t t ON c.b = t.b),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |               CAST(SUM(cc) AS BIGINT) AS nc FROM wtable),
+        |wt AS (SELECT b,
+        |         (CAST(ct + 1 AS DOUBLE) * CAST(nc + 4096 AS DOUBLE)) /
+        |         (CAST(cc + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))
+        |           AS wt
+        |       FROM wtable CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE) AS aff_sum,
         |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE)
         |        / COUNT(*), 6) AS affinity
-        |FROM tok_c JOIN wt USING (tok)
+        |FROM b_c JOIN wt USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t21_self_dedup" ->
