@@ -53,4 +53,13 @@ object Fns {
   def ceilMinutes(seconds: Column): Column =
     ((seconds + 59L) / 60L).cast("long")
 
+  /** Deterministic cross-engine hash bucket: md5 of the string, first
+    * 15 hex chars as a bigint, mod `m`. ONE definition shared by the
+    * t8/t15 split, d14's CDC anchors, and t20's DSIR buckets — the
+    * DuckDB twin is `('0x' || substr(md5(x), 1, 15))::BIGINT % m`, and
+    * a prefix-width change in one copy but not the others would
+    * silently desynchronize an oracle pair. */
+  def md5Bucket(c: Column, m: Int): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") % m
+
 }

@@ -767,8 +767,8 @@ object DedupOps {
       val toks = base.union(copies)
         .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
         .withColumn("anchor",
-          (conv(substring(md5(col("word")), 1, 15), 16, 10)
-            .cast("bigint") % 8 === 0).cast("int"))
+          (graft.functions.Fns.md5Bucket(col("word"), 8) === 0)
+            .cast("int"))
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -21,8 +21,7 @@ object TextOps {
     * leakage-safe cluster split. */
   private def splitBucket(idCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
-      .cast("bigint") % 100
+    graft.functions.Fns.md5Bucket(idCol.cast("string"), 100)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -536,15 +535,19 @@ object TextOps {
       def buckets(df: DataFrame,
           cols: org.apache.spark.sql.Column*): DataFrame =
         df.select(cols :+ explode(split(col("text"), " ")).as("tok"): _*)
-          .select(cols :+ (conv(substring(md5(col("tok")), 1, 15), 16, 10)
-            .cast("bigint") % 4096).as("b"): _*)
+          .select(cols :+
+            graft.functions.Fns.md5Bucket(col("tok"), 4096).as("b"): _*)
       val bT = buckets(target)
       val bC = buckets(corpus, col("doc_id"))
+      // 4096 rows by construction; caching it collapses the tot and wt
+      // branches into ONE corpus tokenization pass (the scoring join
+      // below is the second, inherent DSIR pass)
       val wtable = bC.groupBy(col("b")).agg(count(lit(1)).as("cc"))
         .join(bT.groupBy(col("b")).agg(count(lit(1)).as("ct")),
           Seq("b"), "full_outer")
         .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
           coalesce(col("cc"), lit(0L)).as("cc"))
+        .cache()
       val tot = wtable.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
       val nB = lit(4096L)
       val wt = wtable.crossJoin(broadcast(tot))

@@ -209,8 +209,9 @@ class PlanSpec extends AnyFunSuite {
     // sort-merge join here would shuffle every token of the corpus
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
       s"vocab weight join not broadcast:\n${p.take(3000)}")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      "BroadcastHashJoin".r.findAllIn(p).size >= 1,
+    // the one-row totals crossJoin must plan as a broadcast nested
+    // loop, never a cartesian/shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
       s"totals not broadcast:\n${p.take(3000)}")
   }
 

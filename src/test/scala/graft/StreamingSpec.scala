@@ -190,6 +190,26 @@ class StreamingSpec extends AnyFunSuite {
       "part_date=2024-01-02", "part_date=2024-01-03"))
   }
 
+  /** The shared foreachBatch MV-maintenance body (s5's algebra with an
+    * atomic tmp→store swap) — ONE definition so the s5 and s7 tests
+    * cannot drift apart on the merge/swap semantics. */
+  private def mvMergeBatch(store: String, tmp: String)(
+      b: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val partials = EventStream.partialHourly(b)
+    val merged =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+        EventStream.mergePartials(
+          b.sparkSession.read.parquet(store), partials)
+      else partials
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap: the store is never half-written
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      b.sparkSession.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(store)): Unit
+  }
+
   test("foreachBatch partial-merge MV == batch aggregate (s5 algebra)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -200,21 +220,7 @@ class StreamingSpec extends AnyFunSuite {
     // each micro-batch aggregates to partials and folds into the MV
     // store — only the batch is ever rescanned, never the history
     val q = mem.toDF().writeStream.outputMode("update")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val partials = EventStream.partialHourly(b)
-        val merged =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
-            EventStream.mergePartials(
-              b.sparkSession.read.parquet(store), partials)
-          else partials
-        merged.write.mode("overwrite").parquet(tmp)
-        // swap: the store is never half-written
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          b.sparkSession.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(store), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(store)): Unit
-      }.start()
+      .foreachBatch(mvMergeBatch(store, tmp) _).start()
     val unique = events.distinctBy(_.event_id)
     mem.addData(unique.take(3): _*)
     q.processAllAvailable()
@@ -237,24 +243,12 @@ class StreamingSpec extends AnyFunSuite {
     val store = root.resolve("mv").toString
     val tmp = root.resolve("mv_tmp").toString
     val mem = MemoryStream[TestEvent]
-    // the COUNTS are the incremental state (s5's partial algebra);
-    // the rank is re-derived per refresh over the tiny maintained
-    // table — ranking itself is never incrementally maintained
+    // the COUNTS are the incremental state (s5's partial algebra,
+    // maintained by the shared mvMergeBatch body); the rank is
+    // re-derived per refresh over the tiny maintained table — ranking
+    // itself is never incrementally maintained
     val q = mem.toDF().writeStream.outputMode("update")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val partials = EventStream.partialHourly(b)
-        val merged =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
-            EventStream.mergePartials(
-              b.sparkSession.read.parquet(store), partials)
-          else partials
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          b.sparkSession.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(store), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(store)): Unit
-      }.start()
+      .foreachBatch(mvMergeBatch(store, tmp) _).start()
     val unique = events.distinctBy(_.event_id)
     mem.addData(unique.take(3): _*)
     q.processAllAvailable()
