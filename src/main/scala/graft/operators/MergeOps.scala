@@ -124,6 +124,39 @@ object MergeOps {
             col("c_name"), col("c_mktsegment")))
       scd2(dim, batch, "c_custkey", "2024-06-01")
         .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    // CDC changelog apply — the third lakehouse write pattern next to
+    // MERGE (k3, latest-wins upsert) and SCD2 (k13, full history):
+    // replay an ordered change stream (op ∈ {U, D}, monotone seq) onto
+    // a base snapshot and emit the FINAL state — last op per key wins,
+    // a trailing delete removes the key entirely (the semantics of a
+    // Debezium-style feed or a Delta CDF batch). The events table is
+    // the changelog ('error' = delete, event_id = the sequence); the
+    // snapshot seeds every user at value 0 with seq −1. Scale shape:
+    // ONE shuffle on the key serves both the keep-latest rank and the
+    // per-key op count (two windows, same partitioning); no joins —
+    // at 100 TB the changelog streams through a single exchange.
+    "k14_cdc_apply" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = load(s, dir, "events")
+      val changelog = ev.select(col("user_id").as("k"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value").as("v"))
+      val base = ev.select(col("user_id").as("k")).distinct()
+        .select(col("k"), lit(-1L).as("seq"), lit("U").as("op"),
+          lit(0.0).as("v"))
+      val byKey = w.partitionBy(col("k"))
+      base.unionByName(changelog)
+        .withColumn("rk",
+          row_number().over(byKey.orderBy(col("seq").desc)))
+        .withColumn("n_ops", count(lit(1)).over(byKey))
+        .filter(col("rk") === 1 && col("op") =!= "D")
+        .select(col("k").as("user_id"), col("seq").as("last_seq"),
+          col("v").as("last_value"), col("n_ops"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -194,6 +227,28 @@ object MergeOps {
         |UNION ALL
         |SELECT bk, bn, bs, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
         |FROM j WHERE bk IS NOT NULL AND (dk IS NULL OR NOT unchanged)
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "k14_cdc_apply" ->
+      """WITH changelog AS (
+        |  SELECT user_id AS k, event_id AS seq,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              ELSE 'U' END AS op,
+        |         value AS v
+        |  FROM events),
+        |base AS (SELECT DISTINCT user_id AS k,
+        |                CAST(-1 AS BIGINT) AS seq, 'U' AS op,
+        |                CAST(0.0 AS DOUBLE) AS v
+        |         FROM events),
+        |allops AS (SELECT * FROM base UNION ALL
+        |           SELECT * FROM changelog),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY k) AS n_ops
+        |  FROM allops)
+        |SELECT k AS user_id, seq AS last_seq, v AS last_value, n_ops
+        |FROM ranked WHERE rk = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin
   )
 }

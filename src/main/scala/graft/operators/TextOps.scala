@@ -608,6 +608,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-min sketch under the oracle gate: the sketch's
+    // min-of-hashed-bucket-counts construction is fully relational
+    // (depth 4 salted md5 buckets × width 64 — d·w = 256 counters),
+    // so DuckDB replays it exactly and the compare pins BOTH the
+    // estimates and the one-sided guarantee (overestimate =
+    // cm_est − n_exact is provably ≥ 0; SketchSpec holds the
+    // probabilistic error-bound tests, this holds the construction).
+    // Scale shape: the counter table is 256 rows regardless of corpus
+    // size (map-side partials collapse the 4× token fan-out per task)
+    // and BROADCASTS to the probe side; exact counts are one hash
+    // aggregate — the heavy-hitter pipeline a 100 TB frequency pass
+    // runs, with the sketch as the bounded-state first stage.
+    "t22_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.Fns.md5Bucket
+      val words = load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .cache() // feeds the exact counts and the counter table
+      val top = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(20)
+      def bucket(d: org.apache.spark.sql.Column,
+          word: org.apache.spark.sql.Column) =
+        md5Bucket(concat_ws("#", d.cast("string"), word), 64)
+      val cm = words
+        .select(col("word"), explode(sequence(lit(0), lit(3))).as("d"))
+        .select(col("d"), bucket(col("d"), col("word")).as("b"))
+        .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+      top
+        .select(col("word"), col("n_exact"),
+          explode(sequence(lit(0), lit(3))).as("d"))
+        .withColumn("b", bucket(col("d"), col("word")))
+        .join(broadcast(cm), Seq("d", "b"))
+        .groupBy(col("word"), col("n_exact"))
+        .agg(min(col("c")).as("cm_est"))
+        .withColumn("overestimate", col("cm_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("word"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -746,6 +784,28 @@ object TextOps {
         |        / COUNT(*), 6) AS affinity
         |FROM b_c JOIN wt USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t22_heavy_hitters" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word
+        |               FROM documents),
+        |top AS (SELECT word, COUNT(*) AS n_exact FROM words
+        |        GROUP BY 1 ORDER BY n_exact DESC, word LIMIT 20),
+        |expanded AS (SELECT word, unnest(range(0, 4)) AS d FROM words),
+        |cm AS (SELECT d,
+        |         ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || word),
+        |                         1, 15))::BIGINT % 64 AS b,
+        |         COUNT(*) AS c
+        |       FROM expanded GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT word, n_exact, d,
+        |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '#' || word),
+        |                    1, 15))::BIGINT % 64 AS b
+        |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS d) t)
+        |SELECT p.word, p.n_exact, CAST(MIN(cm.c) AS BIGINT) AS cm_est,
+        |       CAST(MIN(cm.c) AS BIGINT) - p.n_exact AS overestimate
+        |FROM probes p JOIN cm USING (d, b)
+        |GROUP BY 1, 2
+        |ORDER BY p.n_exact DESC, p.word""".stripMargin,
 
     "t21_self_dedup" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w0

@@ -242,6 +242,29 @@ class PlanSpec extends AnyFunSuite {
       s"salt column missing from the join:\n${p.take(2000)}")
   }
 
+  test("k14: keep-latest rank and op count share one key exchange") {
+    val p = plan("k14_cdc_apply")
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window ") => i
+    }
+    assert(winIdx.size == 2, s"expected 2 Window nodes, got ${winIdx.size}")
+    // no exchange between the two windows: same partitioning reused
+    assert(!lines.slice(winIdx.min + 1, winIdx.max)
+      .exists(_.contains("Exchange")),
+      "second window re-shuffles instead of reusing the key exchange")
+  }
+
+  test("t22: counter table broadcasts; top-k is a distributed cut") {
+    val p = plan("t22_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"256-row counter table not broadcast:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact top-20 is not a distributed TakeOrdered")
+    assert(p.contains("InMemoryRelation"),
+      "token stream not cached — corpus re-tokenized per branch")
+  }
+
   test("d14: chunk assembly windows partition by doc_id only") {
     val p = plan("d14_cdc_chunks")
     // the running anchor count and the ordered rebuild are per-doc —
