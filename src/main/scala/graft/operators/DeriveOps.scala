@@ -56,6 +56,35 @@ object DeriveOps {
         .groupBy(col("rid"), col("facturable"), col("seq_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("eid")).as("n_eid"))
         .orderBy(col("rid"), col("facturable"), col("seq_type"))
+    }),
+
+    // Semi-structured JSON shredding — the dynamic-schema surface the
+    // reference probes with has_key/fallbacks over its metadata dict
+    // (Exam_info.py:531-590), generalized to the JSON column a modern
+    // event pipeline carries: each props document is wrapped into a
+    // nested record (object + array + scalar) and shredded with
+    // JSONPath ($.base.k, $.tags[0], $.n), then aggregated. Integer
+    // and string payloads only — JSON number formatting of doubles
+    // differs across engines, extracted ints are exact. Scale shape:
+    // extraction is a pure projection inside codegen (no UDFs, no
+    // parse-twice: one get_json_object per path over one scan); the
+    // aggregate shuffles 5 type-cardinality groups.
+    "f3_json_shred" -> ((s, dir) => {
+      val doc = concat(lit("""{"base":"""), col("props"),
+        lit(""","tags":[""""), col("event_type"), lit("""","t"],"n":"""),
+        (col("user_id") % 50).cast("string"), lit("}"))
+      load(s, dir, "events")
+        .select(col("event_id"), doc.as("doc"))
+        .select(
+          get_json_object(col("doc"), "$.tags[0]").as("tag"),
+          get_json_object(col("doc"), "$.base.k").cast("int").as("k"),
+          get_json_object(col("doc"), "$.n").cast("int").as("n"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).cast("long").as("sum_k"),
+          sum(col("n")).cast("long").as("sum_n"),
+          countDistinct(col("n")).as("n_distinct"))
+        .orderBy(col("tag"))
     })
   )
 
@@ -128,6 +157,23 @@ object DeriveOps {
         |SELECT rid, facturable, seq_type, COUNT(*) AS n,
         |       COUNT(DISTINCT eid) AS n_eid
         |FROM derived GROUP BY 1,2,3
-        |ORDER BY rid, facturable, seq_type""".stripMargin
+        |ORDER BY rid, facturable, seq_type""".stripMargin,
+
+    "f3_json_shred" ->
+      """WITH docs AS (
+        |  SELECT event_id,
+        |    '{"base":' || props || ',"tags":["' || event_type ||
+        |    '","t"],"n":' || CAST(user_id % 50 AS VARCHAR) || '}' AS doc
+        |  FROM events),
+        |shred AS (
+        |  SELECT json_extract_string(doc, '$.tags[0]') AS tag,
+        |         CAST(json_extract(doc, '$.base.k') AS INT) AS k,
+        |         CAST(json_extract(doc, '$.n') AS INT) AS n
+        |  FROM docs)
+        |SELECT tag, COUNT(*) AS n_events,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(SUM(n) AS BIGINT) AS sum_n,
+        |       COUNT(DISTINCT n) AS n_distinct
+        |FROM shred GROUP BY 1 ORDER BY tag""".stripMargin
   )
 }
