@@ -107,10 +107,49 @@ object WindowOps {
             |  -1).event_id""".stripMargin).as("last_id"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    }),
+
+    // W9 (beyond ref) — event-time RANGE frame: per user, the rolling
+    // 2-hour trailing count and exact-DECIMAL value sum at every
+    // event (the rate-limit / rolling-KPI window a monitoring
+    // pipeline computes). rangeBetween needs a numeric ordering key:
+    // epoch seconds, with the frame [-7200, 0]. Ties on the same
+    // second are both inside each other's frame in BOTH engines, so
+    // results stay deterministic without a unique key. Scale shape:
+    // one hash shuffle on user_id, per-partition sort, single
+    // sliding-frame pass — no self-join (the naive form is a range
+    // self-join; the frame does it in one sweep).
+    "w9_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-7200L, 0L)
+      load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"), epochSec(col("ts")).as("sec"))
+        .withColumn("n_2h", count(lit(1)).over(w))
+        .withColumn("sum_2h",
+          sum(col("value").cast("decimal(30,6)")).over(w)
+            .cast("double"))
+        .select(col("user_id"), col("event_id"), col("n_2h"),
+          col("sum_2h"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_rolling_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_2h,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+        |    AS sum_2h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "w2_ordered_members" ->
       """WITH o AS (
         |  SELECT user_id, event_id,
