@@ -130,13 +130,19 @@ object MergeOps {
     // MERGE (k3, latest-wins upsert) and SCD2 (k13, full history):
     // replay an ordered change stream (op ∈ {U, D}, monotone seq) onto
     // a base snapshot and emit the FINAL state — last op per key wins,
-    // a trailing delete removes the key entirely (the semantics of a
+    // a trailing delete removes the key entirely, and a base key with
+    // NO ops passes through untouched (the semantics of a
     // Debezium-style feed or a Delta CDF batch). The events table is
     // the changelog ('error' = delete, event_id = the sequence); the
-    // snapshot seeds every user at value 0 with seq −1. Scale shape:
-    // ONE shuffle on the key serves both the keep-latest rank and the
-    // per-key op count (two windows, same partitioning); no joins —
-    // at 100 TB the changelog streams through a single exchange.
+    // snapshot seeds every user at value 0 with seq −1 PLUS a planted
+    // set of re-keyed users that never appear in the changelog, so the
+    // pass-through branch is genuinely exercised and oracle-pinned
+    // (every natural user has ops — without the plant, base rows could
+    // never win the rank). n_ops counts true changelog ops (seq ≥ 0),
+    // not the seed row. Scale shape: ONE shuffle on the key serves
+    // both the keep-latest rank and the op count (two windows, same
+    // partitioning); no joins — the changelog streams through a
+    // single exchange.
     "k14_cdc_apply" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
       val ev = load(s, dir, "events")
@@ -145,14 +151,18 @@ object MergeOps {
         when(col("event_type") === "error", lit("D"))
           .otherwise(lit("U")).as("op"),
         col("value").as("v"))
-      val base = ev.select(col("user_id").as("k")).distinct()
+      val ids = ev.select(col("user_id").as("k")).distinct()
+      val base = ids
+        .unionByName(ids.filter(col("k") % 10 === 0)
+          .select((col("k") + 1000000).as("k")))
         .select(col("k"), lit(-1L).as("seq"), lit("U").as("op"),
           lit(0.0).as("v"))
       val byKey = w.partitionBy(col("k"))
       base.unionByName(changelog)
         .withColumn("rk",
           row_number().over(byKey.orderBy(col("seq").desc)))
-        .withColumn("n_ops", count(lit(1)).over(byKey))
+        .withColumn("n_ops",
+          sum(when(col("seq") >= 0, 1L).otherwise(0L)).over(byKey))
         .filter(col("rk") === 1 && col("op") =!= "D")
         .select(col("k").as("user_id"), col("seq").as("last_seq"),
           col("v").as("last_value"), col("n_ops"))
@@ -236,16 +246,19 @@ object MergeOps {
         |              ELSE 'U' END AS op,
         |         value AS v
         |  FROM events),
-        |base AS (SELECT DISTINCT user_id AS k,
-        |                CAST(-1 AS BIGINT) AS seq, 'U' AS op,
+        |ids AS (SELECT DISTINCT user_id AS k FROM events),
+        |base AS (SELECT k, CAST(-1 AS BIGINT) AS seq, 'U' AS op,
         |                CAST(0.0 AS DOUBLE) AS v
-        |         FROM events),
+        |         FROM (SELECT k FROM ids
+        |               UNION ALL
+        |               SELECT k + 1000000 FROM ids WHERE k % 10 = 0) t),
         |allops AS (SELECT * FROM base UNION ALL
         |           SELECT * FROM changelog),
         |ranked AS (
         |  SELECT *,
         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rk,
-        |    COUNT(*) OVER (PARTITION BY k) AS n_ops
+        |    CAST(SUM(CASE WHEN seq >= 0 THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY k) AS BIGINT) AS n_ops
         |  FROM allops)
         |SELECT k AS user_id, seq AS last_seq, v AS last_value, n_ops
         |FROM ranked WHERE rk = 1 AND op <> 'D'
