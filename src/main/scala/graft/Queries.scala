@@ -268,7 +268,8 @@ object Queries {
     ) ++ TpchOps.queries ++ AggOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       SetOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MergeOps.queries ++
-      DeriveOps.queries ++ graft.streaming.EventStream.queries ++
+      DeriveOps.queries ++ GraphOps.queries ++
+      graft.streaming.EventStream.queries ++
       graft.catalog.JdbcCatalog.queries ++ graft.ingest.IngestPipeline.queries
 
   val oracle: Map[String, String] = Map(
@@ -412,6 +413,7 @@ object Queries {
   ) ++ TpchOps.oracle ++ AggOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
     SetOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
     TextOps.oracle ++ MultimodalOps.oracle ++ MergeOps.oracle ++
-    DeriveOps.oracle ++ graft.streaming.EventStream.oracle ++
+    DeriveOps.oracle ++ GraphOps.oracle ++
+    graft.streaming.EventStream.oracle ++
     graft.catalog.JdbcCatalog.oracle ++ graft.ingest.IngestPipeline.oracle
 }

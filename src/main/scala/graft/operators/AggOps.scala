@@ -249,6 +249,60 @@ object AggOps {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // A18 — ordered event funnel (view → click → purchase). The classic
+    // sequential-conversion shape: stage k counts users whose earliest
+    // qualifying step-k event strictly follows their step-(k-1) anchor.
+    // Three conditional-min aggregations over events, each joined back
+    // on user_id — every join is key-co-partitioned with the groupBy
+    // that precedes it, so AQE plans one shuffle per stage and no
+    // broadcast of the fact side. Strict `>` on microsecond timestamps
+    // keeps the anchors deterministic without a tiebreak column.
+    "a18_funnel" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"),
+          lit("view").as("step"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit("click").as("step"),
+            col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"),
+            col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
+    // A19 — weekly cohort retention. Cohort = the user's first active
+    // week (integer weeks since the corpus epoch); one cell per
+    // (cohort_week, weeks-since-cohort offset) counts distinct users
+    // still active. Two aggregations over the same per-user-week
+    // distinct frame — the cohort min reuses the frame instead of
+    // re-scanning events, and the join is on user_id only (cohort is
+    // one row per user, fact-side stays distributed).
+    "a19_cohort_retention" -> ((s, dir) => {
+      val uw = load(s, dir, "events")
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("long").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
     })
   )
 
@@ -372,6 +426,36 @@ object AggOps {
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn = 1 ORDER BY lang""".stripMargin
+        |WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "a18_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "a19_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+        |                         CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw
+        |           GROUP BY user_id)
+        |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS offset_wk,
+        |       COUNT(*) AS n_users
+        |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables.load
+
+/** Iterative / relational graph analytics over the synthetic schema.
+  *
+  * The dedup family already covers connected components (pointer
+  * jumping, DedupOps.connectedComponents); this module adds the other
+  * two graph shapes a 100 TB corpus pipeline runs:
+  *
+  *  - PageRank-style iterative propagation (g1): source-authority
+  *    scoring for crawl frontiers / citation weighting. The loop is a
+  *    fixed, small number of join+aggregate rounds — each round is one
+  *    shuffle-join of the edge list against the node-sized rank table
+  *    plus one groupBy, exactly the shape GraphX's Pregel lowers to,
+  *    but expressed on DataFrames so Catalyst/AQE pick the join
+  *    strategy per round (sort-merge at scale; broadcast only if the
+  *    rank table is genuinely small).
+  *  - Bipartite co-occurrence projection (g2): "entities sharing ≥ k
+  *    containers" — the affinity/market-basket query behind
+  *    co-crawl-domain features. The naive projection explodes on hub
+  *    containers (a container with d entities yields d² pairs), so
+  *    hubs are degree-capped BEFORE pairing — the standard skew guard
+  *    for bipartite projection at scale, and a deterministic
+  *    semantics (the cap is part of the query contract, not a
+  *    sampling heuristic).
+  *
+  * Determinism discipline: ranks are FIXED-POINT integers (units of
+  * 1e-12), not doubles — every step is BIGINT multiply / floor-divide
+  * / sum, so the result is bit-exact in any engine and under any
+  * aggregation order. (A double-rank variant with per-contribution
+  * DECIMAL casts was tried first and diverged: a contribution whose
+  * shortest decimal repr terminates right at the cast scale — which
+  * the uniform 1/N start vector mass-produces — rounds differently
+  * from its exact binary expansion, and the two engines pick
+  * different sides.) Node ids pack the two bipartite sides into one
+  * integer space (customer → 2k, supplier → 2k+1).
+  */
+object GraphOps {
+
+  /** 1.0 of rank, in fixed-point units. */
+  private val One = 1000000000000L // 1e12
+
+  /** One PageRank round: contributions flow src→dst, damped at
+    * 85/100; all arithmetic integral ((rk*85) div (d*100) per edge,
+    * exact BIGINT sum per target). */
+  private def step(edges: DataFrame, deg: DataFrame, ranks: DataFrame,
+      baseUnits: Long): DataFrame = {
+    val contrib = edges.join(ranks, col("src") === col("id"))
+      .select(col("dst"), expr("(rk * 85) div (d * 100)").as("c"))
+    val sums = contrib.groupBy(col("dst"))
+      .agg(sum(col("c")).as("s"))
+    deg.select(col("src").as("id"), col("d"))
+      .join(sums, col("id") === col("dst"), "left")
+      .select(col("id"), col("d"),
+        (lit(baseUnits) + coalesce(col("s"), lit(0L))).as("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // g1 — 3-iteration PageRank on the undirected customer–supplier
+    // bipartite graph (an edge per distinct trade relation). The edge
+    // list is built once, persisted, and re-joined per round; the
+    // node count (one driver scalar) seeds the uniform start vector
+    // and the 0.15/N teleport term. No dangling nodes by
+    // construction (every node appears in an edge), so mass is
+    // conserved exactly; the LEFT join + coalesce documents the
+    // general contract anyway.
+    "g1_pagerank" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.count() // driver scalar: node count only
+      val baseUnits = (One * 15L / 100L) / n // 0.15/N in 1e-12 units
+      var ranks = deg.select(col("src").as("id"), col("d"),
+        lit(One / n).as("rk"))
+      for (_ <- 1 to 3) ranks = step(edges, deg, ranks, baseUnits)
+      ranks
+        .select(col("id"), col("d"),
+          (col("rk").cast("double") / lit(One.toDouble)).as("r"))
+        .orderBy(col("r").desc, col("id")).limit(20)
+    }),
+
+    // g2 — supplier affinity via shared customers (bipartite
+    // projection). Hub customers are degree-capped at 20 before
+    // pairing — without the cap one hot container contributes O(d²)
+    // pairs and dominates the shuffle; with it the pair count is
+    // bounded by 190·|containers|. The self-join pairs each
+    // container's entity list once (s1 < s2), then one groupBy
+    // counts co-occurrences.
+    "g2_supplier_affinity" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val degc = cs.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      val small = cs.join(degc.filter(col("d") <= 20), "c")
+        .select(col("c"), col("sk"))
+      val a = small.select(col("c"), col("sk").as("s1"))
+      val b = small.select(col("c").as("c2"), col("sk").as("s2"))
+      a.join(b, col("c") === col("c2") && col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy(col("shared").desc, col("s1"), col("s2"))
+        .limit(50)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_pagerank" -> {
+      // one unrolled iteration of the Spark-side `step`, as SQL text;
+      // // is DuckDB's floor-div == Spark's `div` on positives
+      def iter(i: Int): String =
+        s"""c$i AS (
+           |  SELECT e.dst,
+           |    CAST(SUM((r.rk * 85) // (r.d * 100)) AS BIGINT) AS s
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT g.src AS id, g.d,
+           |    (1000000000000 * 15 // 100) // (SELECT n FROM nn)
+           |      + COALESCE(c$i.s, 0) AS rk
+           |  FROM deg g LEFT JOIN c$i ON g.src = c$i.dst)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT u AS src, v AS dst FROM pairs
+         |          UNION ALL SELECT v, u FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, d,
+         |         1000000000000 // (SELECT n FROM nn) AS rk
+         |       FROM deg),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, d,
+         |       CAST(rk AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS r
+         |FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
+
+    "g2_supplier_affinity" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |degc AS (SELECT c, COUNT(*) AS d FROM cs GROUP BY c),
+        |small AS (SELECT cs.c, cs.sk FROM cs
+        |          JOIN degc ON cs.c = degc.c WHERE degc.d <= 20)
+        |SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS shared
+        |FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY shared DESC, s1, s2 LIMIT 50""".stripMargin
+  )
+}

@@ -68,6 +68,50 @@ object SimilarityOps {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // v9 — FILTERED vector search: top-5 cosine among candidates
+    // matching a metadata predicate (label = 3). The filter is applied
+    // BEFORE scoring (pre-filter), not after top-k (post-filter): at a
+    // selective predicate, post-filtering a fixed-k result returns
+    // fewer than k survivors and rescans; pre-filtering prunes the
+    // corpus at the parquet scan (label is a pushed filter) and
+    // scores only the 1/|labels| slice. Same broadcast-queries shape
+    // as v1.
+    "v9_filtered_ann" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val e = withV(load(s, dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("va"))
+      val c = e.filter(col("label") === 3)
+        .select(col("vec_id").as("n_id"), col("v").as("vb"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("r", expr(simExpr))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // v10 — recall@3 report: how much of the EXACT top-3 (v1, cut to
+    // 3) does the sign-LSH search (v2) recover, per query. The
+    // evaluation harness every ANN deployment runs before trusting an
+    // index — here it composes the two already-verified queries, so
+    // the report can never drift from the operators it grades.
+    // n_exact pins the denominator; n_hits counts overlap.
+    "v10_ann_recall" -> ((s, dir) => {
+      val exact = queries("v1_ann_bruteforce")(s, dir)
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = queries("v2_ann_bucketed")(s, dir)
+        .select(col("q_id").as("aq"), col("n_id").as("an"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("n_id") === col("an"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hits"))
+        .orderBy(col("q_id"))
+    }),
+
     // Embedding-cosine near-duplicate detection: the corpus unioned
     // with re-keyed scaled copies (x*1.01 — same direction, so every
     // sign bit is preserved and each copy collides with its source in
@@ -426,8 +470,60 @@ object SimilarityOps {
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** v1's oracle SQL, shared verbatim with v10's recall report (the
+    * exact side must be the SAME definition or the recall compare
+    * would measure two drifting baselines). */
+  private val v1OracleSql =
+    """WITH e AS (SELECT vec_id,
+      |             [CAST(x AS DOUBLE) for x in embedding] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+      |        round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
+      |              / (q.nrm * t.nrm), 6) AS r
+      |      FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+      |SELECT q_id, rk, n_id, r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY r DESC, n_id) AS rk FROM p) s
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** v2's oracle SQL, shared with v10 (approx side). */
+  private val v2OracleSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |             [CAST(x AS DOUBLE) for x in embedding] AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+      |band AS (SELECT vec_id, b,
+      |           list_sum([(CASE WHEN embedding[b*8+i+1] > 0
+      |                      THEN 1<<i ELSE 0 END) for i in range(8)])
+      |             AS key
+      |         FROM e CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+      |cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+      |         FROM band q JOIN band t
+      |           ON q.b = t.b AND q.key = t.key
+      |         WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+      |p AS (SELECT q_id, n_id,
+      |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
+      |              / (qa.nrm * ca.nrm), 6) AS r
+      |      FROM cand JOIN n qa ON qa.vec_id = q_id
+      |                JOIN n ca ON ca.vec_id = n_id)
+      |SELECT q_id, rk, n_id, r FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY r DESC, n_id) AS rk FROM p) s
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "v8_maxsim" -> maxsimOracle,
+    "v10_ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($v1OracleSql) e
+         |              WHERE rk <= 3),
+         |approx AS (SELECT q_id, n_id FROM ($v2OracleSql) a)
+         |SELECT e.q_id, COUNT(*) AS n_exact, COUNT(a.n_id) AS n_hits
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.n_id = a.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "v7_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
@@ -643,45 +739,26 @@ object SimilarityOps {
         |SELECT vec_a, vec_b, r FROM p WHERE r >= 0.999
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "v1_ann_bruteforce" ->
-      """WITH e AS (SELECT vec_id,
+    "v1_ann_bruteforce" -> v1OracleSql,
+
+    "v9_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label,
         |             [CAST(x AS DOUBLE) for x in embedding] AS v
         |           FROM embeddings),
-        |n AS (SELECT vec_id, v,
+        |n AS (SELECT vec_id, label, v,
         |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
         |p AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
         |        round(list_sum([q.v[i]*t.v[i] for i in range(1,65)])
         |              / (q.nrm * t.nrm), 6) AS r
-        |      FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+        |      FROM n q, n t
+        |      WHERE q.vec_id < 20 AND t.label = 3
+        |        AND t.vec_id <> q.vec_id)
         |SELECT q_id, rk, n_id, r FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY r DESC, n_id) AS rk FROM p) s
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
-    "v2_ann_bucketed" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |             [CAST(x AS DOUBLE) for x in embedding] AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
-        |band AS (SELECT vec_id, b,
-        |           list_sum([(CASE WHEN embedding[b*8+i+1] > 0
-        |                      THEN 1<<i ELSE 0 END) for i in range(8)])
-        |             AS key
-        |         FROM e CROSS JOIN (SELECT unnest(range(4)) AS b) t),
-        |cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
-        |         FROM band q JOIN band t
-        |           ON q.b = t.b AND q.key = t.key
-        |         WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
-        |p AS (SELECT q_id, n_id,
-        |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
-        |              / (qa.nrm * ca.nrm), 6) AS r
-        |      FROM cand JOIN n qa ON qa.vec_id = q_id
-        |                JOIN n ca ON ca.vec_id = n_id)
-        |SELECT q_id, rk, n_id, r FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY r DESC, n_id) AS rk FROM p) s
-        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    "v2_ann_bucketed" -> v2OracleSql
   )
 
   /** SemDeDup (Abbas et al. 2023, public) with a REAL quantizer and

@@ -559,9 +559,21 @@ object TextOps {
       bC.join(broadcast(wt), "b")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          graft.functions.Fns.decSumD(col("wt")).as("aff_sum"))
+          graft.functions.Fns.decSum(col("wt")).as("aff_dec"))
+        // round(double, 6) of the mean is NOT cross-engine safe: a mean
+        // that lands exactly on a half boundary (sf0.1 doc 226:
+        // 65.695916/88 = 0.7465445) rounds by shortest-repr in Spark
+        // and by exact binary in DuckDB, and the engines disagree.
+        // Instead: the DECIMAL(30,6) sum is the exact integer k·1e-6,
+        // so half-up rounding of k/n is pure BIGINT arithmetic —
+        // (2k+n) div 2n — identical everywhere by construction.
+        .select(col("doc_id"), col("n_tokens"),
+          col("aff_dec").cast("double").as("aff_sum"),
+          (col("aff_dec") * 1000000).cast("long").as("k"))
         .withColumn("affinity",
-          round(col("aff_sum") / col("n_tokens").cast("double"), 6))
+          expr("(2*k + n_tokens) div (2*n_tokens)").cast("double")
+            / lit(1e6))
+        .drop("k")
         .orderBy(col("doc_id"))
     }),
 
@@ -646,6 +658,34 @@ object TextOps {
         .orderBy(col("n_exact").desc, col("word"))
     }),
 
+    // t23 — perplexity-PROXY scoring without a language model (the
+    // CCNet-style LM-filter slot): per-token surprisal is the integer
+    // 40 − floor(log2 corpus_freq) — rare tokens score high, stopwords
+    // low — and a document's score is the mean over its tokens.
+    // floor(log2 n) = length(bin(n)) − 1 keeps the whole query in
+    // exact integer arithmetic (a real LM emits ln-probabilities, and
+    // ln is not correctly rounded cross-engine; the binary magnitude
+    // IS the deterministic stand-in for −log p). Scale shape: one
+    // corpus-wide token groupBy builds the frequency table, then the
+    // token stream joins it on tok — the same df-join shape as t14,
+    // hot tokens handled by AQE skew split; the mean is the exact
+    // half-up BIGINT division t20 uses.
+    "t23_surprisal" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val surp = freq.select(col("tok"),
+        (lit(40L) - (length(bin(col("n"))) - lit(1))).as("surp"))
+      toks.join(surp, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("surp")).as("sum_surp"))
+        .withColumn("mean_surp",
+          expr("(2*sum_surp*1000000 + n_tokens) div (2*n_tokens)")
+            .cast("double") / lit(1e6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
@@ -661,6 +701,23 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // both engines' bin() render integers unpadded, so
+    // length(bin(n))−1 is floor(log2 n) in each
+    "t23_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |s AS (SELECT tok, 40 - (length(bin(n)) - 1) AS surp
+        |      FROM freq),
+        |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |        CAST(SUM(surp) AS BIGINT) AS sum_surp
+        |      FROM toks JOIN s USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_surp,
+        |  CAST((2*sum_surp*1000000 + n_tokens) // (2*n_tokens)
+        |       AS DOUBLE) / CAST(1000000 AS DOUBLE) AS mean_surp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // DuckDB regexp_replace is first-match-only without the 'g' flag;
     // Spark's is global by default.
     "t11_pii_mask" ->
@@ -780,8 +837,9 @@ object TextOps {
         |       FROM wtable CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE) AS aff_sum,
-        |  ROUND(CAST(SUM(CAST(wt AS DECIMAL(30,6))) AS DOUBLE)
-        |        / COUNT(*), 6) AS affinity
+        |  CAST((2 * CAST(SUM(CAST(wt AS DECIMAL(30,6))) * 1000000
+        |              AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+        |       AS DOUBLE) / CAST(1000000 AS DOUBLE) AS affinity
         |FROM b_c JOIN wt USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -133,10 +133,64 @@ object WindowOps {
         .select(col("user_id"), col("event_id"), col("n_2h"),
           col("sum_2h"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W10 (beyond ref) — gaps-and-islands: per user, maximal runs of
+    // CONSECUTIVE active days, reported as island count + longest
+    // streak. The classic trick: over the distinct per-user day
+    // sequence, day − row_number() is constant within a consecutive
+    // run, so one groupBy on that difference materializes the islands
+    // — no self-join, no iterative pass. Scale shape: the only
+    // fact-sized shuffle is the (user_id, day) distinct (with map-side
+    // partial dedup); everything after operates on the collapsed
+    // ≤ days-per-user frame, so the window sort and island groupBys
+    // move tiny data. Days are exact ints (datediff from the corpus
+    // epoch).
+    "w10_activity_islands" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+      val days = load(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dd"))
+        .distinct()
+      val islands = days
+        .withColumn("grp", col("dd") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("dd")).as("start_dd"))
+        .withColumn("mx",
+          max(col("len")).over(Window.partitionBy(col("user_id"))))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("max_streak"),
+          // deterministic anchor: the EARLIEST day that begins some
+          // longest streak (unique because island starts are distinct)
+          min(when(col("len") === col("mx"), col("start_dd")))
+            .as("best_start_dd"))
+        .orderBy(col("user_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "w10_activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS dd
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, dd,
+        |         dd - row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY dd) AS grp
+        |  FROM days),
+        |g AS (
+        |  SELECT user_id, grp, COUNT(*) AS len, MIN(dd) AS start_dd
+        |  FROM isl GROUP BY 1, 2),
+        |m AS (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx
+        |      FROM g)
+        |SELECT user_id, COUNT(*) AS n_islands, MAX(len) AS max_streak,
+        |       MIN(CASE WHEN len = mx THEN start_dd END)
+        |         AS best_start_dd
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "w9_rolling_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

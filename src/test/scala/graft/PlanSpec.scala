@@ -275,4 +275,39 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-wide window detected:\n${p.take(3000)}")
     assert(p.contains("HashAggregate"), "chunk-hash groupBy missing")
   }
+
+  test("v9: metadata predicate is pushed to the candidate parquet scan " +
+      "(pre-filter, not post-top-k filter)") {
+    // another suite may have left the embeddings table cached in the
+    // shared session — an InMemoryTableScan would hide the parquet
+    // scan's PushedFilters from this audit
+    spark.catalog.clearCache()
+    val p = plan("v9_filtered_ann")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
+      || p.contains("EqualTo(label,3)"),
+      s"label predicate not pushed:\n${p.take(3000)}")
+  }
+
+  test("g1: the edge list is persisted and re-read per iteration, not " +
+      "recomputed from the join") {
+    val p = plan("g1_pagerank")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"edges not cached:\n${p.take(3000)}")
+  }
+
+  test("g2: pair generation joins on the container key with the s1<s2 " +
+      "dedup in the join itself, and top-k is a distributed cut") {
+    val p = plan("g2_supplier_affinity")
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-50 is not a distributed TakeOrdered cut")
+    assert("(?s)Join.*s1.* < .*s2".r.findFirstIn(p).isDefined ||
+      p.contains("(s1#"), s"pair dedup not in the join:\n${p.take(3000)}")
+  }
+
+  test("a18: funnel stage anchors are partial+final min aggregates " +
+      "(map-side combine before the user_id shuffle)") {
+    val p = plan("a18_funnel")
+    assert(p.contains("partial_min"),
+      s"stage mins not partial aggregates:\n${p.take(3000)}")
+  }
 }
