@@ -278,6 +278,56 @@ object TextOps {
         coalesce(col("st.reason"), lit("ok")).as("reason"))
   }
 
+  /** t24's transformation: the Gopher document-level rules over any
+    * frame with (`doc_id`, `text`). Stateless projection — see the
+    * query comment for the rule provenance and scale shape. */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        (expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+          .cast("double") / size(col("w"))).as("mean_word_len"),
+        (expr("size(filter(w, x -> x rlike '[a-z]'))").cast("double")
+          / size(col("w"))).as("alpha_frac"),
+        expr("""size(array_distinct(filter(w, x ->
+               x in ('the','a','of','to','and','that','with','for'))))""")
+          .as("n_stop"))
+      .withColumn("ok_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_mean",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_alpha", col("alpha_frac") > 0.8)
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean") && col("ok_alpha") &&
+          col("ok_stop"))
+
+  /** t25's transformation: overlapping token-window chunks (window
+    * `size` tokens, stride `stride`) over any frame with (`doc_id`,
+    * `text`). A window start past the first is emitted only when more
+    * than `size - stride` (the overlap) tokens remain, so no chunk
+    * duplicates its predecessor's tail without adding content; every
+    * token is still covered because the previous window spans
+    * `stride + overlap` tokens past its own start (asserted in
+    * ChunkGopherSpec). */
+  def ragChunks(docs: DataFrame, size: Int = 32, stride: Int = 24)
+      : DataFrame = {
+    val overlap = size - stride
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(filter(sequence(1, size(w), $stride), st ->
+             |  st = 1 or size(w) - st >= $overlap),
+             |  st -> named_struct(
+             |    'start_tok', st,
+             |    'n_tokens', size(slice(w, st, $size)),
+             |    'chunk_hash', md5(array_join(slice(w, st, $size), ' '))))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.start_tok").as("start_tok"),
+        col("col.n_tokens").as("n_tokens"),
+        col("col.chunk_hash").as("chunk_hash"))
+  }
+
   /** The pure-SQL form of the gate (no custom expression — runs on a
     * stock Spark session). Expression SHAPE matters here, not just
     * semantics: the naive version derived `w`/`bi`/`dup_bi_frac` as
@@ -658,6 +708,36 @@ object TextOps {
         .orderBy(col("n_exact").desc, col("word"))
     }),
 
+    // t24 — the Gopher document-level quality rules (Rae et al. 2021,
+    // App. A1.1) as an explicit per-rule breakdown, complementing the
+    // t13 composite gate: word-count window [50, 100k], mean word
+    // length in [3, 10], ≥80% of words containing an alphabetic
+    // character, and ≥2 distinct required stopwords. (The paper's
+    // line-level rules — ellipsis/bullet line fractions — need line
+    // breaks the synthetic corpus doesn't have, so they are omitted
+    // rather than trivially true.) One stateless projection over the
+    // split array — array `filter`/`aggregate` lambdas, no explode, no
+    // shuffle until the final ORDER BY: at 100 TB this is scan-speed
+    // and the per-rule booleans travel instead of the text. All
+    // fractions are single int/int IEEE divisions, so both engines
+    // agree bitwise.
+    "t24_gopher_rules" -> ((s, dir) =>
+      gopherRules(load(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // t25 — RAG-style overlapping chunking: fixed token windows
+    // (32 tokens, stride 24 → 8-token overlap) per document, the shape
+    // a retrieval index ingests. Window starts come from a per-row
+    // `sequence(1, n, stride)` and each chunk is a `slice` of the
+    // already-split array — one posexplode fans out to chunk rows, so
+    // the only shuffle is the final ORDER BY; per-chunk text leaves
+    // the plan as an md5, not the string (at 100 TB the hash travels,
+    // the text stays in the scan). Chunks shorter than half the window
+    // are merged into their predecessor by construction: a start is
+    // emitted only if more than `overlap` tokens remain.
+    "t25_rag_chunks" -> ((s, dir) =>
+      ragChunks(load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // t23 — perplexity-PROXY scoring without a language model (the
     // CCNet-style LM-filter slot): per-token surprisal is the integer
     // 40 − floor(log2 corpus_freq) — rare tokens score high, stopwords
@@ -701,6 +781,48 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every fraction is one int/int IEEE division in both engines
+    "t24_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, len(w) AS n_words,
+        |        CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+        |          / len(w) AS mean_word_len,
+        |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |          AS DOUBLE) / len(w) AS alpha_frac,
+        |        len(list_distinct(list_filter(w, x -> x IN
+        |          ('the','a','of','to','and','that','with','for'))))
+        |          AS n_stop
+        |      FROM d)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean,
+        |  alpha_frac > 0.8 AS ok_alpha,
+        |  n_stop >= 2 AS ok_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND alpha_frac > 0.8 AND n_stop >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t25_rag_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |st AS (SELECT doc_id, w,
+        |         unnest(list_filter(range(1, len(w) + 1, 24),
+        |                            st -> st = 1 OR len(w) - st >= 8))
+        |           AS start_tok
+        |       FROM d),
+        |c AS (SELECT doc_id, start_tok,
+        |        list_slice(w, start_tok,
+        |                   least(start_tok + 31, len(w))) AS chunk
+        |      FROM st)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+        |    AS chunk_id,
+        |  start_tok, len(chunk) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     // both engines' bin() render integers unpadded, so
     // length(bin(n))−1 is floor(log2 n) in each
     "t23_surprisal" ->

@@ -304,6 +304,33 @@ class PlanSpec extends AnyFunSuite {
       p.contains("(s1#"), s"pair dedup not in the join:\n${p.take(3000)}")
   }
 
+  test("t24: the rule breakdown is one scan-speed projection — no " +
+      "joins, no aggregates, only the final sort shuffles") {
+    val p = plan("t24_gopher_rules")
+    assert(!p.contains("Join"), s"unexpected join:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"),
+      s"unexpected aggregate — rules should be array lambdas:\n${p.take(2000)}")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"more than the final-sort exchange:\n${p.take(2000)}")
+  }
+
+  test("t25: chunking is generate-over-scan — the text never shuffles " +
+      "(only hashes and offsets pass the sort exchange)") {
+    val p = plan("t25_rag_chunks")
+    assert(p.contains("Generate"), "posexplode missing from the plan")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking should be a pure fan-out:\n${p.take(2000)}")
+    // the sort's exchange carries (doc_id, chunk_id, start_tok,
+    // n_tokens, chunk_hash) — the Project feeding the shuffle (first
+    // Project line below the Exchange line) must not carry the raw
+    // text or the split word array
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val feed = lines.drop(exIdx + 1).find(_.contains("Project ["))
+    assert(feed.exists(l => !l.contains("text#") && !l.contains("w#")),
+      s"raw text/words cross the shuffle:\n${p.take(3000)}")
+  }
+
   test("a18: funnel stage anchors are partial+final min aggregates " +
       "(map-side combine before the user_id shuffle)") {
     val p = plan("a18_funnel")
