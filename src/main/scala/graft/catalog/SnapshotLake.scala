@@ -1,0 +1,149 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.MergeOps
+
+/** Versioned snapshot lake — MVCC history over [[Lake]]'s single-copy
+  * swap protocol: every commit is a NEW immutable version directory, so
+  * "what did the exam table look like before yesterday's merge" (the
+  * reference's rerun/recovery theme, do_common.py `--twice`) becomes a
+  * time-travel read instead of a restore-from-backup.
+  *
+  * Layout under `root`:
+  * {{{
+  *   v=3/part-*.parquet     immutable data, one dir per version
+  *   _commits/3             zero-byte marker; its EXISTENCE commits v=3
+  * }}}
+  *
+  * Commit protocol (single writer, crash-safe at every step):
+  *  1. `n = latest + 1`
+  *  2. write the frame to `v=n` (invisible — readers only trust markers)
+  *  3. atomically create marker `_commits/n` — the commit point.
+  * A writer that dies before (3) leaves an orphan `v=n` dir that
+  * readers never see; the NEXT commit reuses version n and overwrites
+  * the orphan. Readers never lock: `latest` is a marker listing, data
+  * dirs are immutable once committed.
+  *
+  * Rollback = deleting markers above the target — O(versions), no data
+  * copied, and the rolled-back dirs become invisible immediately (the
+  * next commit overwrites them). Vacuum deletes data dirs that are
+  * below the retention horizon or no longer committed; it never
+  * touches the latest version.
+  *
+  * At 100 TB each version is a full snapshot directory, which is the
+  * right shape for the catalog tables this serves (the reference's
+  * exam/serie tables — GB-scale); a fact-scale lake would version
+  * per-partition manifests instead, which is this same protocol
+  * applied under each `part_date=` directory.
+  */
+object SnapshotLake {
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(
+      if (path.contains("://")) path else s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def commitsDir(root: String) = new Path(root, "_commits")
+  private def versionDir(root: String, v: Long) = new Path(root, s"v=$v")
+
+  /** Committed versions, ascending (empty if the table doesn't exist). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val dir = commitsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** Commit `df` as the next version; returns the new version number. */
+  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val fs = fsFor(spark, root)
+    val n = latestVersion(spark, root).getOrElse(0L) + 1L
+    // mode=overwrite clobbers an orphan dir a crashed writer left at
+    // this same (uncommitted) version number
+    df.write.mode("overwrite").parquet(versionDir(root, n).toString)
+    fs.mkdirs(commitsDir(root))
+    val marker = new Path(commitsDir(root), n.toString)
+    val out = fs.create(marker, true) // atomic create = the commit point
+    out.close()
+    n
+  }
+
+  /** Read the latest committed snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed versions at $root")))
+
+  /** Time travel: read snapshot `v` exactly as committed. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val fs = fsFor(spark, root)
+    require(fs.exists(new Path(commitsDir(root), v.toString)),
+      s"version $v is not committed at $root (rolled back, vacuumed, " +
+        s"or never existed); committed: ${versions(spark, root)}")
+    spark.read.parquet(versionDir(root, v).toString)
+  }
+
+  /** MERGE `batch` into the latest snapshot and commit the result as a
+    * new version (the [[Lake.mergeWrite]] semantics, with history).
+    * Returns (newVersion, per-merge-status counts). */
+  def commitMerge(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, exclude: Seq[String] = Nil): (Long, Map[String, Long]) = {
+    val merged = (latestVersion(spark, root) match {
+      case Some(v) =>
+        MergeOps.merge(readVersion(spark, root, v), batch, key, exclude)
+      case None => batch.withColumn("merge_status",
+        org.apache.spark.sql.functions.lit("inserted"))
+    }).persist()
+    try {
+      val counts = merged.groupBy("merge_status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v = commit(spark, root, merged.drop("merge_status"))
+      (v, counts)
+    } finally merged.unpersist()
+  }
+
+  /** Roll back to version `v`: every later commit marker is deleted, so
+    * `v` is the latest again. Data dirs of rolled-back versions remain
+    * until [[vacuum]] (or until a later commit reuses their number). */
+  def rollback(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, root)
+    require(vs.contains(v), s"cannot roll back to uncommitted $v ($vs)")
+    vs.filter(_ > v).foreach { n =>
+      fs.delete(new Path(commitsDir(root), n.toString), false)
+    }
+  }
+
+  /** Delete data dirs that are (a) committed but older than the last
+    * `retain` versions — their markers go too, so reads past the
+    * horizon fail loudly rather than half-read — or (b) uncommitted
+    * orphans BELOW the latest version (crash leftovers / rollbacks; an
+    * orphan ABOVE latest may be a live writer's in-flight commit and is
+    * left alone). The latest version is never touched. */
+  def vacuum(spark: SparkSession, root: String, retain: Int): Unit = {
+    require(retain >= 1, "retain >= 1")
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val keep = vs.takeRight(retain).toSet
+    vs.filterNot(keep).foreach { n =>
+      fs.delete(versionDir(root, n), true)
+      fs.delete(new Path(commitsDir(root), n.toString), false)
+    }
+    val latest = vs.last
+    val vPat = "^v=(\\d+)$".r
+    fs.listStatus(new Path(root)).foreach { st =>
+      st.getPath.getName match {
+        case vPat(n) if !keep(n.toLong) && n.toLong < latest =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+}
