@@ -77,6 +77,48 @@ object SetOps {
         .orderBy(col("o_custkey"))
     }),
 
+    // x8 — bucketed checksum diff: compare two table copies WITHOUT
+    // moving rows. Each side reduces to 64 (bucket → count, Σ row-hash)
+    // partials — map-side combined, 64 rows cross the shuffle per side
+    // — and only the tiny summaries join. At 100 TB this is how you
+    // verify a replica (the reference's DB-vs-disk reconcile,
+    // Cenir_DB.py:171-206, at fact-table scale): mismatched buckets
+    // localize the diff to 1/64th of the keyspace before any row-level
+    // anti-join runs. The "remote" side is derived in-query with
+    // deterministic drift (dropped keys ≡ 0 mod 1009, price drift ≡ 0
+    // mod 997) so the oracle can re-derive it. Row hashes avoid raw
+    // doubles: cents = floor(price·100 + 0.5) is exact on both engines,
+    // md5 of the joined string → 10 hex chars (40 bits) → bigint,
+    // summed: the Σ stays under 2^63 to ~8M rows per bucket, and the
+    // bucket count — not the hash width — is what scales with the
+    // table (a 100 TB replica check uses 2^20 buckets, same plan).
+    "x8_table_checksum" -> ((s, dir) => {
+      val o = load(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"),
+        col("o_orderstatus"))
+      def summarize(df: DataFrame, cnt: String, hs: String): DataFrame =
+        df.withColumn("bucket",
+            graft.functions.Fns.md5Bucket(col("o_orderkey").cast("string"), 64))
+          .withColumn("rh", conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("cents"), col("o_orderstatus"))),
+            1, 10), 16, 10).cast("bigint"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as(cnt), sum(col("rh")).as(hs))
+      val remote = o.filter(col("o_orderkey") % 1009 =!= 0)
+        .withColumn("cents", when(col("o_orderkey") % 997 === 0,
+          col("cents") + 1).otherwise(col("cents")))
+      summarize(o, "cnt_src", "h_src")
+        .join(summarize(remote, "cnt_dst", "h_dst"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("cnt_src"), lit(0L)).as("cnt_src"),
+          coalesce(col("cnt_dst"), lit(0L)).as("cnt_dst"),
+          (coalesce(col("cnt_src"), lit(0L)) ===
+             coalesce(col("cnt_dst"), lit(0L)) &&
+           coalesce(col("h_src"), lit(0L)) ===
+             coalesce(col("h_dst"), lit(0L))).as("is_match"))
+        .orderBy(col("bucket"))
+    }),
+
     // P3/P1 — predicate + projection surface (Cenir_DB.py:224,284): LIKE,
     // BETWEEN, regexp extraction from a semi-structured text column.
     "p3_predicate_filters" -> ((s, dir) => {
@@ -181,6 +223,38 @@ object SetOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x8_table_checksum" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderstatus FROM orders),
+        |src AS (SELECT
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+        |      % 64 AS bucket,
+        |    COUNT(*) AS cnt_src,
+        |    CAST(SUM(('0x' || substr(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(cents AS VARCHAR),
+        |      o_orderstatus)),1,10))::BIGINT) AS BIGINT) AS h_src
+        |  FROM o GROUP BY 1),
+        |rem AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN cents + 1 ELSE cents END
+        |      AS cents, o_orderstatus
+        |  FROM o WHERE o_orderkey % 1009 <> 0),
+        |dst AS (SELECT
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+        |      % 64 AS bucket,
+        |    COUNT(*) AS cnt_dst,
+        |    CAST(SUM(('0x' || substr(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(cents AS VARCHAR),
+        |      o_orderstatus)),1,10))::BIGINT) AS BIGINT) AS h_dst
+        |  FROM rem GROUP BY 1)
+        |SELECT bucket,
+        |  COALESCE(cnt_src, 0) AS cnt_src,
+        |  COALESCE(cnt_dst, 0) AS cnt_dst,
+        |  (COALESCE(cnt_src, 0) = COALESCE(cnt_dst, 0)
+        |   AND COALESCE(h_src, 0) = COALESCE(h_dst, 0)) AS is_match
+        |FROM src FULL OUTER JOIN dst USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
     "x1_union_roots" ->
       """SELECT event_type, COUNT(*) AS n FROM (
         |  SELECT event_id, event_type FROM events WHERE event_type = 'click'

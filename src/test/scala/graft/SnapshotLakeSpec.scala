@@ -92,6 +92,51 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/v=1").exists())
   }
 
+  test("streaming capstone: foreachBatch commitMerge gives per-batch " +
+      "MVCC history, survives checkpoint resume, and matches batch mode") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp()
+    val lake = s"$root/lake"
+    val in = new java.io.File(s"$root/in"); in.mkdirs()
+    val ckpt = s"$root/ckpt"
+
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "val").write.parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id bigint, val string")
+        .parquet(s"$in/*")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          SnapshotLake.commitMerge(spark, lake, b, "id"); ()
+        }.start()
+      q.awaitTermination()
+    }
+
+    write("b1", Seq(1L -> "a", 2L -> "b")); runOnce()
+    write("b2", Seq(2L -> "b2", 3L -> "c")); runOnce() // resume path
+
+    assert(SnapshotLake.versions(spark, lake) == Seq(1L, 2L),
+      "each micro-batch must land as exactly one committed version")
+    val v1 = SnapshotLake.readVersion(spark, lake, 1)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val v2 = SnapshotLake.readVersion(spark, lake, 2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == Seq(1L -> "a", 2L -> "b"), "time travel to batch 1")
+    assert(v2 == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+
+    // batch-mode mirror: same two merges, same final state
+    val lake2 = s"$root/lake2"
+    SnapshotLake.commitMerge(spark, lake2,
+      Seq(1L -> "a", 2L -> "b").toDF("id", "val"), "id")
+    SnapshotLake.commitMerge(spark, lake2,
+      Seq(2L -> "b2", 3L -> "c").toDF("id", "val"), "id")
+    val mirror = SnapshotLake.read(spark, lake2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(mirror == v2, "stream and batch lake states diverged")
+  }
+
   test("a crashed writer's uncommitted dir is invisible to readers and " +
       "overwritten by the next commit") {
     val root = tmp()
