@@ -326,6 +326,62 @@ object IngestPipeline {
         .select(col("series_uid"), col("echo"), col("n_slices"),
           substring_index(col("file"), "/", -1).as("file_name"),
           col("status"))
+    }),
+
+    // De-identification manifest — the release step a DICOM catalog
+    // runs before data leaves the site (the HIPAA safe-harbor shape;
+    // the reference anonymizes implicitly by keying everything on rid/
+    // sanitized names, Exam_info.py:1059-1146 — this makes the policy
+    // a first-class audited operator):
+    //  * pseudonym: PatientName → a deterministic anon_<bucket> id
+    //    (same patient ⇒ same pseudonym across files and runs, so
+    //    longitudinal joins still work after release);
+    //  * date shift: study/acquisition dates move by a PER-PATIENT
+    //    deterministic 1–28 day offset (intervals within a patient are
+    //    preserved — the property de-id research datasets need —
+    //    while absolute dates are destroyed);
+    //  * UID re-map: SeriesInstanceUID → a 2.25.<hash> synthetic UID
+    //    (DICOM's UUID-derived form), so cross-file series grouping
+    //    survives but the original UIDs don't travel;
+    //  * removal audit: private tags (group,elem keys) + vendor CSA
+    //    payloads + the name itself counted as removed, everything
+    //    else counted as kept — the manifest IS the audit trail.
+    // One stateless projection over the parsed meta map (HOFs in the
+    // projection, never a predicate); DuckDB re-derives every column
+    // from the staged kv with the same md5 arithmetic. At 100 TB this
+    // runs at scan speed and only the manifest crosses the shuffle.
+    "i5_deidentify" -> ((s, _) => {
+      val src = new java.io.File(StageRoot, "i5_src")
+      writeCorpus(src)
+      val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
+      val meta = DicomLike.parseMeta(binary)
+      meta.select(col("path"), col("length"),
+          explode(col("meta")).as(Seq("key", "value")))
+        .write.mode("overwrite").parquet(s"$StageRoot/i5_kv")
+      import graft.functions.Fns.md5Bucket
+      val pname = coalesce(element_at(col("meta"), "PatientName"),
+        lit("UNKNOWN"))
+      def shifted(key: String) = date_format(
+        date_add(to_date(element_at(col("meta"), key), "yyyyMMdd"),
+          (md5Bucket(pname, 28) + 1).cast("int")), "yyyyMMdd")
+      meta.select(
+          col("path"),
+          concat(lit("anon_"), md5Bucket(pname, 1000000)).as("pseudo_id"),
+          shifted("StudyDate").as("study_date_shifted"),
+          shifted("AcquisitionDate").as("acq_date_shifted"),
+          when(element_at(col("meta"), "SeriesInstanceUID").isNotNull,
+            concat(lit("2.25."), conv(substring(
+              md5(element_at(col("meta"), "SeriesInstanceUID")), 1, 15),
+              16, 10))).as("series_uid_mapped"),
+          expr("""size(filter(map_keys(meta), k ->
+                 |  k like 'Csa%' or k = 'PatientName' or
+                 |  k rlike '^[0-9a-f]{4},[0-9a-f]{4}$'))""".stripMargin)
+            .as("n_removed"),
+          expr("""size(filter(map_keys(meta), k ->
+                 |  not (k like 'Csa%' or k = 'PatientName' or
+                 |       k rlike '^[0-9a-f]{4},[0-9a-f]{4}$')))""".stripMargin)
+            .as("n_kept"))
+        .orderBy(col("path"))
     }))
 
   /** Independent DuckDB re-derivation from the staged kv parquet.
@@ -536,5 +592,43 @@ object IngestPipeline {
          |  'written' AS status
          |FROM h WHERE series_uid IS NOT NULL AND inst IS NOT NULL
          |GROUP BY series_uid, echo
-         |ORDER BY series_uid, echo""".stripMargin)
+         |ORDER BY series_uid, echo""".stripMargin,
+
+    "i5_deidentify" ->
+      s"""WITH kv AS (
+         |  SELECT * FROM read_parquet('$StageRoot/i5_kv/*.parquet')),
+         |per AS (
+         |  SELECT path,
+         |    MAX(CASE WHEN key='PatientName' THEN value END) AS pname_raw,
+         |    MAX(CASE WHEN key='StudyDate' THEN value END) AS sdate,
+         |    MAX(CASE WHEN key='AcquisitionDate' THEN value END) AS adate,
+         |    MAX(CASE WHEN key='SeriesInstanceUID' THEN value END) AS uid,
+         |    CAST(SUM(CASE WHEN key LIKE 'Csa%' OR key='PatientName'
+         |          OR regexp_matches(key,'^[0-9a-f]{4},[0-9a-f]{4}$$')
+         |        THEN 1 ELSE 0 END) AS INT) AS n_removed,
+         |    CAST(SUM(CASE WHEN key LIKE 'Csa%' OR key='PatientName'
+         |          OR regexp_matches(key,'^[0-9a-f]{4},[0-9a-f]{4}$$')
+         |        THEN 0 ELSE 1 END) AS INT) AS n_kept
+         |  FROM kv GROUP BY path),
+         |d AS (
+         |  SELECT *, COALESCE(pname_raw, 'UNKNOWN') AS pname,
+         |    ('0x' || substr(md5(COALESCE(pname_raw, 'UNKNOWN')),1,15))
+         |      ::BIGINT % 28 + 1 AS days
+         |  FROM per)
+         |SELECT path,
+         |  'anon_' || CAST(('0x' || substr(md5(pname),1,15))::BIGINT
+         |    % 1000000 AS VARCHAR) AS pseudo_id,
+         |  CASE WHEN sdate IS NOT NULL THEN
+         |    strftime(CAST(strptime(sdate,'%Y%m%d') AS DATE)
+         |      + to_days(CAST(days AS INT)), '%Y%m%d') END
+         |    AS study_date_shifted,
+         |  CASE WHEN adate IS NOT NULL THEN
+         |    strftime(CAST(strptime(adate,'%Y%m%d') AS DATE)
+         |      + to_days(CAST(days AS INT)), '%Y%m%d') END
+         |    AS acq_date_shifted,
+         |  CASE WHEN uid IS NOT NULL THEN
+         |    '2.25.' || CAST(('0x' || substr(md5(uid),1,15))::BIGINT
+         |      AS VARCHAR) END AS series_uid_mapped,
+         |  n_removed, n_kept
+         |FROM d ORDER BY path""".stripMargin)
 }
