@@ -411,6 +411,50 @@ object DedupOps {
         bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8)
     }),
 
+    // LSH recall evaluation — the d-family analog of v10's ANN recall:
+    // grade the minhash index against PLANTED ground truth instead of
+    // trusting its theoretical detection curve. Every 4th doc gains a
+    // re-keyed copy with its first 3 words dropped; the (doc, copy)
+    // pairs are the truth set, each scored with its EXACT Jaccard (so
+    // the report separates "not a duplicate at 0.8" from "a duplicate
+    // the index missed" — with 16 bands of 8 the expected catch rate
+    // at J=0.8 is ~95%, so misses are real and the metric is
+    // non-trivial). `caught` = the pair surfaced by the full verified
+    // d2 chain over the combined corpus. Every stage is an
+    // already-verified operator; the truth side is LINEAR in the
+    // corpus (one pair per planted doc), never all-pairs. At 100 TB
+    // this is the continuous-evaluation probe a production dedup
+    // index runs on a planted canary slice of each batch.
+    "d15_lsh_recall" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cop = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", expr("slice(split(text, ' '), 4, size(split(text, ' ')))"))
+            .as("text"))
+      val all = base.union(cop).filter(length(col("text")) >= 8)
+        .repartition(col("doc_id"))
+        .withColumn("shingles", expr("md5_shingle60(text)"))
+        .cache() // feeds banding, both verify sides, and the truth join
+      val sh = all.select(col("doc_id"), col("shingles"))
+      val detected = verifyJaccard(
+        bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8,
+        ordered = false)
+      val planted = all.select(col("doc_id").as("doc_a"))
+        .filter(col("doc_a") % 4 === 0 && col("doc_a") < 400000)
+        .join(all.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 400000)
+      val truth = verifyJaccard(planted, sh, 0.0, ordered = false)
+      truth.join(
+          detected.select(col("doc_a"), col("doc_b"),
+            lit(true).as("caught")),
+          Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jacc"),
+          (col("jacc") >= 0.8).as("is_dup"),
+          coalesce(col("caught"), lit(false)).as("caught"))
+        .orderBy(col("doc_a"))
+    }),
+
     // The COMPLETE dedup pipeline in one declarative plan — what a
     // training-data run actually executes: exact clusters (content
     // hash, star edges to the class keeper — never all-pairs), then
@@ -1006,6 +1050,53 @@ object DedupOps {
         |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
         |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d15_lsh_recall" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |cop AS (SELECT doc_id + 400000 AS doc_id,
+        |          array_to_string(string_split(text, ' ')[4:], ' ')
+        |            AS text
+        |        FROM base WHERE doc_id % 4 = 0),
+        |d AS (SELECT * FROM (SELECT doc_id, text FROM base
+        |                     UNION ALL SELECT doc_id, text FROM cop)
+        |      WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([substr(text, i, 8)
+        |           for i in range(1, length(text)-6)])) AS s FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s),1,7))::BIGINT AS x
+        |      FROM sh),
+        |perm AS (SELECT unnest(range(128)) AS j),
+        |sig AS (SELECT doc_id, j,
+        |          MIN(((2*j+1)*x + j*j + 7919) % 2147483647) AS m
+        |        FROM h CROSS JOIN perm GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 8 AS b, list(m ORDER BY j) AS key
+        |         FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |         FROM band l JOIN band r
+        |           ON l.b = r.b AND l.key = r.key
+        |          AND l.doc_id < r.doc_id),
+        |ss AS (SELECT doc_id, list_distinct([substr(text, i, 8)
+        |         for i in range(1, length(text)-6)]) AS ss FROM d),
+        |det AS (SELECT doc_a, doc_b
+        |        FROM cand JOIN ss a ON a.doc_id = doc_a
+        |                  JOIN ss b ON b.doc_id = doc_b
+        |        WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+        |            / (len(a.ss) + len(b.ss)
+        |               - len(list_intersect(a.ss, b.ss))) >= 0.8),
+        |planted AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |            FROM d a JOIN d b ON b.doc_id = a.doc_id + 400000
+        |            WHERE a.doc_id % 4 = 0 AND a.doc_id < 400000),
+        |truth AS (SELECT p.doc_a, p.doc_b,
+        |            CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+        |              / (len(a.ss) + len(b.ss)
+        |                 - len(list_intersect(a.ss, b.ss))) AS jacc
+        |          FROM planted p JOIN ss a ON a.doc_id = p.doc_a
+        |                         JOIN ss b ON b.doc_id = p.doc_b)
+        |SELECT t.doc_a, t.doc_b, t.jacc, t.jacc >= 0.8 AS is_dup,
+        |  (det.doc_a IS NOT NULL) AS caught
+        |FROM truth t LEFT JOIN det
+        |  ON det.doc_a = t.doc_a AND det.doc_b = t.doc_b
+        |ORDER BY t.doc_a""".stripMargin,
 
     "d3_simhash_hamming" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
