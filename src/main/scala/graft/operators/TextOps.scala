@@ -767,6 +767,35 @@ object TextOps {
     }),
 
     // Sanitizer chain applied to a deliberately dirty composite string
+    // Epoch-seeded corpus shuffle + shard plan — the dataloader stage
+    // after all curation: each epoch permutes the corpus with a
+    // DIFFERENT deterministic order (seed folded into the hash, so
+    // epoch 0 and epoch 1 disagree but every re-run agrees), and each
+    // doc lands in one of 8 shards with a position within its shard.
+    // This is how a distributed training job consumes the lake: shard
+    // = which worker reads the doc, pos = in what order — computed as
+    // a PLAN, not by materializing a shuffled copy of the corpus. One
+    // window per (epoch, shard): at 100 TB the sort is per-shard
+    // (corpus/8 per partition), nothing global; tie-break on doc_id
+    // keeps the order total even under a hash collision.
+    "t26_epoch_shuffle" -> ((s, dir) => {
+      import graft.functions.Fns.md5Bucket
+      val seeded = load(s, dir, "documents")
+        .select(col("doc_id"))
+        .crossJoin(s.range(0, 2).select(col("id").cast("int").as("epoch")))
+        .withColumn("hkey",
+          md5(concat_ws("#", col("epoch"), col("doc_id"))))
+        .withColumn("shard",
+          md5Bucket(concat_ws("#", col("epoch"), col("doc_id")), 8)
+            .cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("hkey"), col("doc_id"))
+      seeded.withColumn("pos", row_number().over(w))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
     "t6_sanitize" -> ((s, dir) => {
@@ -781,6 +810,20 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t26_epoch_shuffle" ->
+      """WITH seeded AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(e.epoch || '#' || d.doc_id) AS hkey,
+        |    CAST(('0x' || substr(md5(e.epoch || '#' || d.doc_id),1,15))
+        |      ::BIGINT % 8 AS INT) AS shard
+        |  FROM documents d
+        |  CROSS JOIN (SELECT CAST(unnest(range(2)) AS INT) AS epoch) e)
+        |SELECT epoch, doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+        |    ORDER BY hkey, doc_id) AS INT) AS pos
+        |FROM seeded
+        |ORDER BY epoch, shard, pos""".stripMargin,
+
     // every fraction is one int/int IEEE division in both engines
     "t24_gopher_rules" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
