@@ -337,4 +337,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"stage mins not partial aggregates:\n${p.take(3000)}")
   }
+
+  test("x8: each side reduces to bucket summaries BEFORE the join — " +
+      "the only row-shuffle keys are the 64 buckets") {
+    val p = plan("x8_table_checksum")
+    // partial+final per side: map-side combine absorbs the fact rows,
+    // 64 summary rows per side cross the wire
+    assert(p.contains("partial_count"),
+      s"side summaries are not partial aggregates:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"summary exchange not keyed on bucket:\n${p.take(3000)}")
+  }
+
+  test("t26: the epoch-shuffle sort is per-(epoch, shard), not global") {
+    val p = plan("t26_epoch_shuffle")
+    assert(p.contains("windowspecdefinition(epoch"),
+      s"shuffle positions not computed per shard window:\n${p.take(3000)}")
+  }
+
+  test("d15: the shingle table is cached once and reused across " +
+      "banding, verify, and the truth join") {
+    val p = plan("d15_lsh_recall")
+    assert(p.contains("InMemoryTableScan"),
+      s"shingle cache not reused:\n${p.take(3000)}")
+  }
 }
