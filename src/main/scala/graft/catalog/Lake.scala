@@ -161,11 +161,42 @@ object Lake {
     * re-run the join for each). Crash recovery: if the process dies
     * between the two renames, the previous snapshot is intact at
     * `.bak` — rename it back. */
+  /** Additive schema evolution for the merge path: project `db` to the
+    * union schema (db columns first, then batch-only columns as typed
+    * nulls on the db side). The batch must carry EVERY live column — a
+    * merge-upsert with a missing batch column would null it out on
+    * every updated row, which is silent data loss, so that case is
+    * refused loudly (backfill-then-merge is the explicit route). Type
+    * changes are refused for the same reason: a silent cast rewrites
+    * history. Evolution therefore only ever ADDS columns; old rows
+    * read the new column as null, exactly parquet's own semantics. */
+  private[graft] def evolveForMerge(db: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dbT = db.schema.map(f => f.name -> f.dataType).toMap
+    val bT = batch.schema.map(f => f.name -> f.dataType).toMap
+    val clash = dbT.keySet.intersect(bT.keySet)
+      .filter(c => dbT(c) != bT(c))
+    require(clash.isEmpty,
+      s"schema evolution cannot change column types: ${clash.mkString(",")}")
+    val missing = dbT.keySet.diff(bT.keySet)
+    require(missing.isEmpty,
+      s"batch is missing live columns ${missing.mkString(",")}: a merge " +
+        "would null them on every updated row; backfill explicitly instead")
+    val order = db.columns ++ batch.columns.filterNot(dbT.contains)
+    val dbAligned = db.select(order.map(c =>
+      if (dbT.contains(c)) col(c) else lit(null).cast(bT(c)).as(c)): _*)
+    (dbAligned, batch.select(order.map(col): _*))
+  }
+
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
-      key: String, exclude: Seq[String] = Nil): Map[String, Long] = {
+      key: String, exclude: Seq[String] = Nil,
+      evolve: Boolean = false): Map[String, Long] = {
     recover(spark, path)
     val merged = (readTable(spark, path) match {
-      case Some(db) => MergeOps.merge(db, batch, key, exclude)
+      case Some(db) =>
+        val (d, b) = if (evolve) evolveForMerge(db, batch) else (db, batch)
+        MergeOps.merge(d, b, key, exclude)
       case None => batch.withColumn("merge_status",
         org.apache.spark.sql.functions.lit("inserted"))
     }).persist()

@@ -361,8 +361,11 @@ object IngestPipeline {
       import graft.functions.Fns.md5Bucket
       val pname = coalesce(element_at(col("meta"), "PatientName"),
         lit("UNKNOWN"))
+      // try_to_date, not to_date: a malformed DA tag must degrade to a
+      // null shifted date (the skip-malformed stance of parseHeaders),
+      // not throw under ANSI and kill the release run
       def shifted(key: String) = date_format(
-        date_add(to_date(element_at(col("meta"), key), "yyyyMMdd"),
+        date_add(expr(s"try_to_date(element_at(meta, '$key'), 'yyyyMMdd')"),
           (md5Bucket(pname, 28) + 1).cast("int")), "yyyyMMdd")
       meta.select(
           col("path"),

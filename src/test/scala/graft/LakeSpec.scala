@@ -38,6 +38,40 @@ class LakeSpec extends AnyFunSuite {
     assert(state2 == state)
   }
 
+  test("mergeWrite evolve=true adds batch columns; old rows read null; " +
+      "type changes and missing live columns are refused") {
+    val path = Files.createTempDirectory("graft_lake")
+      .resolve("exam").toString
+    Lake.mergeWrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "id")
+
+    // batch carries a NEW column: schema widens, untouched row 1
+    // reads the new column as null (parquet's own add-column rule)
+    val c1 = Lake.mergeWrite(spark, path,
+      Seq((2L, "b", "fr"), (3L, "c", "en")).toDF("id", "name", "lang"),
+      "id", evolve = true)
+    assert(c1 == Map("kept" -> 1L, "updated" -> 1L, "inserted" -> 1L))
+    val state = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(state == Seq((1L, "a", None), (2L, "b", Some("fr")),
+      (3L, "c", Some("en"))))
+
+    // a batch MISSING a live column is refused (a merge would null it
+    // on every updated row — silent data loss)
+    val missing = intercept[IllegalArgumentException] {
+      Lake.mergeWrite(spark, path, Seq((3L, "x")).toDF("id", "name"),
+        "id", evolve = true)
+    }
+    assert(missing.getMessage.contains("backfill"))
+
+    // a type change is refused loudly
+    val clash = intercept[IllegalArgumentException] {
+      Lake.mergeWrite(spark, path,
+        Seq((3L, "c", 7)).toDF("id", "name", "lang"), "id", evolve = true)
+    }
+    assert(clash.getMessage.contains("column types"))
+  }
+
   test("lake recovers a table lost mid-swap from .bak") {
     val path = Files.createTempDirectory("graft_lake_crash")
       .resolve("t").toString
