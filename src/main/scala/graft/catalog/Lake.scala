@@ -153,14 +153,6 @@ object Lake {
     }
   }
 
-  /** MERGE `batch` into the table at `path` (created if absent).
-    * Returns per-status counts (inserted/updated/kept).
-    *
-    * The merge plan executes ONCE (persisted before the counts collect
-    * and the snapshot write — it would otherwise re-read the table and
-    * re-run the join for each). Crash recovery: if the process dies
-    * between the two renames, the previous snapshot is intact at
-    * `.bak` — rename it back. */
   /** Additive schema evolution for the merge path: project `db` to the
     * union schema (db columns first, then batch-only columns as typed
     * nulls on the db side). The batch must carry EVERY live column — a
@@ -189,6 +181,15 @@ object Lake {
     (dbAligned, batch.select(order.map(col): _*))
   }
 
+  /** MERGE `batch` into the table at `path` (created if absent).
+    * Returns per-status counts (inserted/updated/kept).
+    *
+    * The merge plan executes ONCE (persisted before the counts collect
+    * and the snapshot write — it would otherwise re-read the table and
+    * re-run the join for each). Crash recovery: if the process dies
+    * between the two renames, the previous snapshot is intact at
+    * `.bak` — rename it back. `evolve = true` admits batches that ADD
+    * columns (see [[evolveForMerge]]). */
   def mergeWrite(spark: SparkSession, path: String, batch: DataFrame,
       key: String, exclude: Seq[String] = Nil,
       evolve: Boolean = false): Map[String, Long] = {

@@ -766,7 +766,6 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Sanitizer chain applied to a deliberately dirty composite string
     // Epoch-seeded corpus shuffle + shard plan — the dataloader stage
     // after all curation: each epoch permutes the corpus with a
     // DIFFERENT deterministic order (seed folded into the hash, so
@@ -796,6 +795,7 @@ object TextOps {
         .orderBy(col("epoch"), col("shard"), col("pos"))
     }),
 
+    // Sanitizer chain applied to a deliberately dirty composite string
     // (alpha_num_str, do_common.py:238-287) — accents folded, slashes
     // and non-word chars to '_', runs collapsed, edges trimmed.
     "t6_sanitize" -> ((s, dir) => {
