@@ -153,6 +153,33 @@ object Lake {
     }
   }
 
+  /** The explicit backfill [[evolveForMerge]]'s refusals point to:
+    * rewrite the table with `exprs` computed over the CURRENT rows
+    * (add a derived column, default an added column for history,
+    * repair a column from others). One read, one write, same
+    * bak/rename crash protocol as the merge path — and it is the only
+    * sanctioned way to change existing columns, so the destructive
+    * step is always a visible, named call, never a merge side effect. */
+  def backfill(spark: SparkSession, path: String,
+      exprs: Map[String, org.apache.spark.sql.Column]): Unit = {
+    recover(spark, path)
+    val db = readTable(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no table at $path"))
+    val out = exprs.foldLeft(db) { case (df, (name, e)) =>
+      df.withColumn(name, e) }.persist()
+    try {
+      out.count() // materialize BEFORE touching the live copy
+      val fs = fsFor(spark, path)
+      val cur = new Path(path); val tmp = new Path(path + ".tmp")
+      val bak = new Path(path + ".bak")
+      out.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(bak) && fs.exists(cur)) fs.delete(bak, true)
+      require(fs.rename(cur, bak), s"swap failed: $cur")
+      require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
+      fs.delete(bak, true)
+    } finally out.unpersist()
+  }
+
   /** Additive schema evolution for the merge path: project `db` to the
     * union schema (db columns first, then batch-only columns as typed
     * nulls on the db side). The batch must carry EVERY live column — a

@@ -70,6 +70,18 @@ class LakeSpec extends AnyFunSuite {
         Seq((3L, "c", 7)).toDF("id", "name", "lang"), "id", evolve = true)
     }
     assert(clash.getMessage.contains("column types"))
+
+    // the sanctioned route for history: backfill the evolved column,
+    // then plain merges carry it without further evolution
+    Lake.backfill(spark, path,
+      Map("lang" -> coalesce(col("lang"), lit("unknown"))))
+    val filled = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(filled == Seq((1L, "a", "unknown"), (2L, "b", "fr"),
+      (3L, "c", "en")))
+    val c2 = Lake.mergeWrite(spark, path,
+      Seq((1L, "a", "de")).toDF("id", "name", "lang"), "id")
+    assert(c2 == Map("updated" -> 1L, "kept" -> 2L))
   }
 
   test("lake recovers a table lost mid-swap from .bak") {
