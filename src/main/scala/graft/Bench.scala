@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Benchmark main. Runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line on stdout, and also writes it to $BENCH_OUT
@@ -12,6 +12,16 @@ import java.nio.file.{Files, Paths}
   * failure (the round-1 bench swallowed them).
   */
 object Bench {
+
+  /** Timing-method version tag. Bump whenever the way a query is timed
+    * changes (what is materialized, how many runs, min vs mean) so a
+    * cross-round diff can tell "the code regressed" from "the ruler
+    * changed". Round 7's switch from `.count()` to full materialization
+    * made 40 queries look 2x slower; the tag plus [[regressions]]'
+    * skip-on-tag-mismatch keeps that class of false alarm out of future
+    * rounds. v2 = full-row toRdd materialization, min of 3 timed runs
+    * after one warmup. */
+  val Timing = "toRdd-min3-v2"
 
   /** Force FULL materialization of every output column. `.count()` lets
     * Catalyst prune unconsumed projections — round-6's t13 benched at
@@ -34,7 +44,8 @@ object Bench {
     * ones worth grading). Pure so BenchRenderSpec can gate it. */
   private[graft] def stdoutLine(
       times: Seq[(String, Double)], errors: Seq[(String, String)],
-      sfDir: String, budget: Int = 1700): String = {
+      sfDir: String, budget: Int = 1700,
+      bucketOverflows: Int = 0, regressed: Int = 0): String = {
     val es = errors.take(3)
       .map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v.take(60))}" }
       .mkString("{", ",", "}")
@@ -43,15 +54,68 @@ object Bench {
       val qs = qmap.map { case (k, v) => f"${jsonQ(k)}:$v%.3f" }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        s""""errors":$es,"n_ok":${times.size},"n_err":${errors.size}$omit,""" +
-        s""""sf":${jsonQ(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":${jsonQ(Timing)},""" +
+        s""""queries":$qs,"errors":$es,"n_ok":${times.size},""" +
+        s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
+        s""""regressed":$regressed$omit,"sf":${jsonQ(sfDir)}}"""
     }
     val bySlowest = times.sortBy(-_._2)
     Iterator.range(0, times.size + 1)
       .map(drop => render(bySlowest.dropRight(drop).sortBy(_._1), drop))
       .find(_.length <= budget)
       .getOrElse(render(Seq.empty, times.size))
+  }
+
+  /** Full-precision JSON (no budget): what lands in $BENCH_OUT and is
+    * appended to $BENCH_HISTORY so per-query numbers survive the round
+    * even when the stdout line had to drop them. */
+  private[graft] def fullJson(
+      times: Seq[(String, Double)], errors: Seq[(String, String)],
+      sfDir: String, bucketOverflows: Int, regressed: Int): String = {
+    val full = times.map { case (k, v) => s"${jsonQ(k)}:$v" }
+      .mkString("{", ",", "}")
+    val esFull = errors.map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v)}" }
+      .mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},""" +
+      s""""queries":$full,"errors":$esFull,"n_ok":${times.size},""" +
+      s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
+      s""""regressed":$regressed,"sf":${jsonQ(sfDir)}}"""
+  }
+
+  /** Pull `"timing"` and the `"queries"` map back out of a history line.
+    * Regex on our own writer's output (flat map, %-free keys, plain
+    * numbers) — not a general JSON parser, and doesn't need to be. */
+  private[graft] def parseHistoryLine(
+      line: String): Option[(String, Seq[(String, Double)])] = {
+    val timing = """"timing":"([^"]*)"""".r
+      .findFirstMatchIn(line).map(_.group(1))
+    val queries = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(line).map(_.group(1))
+    for (t <- timing; q <- queries) yield {
+      val kv = """"([^"]+)":([-0-9.eE]+)""".r
+      (t, kv.findAllMatchIn(q)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+    }
+  }
+
+  /** The per-query regression gate: queries that got ≥ `factor`× slower
+    * AND ≥ `floorSec` absolutely slower than the previous run. Returns
+    * empty when the timing tags differ — numbers taken with different
+    * rulers must not be diffed (the round-7 lesson). `floorSec` keeps
+    * sub-second GC jitter (a 0.3 s query reading 0.5 s) from alarming. */
+  private[graft] def regressions(
+      prevTiming: String, prev: Seq[(String, Double)],
+      curTiming: String, cur: Seq[(String, Double)],
+      factor: Double = 1.5, floorSec: Double = 0.5)
+      : Seq[(String, Double, Double)] = {
+    if (prevTiming != curTiming) return Seq.empty
+    val p = prev.toMap
+    cur.collect {
+      case (name, t) if p.contains(name) &&
+        t > p(name) * factor && t - p(name) > floorSec =>
+        (name, p(name), t)
+    }.sortBy { case (_, was, now) => was - now }
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,14 +130,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def q(s: String): String = jsonQ(s)
-
     // optional args = query-name filter, for iterating on one operator
     // without paying for the whole suite
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.contains(n))
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // queries whose bucketPairs cap actually bound this run (silent-
+    // truncation audit as a per-round artifact, not just a log line)
+    var bucketOverflows = 0
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
@@ -81,12 +146,23 @@ object Bench {
         // min of three timed runs: GC/JIT noise at this scale is on
         // the order of the measurement itself (round-2's w4 read 6.5 s
         // for a 0.5 s query because BOTH timed runs caught a GC pause)
+        var lastDf: org.apache.spark.sql.DataFrame = null
         val runs = (1 to 3).map { _ =>
+          val df = fn(spark, sfDir)
           val t0 = System.nanoTime()
-          consume(fn(spark, sfDir))
+          consume(df)
+          lastDf = df
           (System.nanoTime() - t0) / 1e9
         }
         times(name) = runs.min
+        // read the observe() metrics off the executed plan directly —
+        // synchronous, unlike the async listener-bus path BucketAudit
+        // uses for production logging
+        val overflowed = lastDf.queryExecution.observedMetrics.exists {
+          case (metric, row) => metric.startsWith("bucket_overflow_") &&
+            !row.isNullAt(0) && row.getLong(0) > 0
+        }
+        if (overflowed) bucketOverflows += 1
         // dedup pipelines cache small feature tables; clear between
         // queries so storage memory never accumulates across the
         // suite, and drain the garbage NOW so the previous query's
@@ -99,26 +175,42 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
+
+    // regression gate vs the last same-timing history entry (if any);
+    // detail to stderr, count into the JSON artifacts
+    val histPath = Paths.get(
+      sys.env.getOrElse("BENCH_HISTORY", "bench_history.jsonl"))
+    val prevLine =
+      if (Files.exists(histPath))
+        Files.readAllLines(histPath).toArray.lastOption.map(_.toString)
+      else None
+    val regressed = prevLine.flatMap(parseHistoryLine) match {
+      case Some((prevTiming, prev)) =>
+        val r = regressions(prevTiming, prev, Timing, times.toSeq)
+        r.foreach { case (n, was, now) =>
+          System.err.println(f"BENCH REGRESSION $n: $was%.2f s -> $now%.2f s")
+        }
+        r.size
+      case None => 0
+    }
+
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the JSON line out of that window; sbt appends its own ~90-char
     // "[success] Total time" trailer. A full-precision map of 67+ queries
     // is ~2400 chars and silently fails to parse (BENCH_r03/r04). Keep
     // the stdout line under 1700 chars by dropping the FASTEST queries
     // first (the slow ones are the ones worth grading); the full-precision
-    // map always lands in $BENCH_OUT.
-    val line = stdoutLine(times.toSeq, errors.toSeq, sfDir)
-    println(line)
-    val total = times.values.sum
-    val full = times.map { case (k, v) => s"${q(k)}:$v" }
-      .mkString("{", ",", "}")
-    val esFull = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +
-      s""""errors":$esFull,"n_ok":${times.size},"n_err":${errors.size},""" +
-      s""""sf":${q(sfDir)}}"""
+    // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
+    println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
+      bucketOverflows = bucketOverflows, regressed = regressed))
+    val json = fullJson(times.toSeq, errors.toSeq, sfDir,
+      bucketOverflows, regressed)
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
+    // append-only archive: bench_out.json is overwritten every round,
+    // which already cost us round 6's full per-query data
+    Files.writeString(histPath, json + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     spark.stop()
   }
 }

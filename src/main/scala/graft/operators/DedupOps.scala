@@ -699,7 +699,22 @@ object DedupOps {
         .filter(col("rn") <=
           col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
         .select(col("doc_id"), col("t").as("band_key"))
-      verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
+      // PPJoin length bound BEFORE the shingle join-back: Jaccard ≥ 0.7
+      // forces 0.7·|a| ≤ |b| ≤ |a|/0.7 (min(|a|,|b|) ≥ |a∩b| ≥
+      // 0.7·|a∪b| ≥ 0.7·max(|a|,|b|)), so length-mismatched candidates
+      // can be dropped with a two-int-column join instead of paying the
+      // full shingle-array join + intersect. Integer form (10·x ≥ 7·y)
+      // so the exact-recall claim never rides on a float rounding edge.
+      val sizes = tg.select(col("doc_id"), size(col("shingles")).as("sz"))
+      val cand = bucketPairs(prefix, Seq("band_key"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+          "doc_b")
+        .filter(col("sz_b") * 10 >= col("sz_a") * 7 &&
+          col("sz_a") * 10 >= col("sz_b") * 7)
+        .select(col("doc_a"), col("doc_b"))
+      verifyJaccard(cand, tg, 0.7)
     }),
 
     // Chunk-level exact dedup — the C4 "drop duplicated paragraphs"

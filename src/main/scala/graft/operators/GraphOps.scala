@@ -77,8 +77,17 @@ object GraphOps {
         .select((col("o_custkey") * 2).as("u"),
           (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
+      // Pre-partition the persisted edge list on `src` ONCE (pinned to
+      // the session's shuffle-partition count so the cached layout
+      // matches what EnsureRequirements asks for): the degree groupBy
+      // and all three rounds' edge⋈rank joins then reuse the cached
+      // hash layout instead of re-shuffling the edge list per round —
+      // at cluster scale that is the difference between 1 and 4 full
+      // shuffles of the (large) edge side.
+      val shuf = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(shuf, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -91,4 +91,43 @@ class BenchRenderSpec extends AnyFunSuite {
     // only 3 error entries on stdout, each hard-truncated
     assert(!line.contains("e4"))
   }
+
+  test("every artifact carries the timing-method tag and audit fields") {
+    val line = Bench.stdoutLine(manyTimes.take(3), Nil, "/sf",
+      bucketOverflows = 2, regressed = 1)
+    assertStrictJsonObject(line)
+    assert(line.contains(s""""timing":"${Bench.Timing}""""))
+    assert(line.contains(""""bucket_overflows":2"""))
+    assert(line.contains(""""regressed":1"""))
+    val full = Bench.fullJson(manyTimes, Nil, "/sf", 0, 0)
+    assertStrictJsonObject(full)
+    assert(full.contains(s""""timing":"${Bench.Timing}""""))
+    // the full artifact never drops queries, whatever the suite size
+    assert(full.contains("\"q001_some_query_name\":"))
+    assert(full.contains("\"q120_some_query_name\":"))
+  }
+
+  test("history line round-trips through the parser") {
+    val full = Bench.fullJson(
+      Seq("q1_a" -> 0.5, "d4_ngram" -> 6.964), Nil, "/sf", 0, 0)
+    val parsed = Bench.parseHistoryLine(full)
+    assert(parsed.isDefined)
+    val (timing, qs) = parsed.get
+    assert(timing == Bench.Timing)
+    assert(qs.toMap == Map("q1_a" -> 0.5, "d4_ngram" -> 6.964))
+    assert(Bench.parseHistoryLine("not json").isEmpty)
+  }
+
+  test("regression gate: flags real slowdowns, skips on tag mismatch") {
+    val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0)
+    val cur  = Seq("qa" -> 1.1, "qb" -> 7.0, "qc" -> 0.6, "qd" -> 1.4,
+                   "qnew" -> 9.0)
+    val r = Bench.regressions("v2", prev, "v2", cur)
+    // qb: 1.75x and +3.0s -> flagged. qa: under factor. qc: 3x but under
+    // the 0.5s absolute floor (GC jitter band). qd: +0.4s under floor
+    // AND under 1.5x. qnew: no baseline.
+    assert(r == Seq(("qb", 4.0, 7.0)))
+    // a ruler change must suppress the diff entirely (round-7 lesson)
+    assert(Bench.regressions("v1", prev, "v2", cur).isEmpty)
+  }
 }
