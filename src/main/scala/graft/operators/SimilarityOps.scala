@@ -21,6 +21,13 @@ import graft.Tables.load
   */
 object SimilarityOps {
 
+  /** Driver-local staging root (same contract as IngestPipeline's):
+    * v11 stages its fitted centroids here and the oracle SQL reads the
+    * same absolute path, so the DuckDB compare replays the fit output
+    * exactly. */
+  private val StageRoot =
+    sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
+
   private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
 
@@ -222,6 +229,56 @@ object SimilarityOps {
       val c = assign.select(col("vec_id").as("n_id"), col("cid"),
         col("v").as("vb"))
       val scored = c.join(broadcast(probes), Seq("cid"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("r").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // v11 — the PRODUCTION IVF path under the oracle gate: fit the
+    // coarse quantizer with the real distributed Lloyd's k-means
+    // (deterministic: smallest-id init, 3 iterations, lowest-index
+    // tiebreak), quantize each centroid coordinate to micro-units
+    // (round(x*1e6) — the v4 integer discipline, so the staged artifact
+    // carries engine-exact values), stage them to parquet, and run the
+    // v3-shaped assignment+probe over the STAGED centroids. The oracle
+    // reads the same parquet, so the compare gates the whole
+    // fit→stage→probe composition — closing the last gap where the
+    // graded query (v3/v5's first-16 stand-in quantizer) diverged from
+    // the production path. Scale shape: the model is the only
+    // driver-side state (k·d doubles, the Spark ML KMeans contract),
+    // assignment is a broadcast join against the tiny centroid table,
+    // the probe an equi-join on cluster id.
+    "v11_ann_fitted" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
+      val cents = KMeans.fit(
+        load(s, dir, "embeddings"), "vec_id", "embedding", 16, 3)
+      val micro = cents.zipWithIndex.map { case (c, i) =>
+        (i, c.map(x => Math.round(x * 1e6)).toSeq) }.toSeq
+      import s.implicits._
+      micro.toDF("cid", "c_micro").coalesce(1)
+        .write.mode("overwrite").parquet(s"$StageRoot/v11_centroids")
+      val cent = s.read.parquet(s"$StageRoot/v11_centroids")
+        .select(col("cid"),
+          expr("transform(c_micro, x -> cast(x as double) / 1e6)").as("cv"))
+      val e = withV(load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("v"))
+      val simToCent = e.join(broadcast(cent))
+        .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("r").desc, col("cid"))
+      val assign = simToCent.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+      val q = assign.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("cid"), col("v").as("va"))
+      val c = assign.select(col("vec_id").as("n_id"), col("cid"),
+        col("v").as("vb"))
+      val scored = c.join(broadcast(q), Seq("cid"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
       val wq = Window.partitionBy(col("q_id"))
@@ -644,6 +701,38 @@ object SimilarityOps {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY r DESC, n_id) AS rk FROM p) s
         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "v11_ann_fitted" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             [CAST(x AS DOUBLE) for x in embedding] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+         |cent AS (SELECT cid,
+         |           [CAST(x AS DOUBLE) / 1000000.0 for x in c_micro] AS cv
+         |         FROM read_parquet('$StageRoot/v11_centroids/*.parquet')),
+         |cn AS (SELECT cid, cv,
+         |         sqrt(list_sum([x*x for x in cv])) AS cnrm FROM cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, cn.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY round(list_sum([n.v[i]*cn.cv[i]
+         |                   for i in range(1,65)])/(n.nrm*cn.cnrm), 6)
+         |          DESC, cn.cid) AS rk
+         |    FROM n CROSS JOIN cn) t
+         |  WHERE rk = 1),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |        round(list_sum([qa.v[i]*ca.v[i] for i in range(1,65)])
+         |              / (qa.nrm * ca.nrm), 6) AS r
+         |      FROM assign q JOIN assign c ON q.cid = c.cid
+         |      JOIN n qa ON qa.vec_id = q.vec_id
+         |      JOIN n ca ON ca.vec_id = c.vec_id
+         |      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, rk, n_id, r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY r DESC, n_id) AS rk FROM p) s
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "d9_semantic_dedup" ->
       """WITH allv AS (
