@@ -1,0 +1,231 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, date_format, lit, to_date}
+import graft.operators.MergeOps
+
+/** Fact-scale snapshot lake: [[SnapshotLake]]'s marker protocol applied
+  * PER `part_date=` PARTITION, plus global manifest snapshots — the
+  * shape SnapshotLake's own doc prescribes for tables where a full-copy
+  * version per commit is unpayable (at 100 TB a daily batch touches a
+  * handful of date partitions; versioning must cost O(touched), not
+  * O(table)).
+  *
+  * Layout under `root`:
+  * {{{
+  *   part_date=2026-01-07/
+  *     v=1/part-*.parquet      immutable partition snapshot
+  *     v=2/...
+  *     _commits/1 2            per-partition markers (SnapshotLake CAS)
+  *   _snapshots/
+  *     3.manifest              "partition TAB version" lines
+  *     3                       zero-byte marker; its EXISTENCE commits
+  *                             global snapshot 3
+  * }}}
+  *
+  * Commit = (a) merge the batch against the LATEST version of each
+  * affected partition only, (b) commit each rewritten partition as a
+  * new partition version under that partition's own lock-CAS + marker
+  * protocol, (c) commit a global manifest pinning EVERY partition at
+  * its latest committed version (the just-written ones overlaid, so a
+  * racing lister can never unpin this commit's own work). Each step is
+  * crash-safe: death before a partition marker leaves an invisible
+  * orphan v-dir; death between partition commits and the manifest leaves the
+  * new partition versions visible to LATEST readers (per-partition
+  * `latest` is marker-based) but absent from any global snapshot — the
+  * next commit's manifest picks them up.
+  *
+  * Reads:
+  *  - [[readLatest]]: every partition at its newest marker — the
+  *    "current table", independent of manifests;
+  *  - [[readVersion]] (global time travel): exactly the per-partition
+  *    versions the manifest pinned, whatever has been committed since;
+  *  - [[readPartitionVersion]]: one partition's history on its own
+  *    axis (the "what did yesterday's partition look like before
+  *    today's backfill" question, without touching the other 36500).
+  *
+  * Multi-writer: partition versions and manifest numbers are both
+  * claimed via [[SnapshotLake.atomicCreate]] lock CAS, so concurrent
+  * committers serialize into distinct versions — no version is lost or
+  * overwritten. Like SnapshotLake.commitMerge, the merge itself is
+  * optimistic (no read-conflict detection across writers on the SAME
+  * partition; writers on disjoint partitions compose perfectly).
+  *
+  * Contract: `to_date(tsCol)` must be stable per key (the reference's
+  * AcqDate-never-changes invariant, common.py:267-306) — rows outside
+  * the batch's dates are never read, so a key that moved dates would
+  * insert a second copy.
+  */
+object PartitionedSnapshotLake {
+
+  private val DefaultPart = "part_date=__HIVE_DEFAULT_PARTITION__"
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(
+      if (path.contains("://")) path else s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def partRoot(root: String, part: String) = s"$root/$part"
+  private def snapsDir(root: String) = new Path(root, "_snapshots")
+
+  /** Partition directory names present on disk (committed or not). */
+  def partitions(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part_date=")).sorted
+  }
+
+  /** Committed versions of one partition (its own history axis). */
+  def partitionVersions(spark: SparkSession, root: String,
+      part: String): Seq[Long] =
+    SnapshotLake.versions(spark, partRoot(root, part))
+
+  /** Committed global snapshot numbers, ascending. */
+  def snapshots(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val dir = snapsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  def latestSnapshot(spark: SparkSession, root: String): Option[Long] =
+    snapshots(spark, root).lastOption
+
+  /** The partition→version pins of a committed global snapshot. */
+  def manifest(spark: SparkSession, root: String,
+      snap: Long): Map[String, Long] = {
+    val fs = fsFor(spark, root)
+    require(fs.exists(new Path(snapsDir(root), snap.toString)),
+      s"snapshot $snap is not committed at $root; " +
+        s"committed: ${snapshots(spark, root)}")
+    val in = fs.open(new Path(snapsDir(root), s"$snap.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(p, v) = line.split('\t'); p -> v.toLong
+      }.toMap
+    finally in.close()
+  }
+
+  /** Read one partition at one of its own versions, `part_date`
+    * restored from the directory name (v-dirs store data columns only,
+    * like any hive-partitioned layout). */
+  def readPartitionVersion(spark: SparkSession, root: String,
+      part: String, v: Long): DataFrame = {
+    val df = SnapshotLake.readVersion(spark, partRoot(root, part), v)
+    val value = part.stripPrefix("part_date=")
+    if (part == DefaultPart)
+      df.withColumn("part_date", lit(null).cast("date"))
+    else df.withColumn("part_date", lit(value).cast("date"))
+  }
+
+  private def readPins(spark: SparkSession, root: String,
+      pins: Map[String, Long]): DataFrame = {
+    require(pins.nonEmpty, s"empty snapshot at $root")
+    pins.toSeq.sortBy(_._1)
+      .map { case (p, v) => readPartitionVersion(spark, root, p, v) }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Global time travel: the table exactly as snapshot `snap` pinned
+    * it, per-partition versions and all. */
+  def readVersion(spark: SparkSession, root: String, snap: Long): DataFrame =
+    readPins(spark, root, manifest(spark, root, snap))
+
+  /** The current table: every partition at its newest committed
+    * version (marker-based, independent of manifests — a partition
+    * committed after the last manifest is already visible here). */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val pins = partitions(spark, root).flatMap { p =>
+      SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
+    }.toMap
+    readPins(spark, root, pins)
+  }
+
+  /** MERGE `batch` into the affected partitions and commit a global
+    * snapshot. Returns (snapshot number, merge-status counts). Cost is
+    * O(touched partitions) in data moved: untouched partitions
+    * contribute one directory listing to the manifest and nothing
+    * else. */
+  def commitMerge(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, tsCol: String, exclude: Seq[String] = Nil)
+      : (Long, Map[String, Long]) = {
+    val fs = fsFor(spark, root)
+    val b = batch.withColumn("part_date", to_date(col(tsCol)))
+
+    // affected partition names from the batch's distinct dates —
+    // bounded by the date span, not the row count
+    val affected: Seq[String] = b
+      .select(date_format(col("part_date"), "yyyy-MM-dd").as("d"))
+      .distinct().collect()
+      .map(r => if (r.isNullAt(0)) DefaultPart
+                else s"part_date=${r.getString(0)}").toSeq
+
+    // current state of ONLY the affected partitions
+    val existing = affected.flatMap { p =>
+      SnapshotLake.latestVersion(spark, partRoot(root, p))
+        .map(v => readPartitionVersion(spark, root, p, v))
+    }
+    val merged = (existing.reduceOption(_.unionByName(_)) match {
+      case Some(db) => MergeOps.merge(db, b, key, exclude)
+      case None => b.withColumn("merge_status", lit("inserted"))
+    }).persist()
+    try {
+      val counts = merged.groupBy("merge_status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one partitioned write to a private tmp dir; each part_date=
+      // subdir then RENAMES (no second copy) into its partition's next
+      // claimed version
+      val tmp = new Path(root,
+        s".tmp_commit_${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.drop("merge_status").write.mode("overwrite")
+        .partitionBy("part_date").parquet(tmp.toString)
+      val committed = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part_date=")).map { tp =>
+          val pr = partRoot(root, tp.getName)
+          fs.mkdirs(new Path(pr, "_commits"))
+          val v = SnapshotLake.claimVersion(fs, pr,
+            () => SnapshotLake.latestVersion(spark, pr).getOrElse(0L))
+          val dest = new Path(pr, s"v=$v")
+          if (fs.exists(dest)) fs.delete(dest, true) // pre-lock orphan
+          require(fs.rename(tp, dest), s"commit failed: $tp -> $dest")
+          val out = fs.create(new Path(new Path(pr, "_commits"),
+            v.toString), true)
+          out.close() // partition commit point
+          SnapshotLake.releaseVersion(fs, pr, v)
+          tp.getName -> v
+        }.toMap
+      fs.delete(tmp, true)
+      (commitManifest(spark, root, committed), counts)
+    } finally merged.unpersist()
+  }
+
+  /** Commit a global manifest pinning every partition at its latest
+    * committed version, `overlay` taking precedence (the partitions
+    * this writer just committed — a concurrent lister can never unpin
+    * them). Manifest number claimed by the same lock CAS as data
+    * versions; the pin set is re-listed on every claim so the winning
+    * manifest reflects the freshest view this writer can see. */
+  private def commitManifest(spark: SparkSession, root: String,
+      overlay: Map[String, Long]): Long = {
+    val fs = fsFor(spark, root)
+    fs.mkdirs(snapsDir(root))
+    val snapRootStr = snapsDir(root).toString
+    val n = SnapshotLake.claimVersion(fs, snapRootStr,
+      () => latestSnapshot(spark, root).getOrElse(0L))
+    val pins = partitions(spark, root).flatMap { p =>
+      SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
+    }.toMap ++ overlay
+    val body = pins.toSeq.sorted
+      .map { case (p, v) => s"$p\t$v" }.mkString("\n")
+    val out = fs.create(new Path(snapsDir(root), s"$n.manifest"), true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    val marker = fs.create(new Path(snapsDir(root), n.toString), true)
+    marker.close() // snapshot commit point
+    SnapshotLake.releaseVersion(fs, snapRootStr, n)
+    n
+  }
+}

@@ -16,14 +16,29 @@ import graft.operators.MergeOps
   *   _commits/3             zero-byte marker; its EXISTENCE commits v=3
   * }}}
   *
-  * Commit protocol (single writer, crash-safe at every step):
-  *  1. `n = latest + 1`
+  * Commit protocol (MULTI-writer, crash-safe at every step):
+  *  1. claim a version: atomically create `_commits/n.lock` with
+  *     create-if-absent (n = latest+1, bumping past every taken number
+  *     until a claim wins) — from here `v=n` belongs to THIS writer
+  *     exclusively, so concurrent writers can never interleave on one
+  *     data dir;
   *  2. write the frame to `v=n` (invisible — readers only trust markers)
-  *  3. atomically create marker `_commits/n` — the commit point.
-  * A writer that dies before (3) leaves an orphan `v=n` dir that
-  * readers never see; the NEXT commit reuses version n and overwrites
-  * the orphan. Readers never lock: `latest` is a marker listing, data
-  * dirs are immutable once committed.
+  *  3. create marker `_commits/n` — the commit point — then drop the
+  *     lock.
+  * The claim is the CAS: `File.createNewFile` (O_CREAT|O_EXCL) on
+  * file://, `create(overwrite=false)` on HDFS-likes — both atomic, so
+  * two writers racing on `n = latest+1` serialize into versions n and
+  * n+1 instead of both thinking they own n. Concurrent
+  * [[commitMerge]]s are optimistic: each merges against the latest it
+  * READ, so two simultaneous merges land as two versions whose second
+  * does not contain the first's batch — no version is ever lost or
+  * overwritten, but read-merge-write conflict detection is the
+  * caller's policy (compare parent version on commit and retry).
+  * A writer that dies before (3) leaves an orphan `v=n` dir and a
+  * stale lock that readers never see; later commits skip past the
+  * locked number (a gap in the version sequence) and [[vacuum]]
+  * reclaims the orphan. Readers never lock: `latest` is a marker
+  * listing, data dirs are immutable once committed.
   *
   * Rollback = deleting markers above the target — O(versions), no data
   * copied, and the rolled-back dirs become invisible immediately (the
@@ -46,6 +61,37 @@ object SnapshotLake {
 
   private def commitsDir(root: String) = new Path(root, "_commits")
   private def versionDir(root: String, v: Long) = new Path(root, s"v=$v")
+  private def lockPath(root: String, v: Long) =
+    new Path(commitsDir(root), s"$v.lock")
+
+  /** Atomic create-if-absent — the commit protocol's CAS primitive.
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL) for file:// because
+    * Hadoop's RawLocalFileSystem `create(overwrite=false)` is a
+    * non-atomic exists-then-open; HDFS-like filesystems get
+    * `fs.create(overwrite=false)`, which is atomic on the namenode. */
+  private[catalog] def atomicCreate(fs: FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** Claim the next free version ≥ latest+1 via lock-file CAS; the
+    * returned number is owned exclusively by this writer, which must
+    * create the commit marker and then [[releaseVersion]] the lock. */
+  private[catalog] def claimVersion(fs: FileSystem, root: String,
+      latest: () => Long): Long = {
+    var n = latest() + 1L
+    while (!atomicCreate(fs, lockPath(root, n)))
+      n = math.max(n + 1L, latest() + 1L)
+    n
+  }
+
+  private[catalog] def releaseVersion(fs: FileSystem, root: String,
+      v: Long): Unit = fs.delete(lockPath(root, v), false)
 
   /** Committed versions, ascending (empty if the table doesn't exist). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
@@ -60,17 +106,22 @@ object SnapshotLake {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Commit `df` as the next version; returns the new version number. */
+  /** Commit `df` as the next version; returns the new version number.
+    * Multi-writer safe: the version number is claimed by lock-file CAS
+    * BEFORE any data is written, so racing writers serialize into
+    * distinct versions (see the protocol in the class doc). */
   def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
     val fs = fsFor(spark, root)
-    val n = latestVersion(spark, root).getOrElse(0L) + 1L
-    // mode=overwrite clobbers an orphan dir a crashed writer left at
-    // this same (uncommitted) version number
-    df.write.mode("overwrite").parquet(versionDir(root, n).toString)
     fs.mkdirs(commitsDir(root))
+    val n = claimVersion(fs, root,
+      () => latestVersion(spark, root).getOrElse(0L))
+    // mode=overwrite clobbers an orphan dir a crashed (pre-lock-era)
+    // writer left at this same uncommitted version number
+    df.write.mode("overwrite").parquet(versionDir(root, n).toString)
     val marker = new Path(commitsDir(root), n.toString)
-    val out = fs.create(marker, true) // atomic create = the commit point
-    out.close()
+    val out = fs.create(marker, true) // exclusive owner: plain create
+    out.close() // marker existence = the commit point
+    releaseVersion(fs, root, n)
     n
   }
 
@@ -142,6 +193,21 @@ object SnapshotLake {
       st.getPath.getName match {
         case vPat(n) if !keep(n.toLong) && n.toLong < latest =>
           fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    // stale claim locks: a writer that died between claim and marker
+    // left `n.lock` forever blocking version n. Anything below the
+    // oldest RETAINED version cannot be a live writer (claims start at
+    // latest+1), so those locks are crash residue and are reclaimed;
+    // locks at or above the horizon are left alone — they may belong
+    // to a slow in-flight commit.
+    val horizon = keep.min
+    val lockPat = "^(\\d+)\\.lock$".r
+    fs.listStatus(commitsDir(root)).foreach { st =>
+      st.getPath.getName match {
+        case lockPat(n) if n.toLong < horizon =>
+          fs.delete(st.getPath, false)
         case _ => ()
       }
     }

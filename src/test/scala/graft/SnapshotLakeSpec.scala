@@ -137,6 +137,105 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(mirror == v2, "stream and batch lake states diverged")
   }
 
+  test("RACE: concurrent committers serialize into distinct versions — " +
+      "no lost version, every history linearizes") {
+    val root = tmp()
+    val perWriter = 5
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { i =>
+          val tag = s"w$w-b$i"
+          val v = SnapshotLake.commit(spark, root, frame(1L -> tag))
+          // the claimed version must be OURS alone
+          assert(results.put(v, tag) == null,
+            s"version $v claimed twice")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // no version lost: 10 commits -> 10 distinct committed versions
+    assert(results.size == 2 * perWriter)
+    assert(SnapshotLake.versions(spark, root) ==
+      results.keySet().toArray.map(_.asInstanceOf[Long]).sorted.toSeq)
+    // each version still reads EXACTLY the frame its committer wrote —
+    // a raced data dir would show another writer's tag
+    results.forEach { (v, tag) =>
+      assert(SnapshotLake.readVersion(spark, root, v)
+        .select("val").as[String].head() == tag,
+        s"version $v does not hold its committer's data")
+    }
+  }
+
+  test("a stale claim lock (writer died before its marker) is skipped " +
+      "by later commits and reclaimed by vacuum") {
+    val root = tmp()
+    SnapshotLake.commit(spark, root, frame(1L -> "v1"))
+    // simulate: a writer claimed version 2 then died pre-marker
+    val lock = new java.io.File(s"$root/_commits/2.lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    val v = SnapshotLake.commit(spark, root, frame(1L -> "v3"))
+    assert(v == 3L, "commit must skip the locked (possibly live) number")
+    assert(SnapshotLake.versions(spark, root) == Seq(1L, 3L))
+    SnapshotLake.vacuum(spark, root, retain = 1)
+    assert(!lock.exists(), "stale lock below the horizon must be reclaimed")
+  }
+
+  test("partitioned snapshots: a 2-partition batch commits one version " +
+      "per touched partition; old global snapshots read consistently; " +
+      "untouched partitions never re-version") {
+    import graft.catalog.PartitionedSnapshotLake
+    val root = tmp()
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+
+    val (s1, c1) = PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-01-01", "a"), (2L, "2026-01-01", "b"),
+         (3L, "2026-01-02", "c")), "id", "ts")
+    assert(s1 == 1L && c1 == Map("inserted" -> 3L))
+    val p1 = "part_date=2026-01-01"; val p2 = "part_date=2026-01-02"
+    assert(PartitionedSnapshotLake.partitions(spark, root) == Seq(p1, p2))
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
+      == Seq(1L))
+
+    // batch touching BOTH partitions: each gets exactly one new version
+    val (s2, c2) = PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-01-01", "a2"), (4L, "2026-01-02", "d")), "id", "ts")
+    assert(s2 == 2L)
+    assert(c2("updated") == 1L && c2("inserted") == 1L)
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
+      == Seq(1L, 2L))
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p2)
+      == Seq(1L, 2L))
+    assert(PartitionedSnapshotLake.readLatest(spark, root).count() == 4)
+
+    // old global snapshot: BOTH partitions read at their old versions
+    val v1rows = PartitionedSnapshotLake.readVersion(spark, root, 1)
+      .orderBy("id").select("id", "val").as[(Long, String)].collect().toSeq
+    assert(v1rows == Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      "global snapshot 1 must predate the second batch entirely")
+
+    // batch touching ONLY p2: p1 must not re-version (O(touched) cost)
+    val (s3, _) = PartitionedSnapshotLake.commitMerge(spark, root,
+      df((3L, "2026-01-02", "c3")), "id", "ts")
+    assert(s3 == 3L)
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
+      == Seq(1L, 2L), "untouched partition gained a version")
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p2)
+      == Seq(1L, 2L, 3L))
+    assert(PartitionedSnapshotLake.manifest(spark, root, 3L)
+      == Map(p1 -> 2L, p2 -> 3L))
+    // per-partition time travel on the partition's own axis
+    assert(PartitionedSnapshotLake
+      .readPartitionVersion(spark, root, p1, 1L)
+      .filter($"id" === 1L).select("val").as[String].head() == "a")
+    // and the middle global snapshot still pins the middle state
+    val v2rows = PartitionedSnapshotLake.readVersion(spark, root, 2)
+      .orderBy("id").select("id", "val").as[(Long, String)].collect().toSeq
+    assert(v2rows == Seq(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
   test("a crashed writer's uncommitted dir is invisible to readers and " +
       "overwritten by the next commit") {
     val root = tmp()
