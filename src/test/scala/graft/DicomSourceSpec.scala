@@ -116,6 +116,77 @@ class DicomSourceSpec extends AnyFunSuite {
       read < 256 * 1024, s"grown header read pulled $read bytes")
   }
 
+  test("mtime pushdown prunes the listing: old files are never opened") {
+    val dir = Files.createTempDirectory("graft_dsv2_mtime")
+    (1 to 8).foreach(i =>
+      writeDicom(dir, f"old$i.dcm", f"EXAM02OLD$i", i, 16))
+    (1 to 2).foreach(i =>
+      writeDicom(dir, f"new$i.dcm", f"EXAM02NEW$i", i, 16))
+    val cut = 1700000000000L // 2023-11-14; arbitrary fixed epoch
+    (1 to 8).foreach(i => assert(
+      dir.resolve(s"old$i.dcm").toFile.setLastModified(cut - 86400000L)))
+    (1 to 2).foreach(i => assert(
+      dir.resolve(s"new$i.dcm").toFile.setLastModified(cut + 86400000L)))
+    val df = spark.read.format("dicomlike").load(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("mtime") >=
+        new java.sql.Timestamp(cut))
+      .select("series_uid", "mtime")
+    // the --days mode: only the 2 young files may be opened at all —
+    // row-level filtering alone would still read all 10 headers
+    BytesReadCounter.reset()
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("EXAM02NEW1", "EXAM02NEW2"))
+    assert(BytesReadCounter.bytes.get() <=
+      2L * DicomLikeSource.InitialHeaderRead,
+      s"pruned scan still read ${BytesReadCounter.bytes.get()} bytes " +
+        "— mtime filter did not reach the listing")
+    // and the plan advertises the pushdown for audits
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("mtime"),
+      s"pushdown not visible in plan:\n${plan.take(1200)}")
+  }
+
+  test("path-prefix pushdown skips whole subtrees at listing time") {
+    val dir = Files.createTempDirectory("graft_dsv2_prefix")
+    val subA = dir.resolve("examA"); Files.createDirectory(subA)
+    val subB = dir.resolve("examB"); Files.createDirectory(subB)
+    (1 to 5).foreach(i => writeDicom(subA, s"a$i.dcm", s"EXAM03A$i", i, 16))
+    (1 to 5).foreach(i => writeDicom(subB, s"b$i.dcm", s"EXAM03B$i", i, 16))
+    val prefix = s"file:$subA"
+    val df = spark.read.format("dicomlike").load(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("path").startsWith(prefix))
+      .select("series_uid", "path")
+    BytesReadCounter.reset()
+    val rows = df.collect()
+    assert(rows.length == 5 &&
+      rows.forall(_.getString(1).startsWith(prefix)))
+    assert(BytesReadCounter.bytes.get() <=
+      5L * DicomLikeSource.InitialHeaderRead,
+      "examB files were opened despite the path-prefix pushdown")
+  }
+
+  test("planning-time filter evaluation matches predicate semantics") {
+    import org.apache.spark.sql.sources._
+    import DicomLikeSource.{keeps, prunable}
+    val ts = new java.sql.Timestamp(5000L)
+    assert(prunable(GreaterThanOrEqual("mtime", ts)))
+    assert(prunable(And(StringStartsWith("path", "/a"),
+      LessThan("length", 10L))))
+    // header-derived columns can never prune the listing
+    assert(!prunable(EqualTo("series_uid", "X")))
+    assert(keeps(GreaterThanOrEqual("mtime", ts), "/p", 1L, 5000L))
+    assert(!keeps(GreaterThanOrEqual("mtime", ts), "/p", 1L, 4999L))
+    assert(keeps(GreaterThanOrEqual("mtime",
+      java.time.Instant.ofEpochMilli(5000L)), "/p", 1L, 5000L))
+    assert(keeps(StringStartsWith("path", "/a/b"), "/a/b/c.dcm", 1L, 0L))
+    assert(!keeps(StringStartsWith("path", "/a/b"), "/a/c/c.dcm", 1L, 0L))
+    // subtree skip: ancestor dirs of the prefix AND dirs under it match
+    assert(DicomLikeSource.dirMayMatch("/a", "/a/b/c"))
+    assert(DicomLikeSource.dirMayMatch("/a/b/c/d", "/a/b/c"))
+    assert(!DicomLikeSource.dirMayMatch("/x", "/a/b/c"))
+  }
+
   test("source feeds the ingest aggregates end-to-end") {
     val dir = mkFixture()
     val headers = spark.read.format("dicomlike")
