@@ -30,11 +30,26 @@ object IngestPipeline {
   private val StageRoot =
     sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
 
+  /** Corpus size scales with the benchmark's sf dir so the codec path
+    * is exercised at bench scale, not just on the 31-file branch-
+    * coverage corpus: sf0.001 → 1 family (the base corpus exactly),
+    * sf0.01 → 10, sf0.1 → 100 (~1 000 files). The oracle re-derives
+    * from the staged kv parquet, so the compare scales with the
+    * corpus automatically. */
+  private def familiesFor(dir: String): Int = {
+    val sf = dir.split("sf").lastOption
+      .flatMap(_.toDoubleOption).getOrElse(0.01)
+    math.max(1, math.min(100, (sf * 1000).toInt))
+  }
+
   /** Deterministic corpus — same bytes every call (overwrite-stable
     * under Bench's warmup+3 timed runs). The directory is cleared
     * first: residue from an older corpus definition would otherwise
-    * pollute the scan and fail the oracle confusingly. */
-  private def writeCorpus(dir: java.io.File): Unit = {
+    * pollute the scan and fail the oracle confusingly. `families`
+    * scale-out appends full-tag-surface exam families beyond the base
+    * corpus — every added file runs the complete codec path (explicit
+    * VR walk, CSA block flatten, ASCCONV parse). */
+  private def writeCorpus(dir: java.io.File, families: Int = 1): Unit = {
     import graft.DicomFixture._
     dir.mkdirs()
     dir.listFiles().foreach(f => f.delete(): Unit)
@@ -183,6 +198,20 @@ object IngestPipeline {
     }
     // non-DICOM junk: the magic sniff (NULL contract) must drop it
     put("junk.bin", Array.fill[Byte](600)(0x7A))
+    // scale-out families: EXAM01.1's full tag surface (CSA image +
+    // series blobs, ASCCONV, accented PN) replicated under distinct
+    // series UIDs — 10 full-codec parses per family, so bench-scale
+    // corpora exercise the parser on ~1 000 files instead of 31. The
+    // 6-char exam prefix ("EF02S1") keeps the substring-based exam
+    // grouping exact and disjoint from the base EXAMnn families.
+    for (f <- 2 to families) {
+      val uid = f"EF$f%02dS1.1"
+      (1 to 10).foreach { i =>
+        put(s"${uid}_e1_i$i.dcm", file(
+          explicitDs(uid, i, 1, 10, exam011Tags),
+          pixel = Array.fill[Byte](1024)(0x55)))
+      }
+    }
   }
 
   /** Geometry-complete corpus for the NIfTI conversion manifest (i4):
@@ -224,9 +253,9 @@ object IngestPipeline {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "i1_ingest_pipeline" -> ((s, _) => {
+    "i1_ingest_pipeline" -> ((s, dir) => {
       val src = new java.io.File(StageRoot, "i1_src")
-      writeCorpus(src)
+      writeCorpus(src, familiesFor(dir))
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
       val meta = DicomLike.parseMeta(binary)
       // stage the parse boundary for the oracle: one row per
@@ -262,9 +291,9 @@ object IngestPipeline {
     // alias, GE exam-name branch, ASCCONV duration — vs a DuckDB
     // re-derivation over the staged kv table. One row per file so the
     // compare covers every instance the codec parsed.
-    "i2_series_info" -> ((s, _) => {
+    "i2_series_info" -> ((s, dir) => {
       val src = new java.io.File(StageRoot, "i2_src")
-      writeCorpus(src)
+      writeCorpus(src, familiesFor(dir))
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
       val meta = DicomLike.parseMeta(binary)
       meta.select(col("path"), col("length"),
