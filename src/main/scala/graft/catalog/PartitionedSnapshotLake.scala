@@ -203,6 +203,61 @@ object PartitionedSnapshotLake {
     } finally merged.unpersist()
   }
 
+  /** Retention: keep the last `retainSnapshots` global manifests and
+    * every partition version they pin (so retained snapshots stay
+    * readable in full), plus each partition's latest version (so
+    * [[readLatest]] never breaks, manifest or not). Everything else —
+    * older committed versions, uncommitted orphan v-dirs below a
+    * partition's latest, stale claim locks below the partition's
+    * oldest kept version, expired manifests — is deleted. Reads past
+    * the horizon fail loudly at the marker check rather than
+    * half-reading. Like SnapshotLake.vacuum, this is maintenance:
+    * run it without a concurrent committer racing the same root. */
+  def vacuum(spark: SparkSession, root: String,
+      retainSnapshots: Int): Unit = {
+    require(retainSnapshots >= 1, "retainSnapshots >= 1")
+    val fs = fsFor(spark, root)
+    val snaps = snapshots(spark, root)
+    if (snaps.isEmpty) return
+    val keepSnaps = snaps.takeRight(retainSnapshots)
+    val pinned: Map[String, Set[Long]] = keepSnaps
+      .flatMap(s => manifest(spark, root, s).toSeq)
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
+    partitions(spark, root).foreach { p =>
+      val pr = partRoot(root, p)
+      val vs = SnapshotLake.versions(spark, pr)
+      if (vs.nonEmpty) {
+        val latest = vs.last
+        val keep = pinned.getOrElse(p, Set.empty) + latest
+        vs.filterNot(keep).foreach { v =>
+          fs.delete(new Path(pr, s"v=$v"), true)
+          fs.delete(new Path(new Path(pr, "_commits"), v.toString), false)
+        }
+        // uncommitted orphans below the partition's latest (crash
+        // leftovers; an orphan ABOVE latest may be in-flight) and
+        // stale locks below the oldest kept version
+        fs.listStatus(new Path(pr)).foreach { st =>
+          st.getPath.getName.stripPrefix("v=").toLongOption.foreach { v =>
+            if (st.getPath.getName.startsWith("v=") && !keep(v) &&
+              v < latest) fs.delete(st.getPath, true)
+          }
+        }
+        val horizon = keep.min
+        fs.listStatus(new Path(pr, "_commits")).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".lock"))
+            n.stripSuffix(".lock").toLongOption.foreach { v =>
+              if (v < horizon) fs.delete(st.getPath, false)
+            }
+        }
+      }
+    }
+    snaps.filterNot(keepSnaps.contains).foreach { s =>
+      fs.delete(new Path(snapsDir(root), s.toString), false)
+      fs.delete(new Path(snapsDir(root), s"$s.manifest"), false)
+    }
+  }
+
   /** Commit a global manifest pinning every partition at its latest
     * committed version, `overlay` taking precedence (the partitions
     * this writer just committed — a concurrent lister can never unpin

@@ -236,6 +236,42 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(v2rows == Seq(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("partitioned vacuum: retained snapshots stay fully readable, " +
+      "expired versions and manifests are reclaimed") {
+    import graft.catalog.PartitionedSnapshotLake
+    val root = tmp()
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-02-01", "a"), (2L, "2026-02-02", "b")), "id", "ts")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-02-01", "a2")), "id", "ts")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-02-01", "a3")), "id", "ts")
+    val p1 = "part_date=2026-02-01"; val p2 = "part_date=2026-02-02"
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
+      == Seq(1L, 2L, 3L))
+
+    PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 2)
+    // snapshots 2,3 kept; snapshot 1 gone loudly
+    assert(PartitionedSnapshotLake.snapshots(spark, root) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshotLake.readVersion(spark, root, 1)
+    }
+    // p1 v=1 (pinned only by snapshot 1) reclaimed; v=2 (pinned by
+    // snapshot 2) and v=3 (latest) kept; p2's single version kept
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
+      == Seq(2L, 3L))
+    assert(PartitionedSnapshotLake.partitionVersions(spark, root, p2)
+      == Seq(1L))
+    assert(!new java.io.File(s"$root/$p1/v=1").exists())
+    // both retained snapshots still read in full
+    assert(PartitionedSnapshotLake.readVersion(spark, root, 2)
+      .filter($"id" === 1L).select("val").as[String].head() == "a2")
+    assert(PartitionedSnapshotLake.readLatest(spark, root)
+      .filter($"id" === 1L).select("val").as[String].head() == "a3")
+  }
+
   test("a crashed writer's uncommitted dir is invisible to readers and " +
       "overwritten by the next commit") {
     val root = tmp()

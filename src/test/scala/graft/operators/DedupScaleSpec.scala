@@ -50,6 +50,19 @@ class DedupScaleSpec extends AnyFunSuite {
         "the BucketAudit listener")
   }
 
+  test("the bench's synchronous overflow read sees the observe() metric") {
+    // Bench counts bucket_overflows by reading observedMetrics off the
+    // executed plan directly (no listener, no async window) — the
+    // per-round audit artifact must detect a bound cap deterministically
+    val df = DedupOps.bucketPairs(banded, Seq("band_key"), maxBucket = 50)
+    graft.Bench.consume(df)
+    val hit = df.queryExecution.observedMetrics.exists {
+      case (name, row) => name.startsWith("bucket_overflow_") &&
+        !row.isNullAt(0) && row.getLong(0) > 0
+    }
+    assert(hit, "bench bucket_overflows would miss this bound cap")
+  }
+
   test("connected components: chains, isolated pairs, convergence") {
     // one 5-node chain (diameter 4), one pair, one triangle
     val edges = Seq(
