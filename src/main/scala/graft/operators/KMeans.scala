@@ -62,8 +62,14 @@ object KMeans {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val sums = d.select(cidFor(cents).as("cid"),
-          posexplode(col("v")).as(Seq("dim", "x")))
+      // cid is materialized in its OWN projection below the generator:
+      // a Generate node re-evaluates same-projection expressions once
+      // per OUTPUT row, which would run the k·d-op interpreted HOF
+      // distance d times per vector (64× here — the t16 bug class;
+      // measured 35 s/run on a 2 000-vector fit before the split, and
+      // CollapseProject cannot merge across the Generate boundary)
+      val sums = d.select(cidFor(cents).as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
