@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite {
       s"bench grams not broadcast:\n${p.take(2000)}")
   }
 
+  test("d4: the PPJoin length bound prunes below the shingle join-back") {
+    // the round-8 trim: candidates must be length-filtered with the
+    // two-int joins BEFORE paying the shingle-array join + intersect;
+    // executedPlan prints top-down, so the bound's multiply must
+    // appear AFTER (= deeper than) the exact-verify projection
+    val p = plan("d4_ngram_jaccard")
+    val verifyIdx = p.indexOf("array_intersect")
+    val boundIdx = math.max(p.indexOf("* 10)"), p.indexOf("* 7)"))
+    assert(verifyIdx >= 0, s"verify join missing:\n${p.take(2000)}")
+    assert(boundIdx >= 0, s"length bound missing:\n${p.take(2000)}")
+    assert(boundIdx > verifyIdx,
+      "PPJoin length bound must sit BELOW the exact-verify join")
+  }
+
   test("j12: bloom probe filters the fact scan before the join") {
     val p = plan("j12_bloom_prune")
     val probeAt = p.indexOf("bloom_contains")
