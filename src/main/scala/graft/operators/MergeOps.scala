@@ -126,6 +126,53 @@ object MergeOps {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // k15 — lakehouse TIME TRAVEL under the oracle gate: two merge
+    // batches committed to a PartitionedSnapshotLake (per-partition
+    // versioned dirs + lock-CAS markers + global manifests), then
+    // snapshot 1 and the latest read back and unioned. The Spark side
+    // reads the ACTUAL versioned parquet the commits produced, while
+    // DuckDB re-derives both states from the base tables — so the hash
+    // compare gates the whole commit → partition version → manifest →
+    // time-travel read path, not just the merge arithmetic. Partition
+    // dates are synthesized from the key (stable per key, the
+    // commitMerge contract: 3 date partitions); the lake root is
+    // cleared first so version numbers stay deterministic under the
+    // bench's repeated runs.
+    "k15_time_travel" -> ((s, dir) => {
+      val root = new java.io.File(
+        sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage"),
+        "k15_lake")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists()) rm(root)
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_timestamp(concat(lit("2026-03-0"),
+            (col("o_orderkey") % 3 + 1).cast("string"))).as("ts"),
+          col("o_totalprice").as("price"))
+      val b1 = o.filter(col("o_orderkey") % 500 === 0)
+      val b2 = o.filter(col("o_orderkey") % 1000 === 0)
+          .withColumn("price", col("price") + 10.0)
+        .unionByName(o.filter(col("o_orderkey") % 500 === 250))
+      val lake = graft.catalog.PartitionedSnapshotLake
+      val (s1, _) = lake.commitMerge(
+        s, root.getAbsolutePath, b1, "o_orderkey", "ts")
+      lake.commitMerge(s, root.getAbsolutePath, b2, "o_orderkey", "ts")
+      val v1 = lake.readVersion(s, root.getAbsolutePath, s1)
+        .withColumn("tag", lit("v1"))
+      val v2 = lake.readLatest(s, root.getAbsolutePath)
+        .withColumn("tag", lit("v2"))
+      v1.unionByName(v2)
+        // string form: DuckDB DATE reaches the compare as midnight
+        // datetime via pandas, so both sides emit yyyy-MM-dd text
+        .select(col("tag"), col("o_orderkey"),
+          date_format(col("part_date"), "yyyy-MM-dd").as("part_date"),
+          col("price"))
+        .orderBy(col("tag"), col("o_orderkey"))
+    }),
+
     // CDC changelog apply — the third lakehouse write pattern next to
     // MERGE (k3, latest-wins upsert) and SCD2 (k13, full history):
     // replay an ordered change stream (op ∈ {U, D}, monotone seq) onto
@@ -171,6 +218,28 @@ object MergeOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "k15_time_travel" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    '2026-03-0' || CAST(o_orderkey % 3 + 1 AS VARCHAR)
+        |      AS part_date,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |b1 AS (SELECT * FROM o WHERE o_orderkey % 500 = 0),
+        |b2 AS (SELECT o_orderkey, part_date, price + 10.0 AS price
+        |       FROM o WHERE o_orderkey % 1000 = 0
+        |       UNION ALL
+        |       SELECT * FROM o WHERE o_orderkey % 500 = 250),
+        |v2 AS (SELECT COALESCE(b2.o_orderkey, b1.o_orderkey) AS o_orderkey,
+        |              COALESCE(b2.part_date, b1.part_date) AS part_date,
+        |              COALESCE(b2.price, b1.price) AS price
+        |       FROM b1 FULL OUTER JOIN b2
+        |         ON b1.o_orderkey = b2.o_orderkey)
+        |SELECT 'v1' AS tag, o_orderkey, part_date, price FROM b1
+        |UNION ALL
+        |SELECT 'v2', o_orderkey, part_date, price FROM v2
+        |ORDER BY tag, o_orderkey""".stripMargin,
+
     "k3_merge_upsert" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
