@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Suite-wide audit for the round-6 scale-killer class: a filter or
@@ -66,5 +66,40 @@ class HofPredicateAuditSpec extends AnyFunSuite {
     // keep the allowlist honest: drop entries that no longer apply
     val stale = justified.keySet -- flagged.map(_._1).toSet
     assert(stale.isEmpty, s"stale justifications (no HOF predicate anymore): $stale")
+  }
+
+  /** The round-8 sibling of the predicate class: a Project sitting
+    * DIRECTLY ABOVE a Generate evaluates its expressions once per
+    * OUTPUT (exploded) row. A HOF there that reads only pre-explosion
+    * columns is invariant across the group yet re-runs per generated
+    * row — KMeans.fit paid the k·d-op distance 64× per vector this way
+    * (v11 benched 35 s for a 2 000-vector fit) until the expression
+    * moved into its own projection BELOW the generator, where it runs
+    * once per input row (CollapseProject cannot merge across a
+    * Generate). HOFs that reference the GENERATED column are fine —
+    * their work is genuinely per-output-row. */
+  private def generatorOffenders(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case Project(list, g: Generate) =>
+        val childOut = g.child.outputSet
+        list.flatMap(hofs)
+          .filter(_.references.subsetOf(childOut))
+          .map(h => s"Project-over-Generate[${h.prettyName}]")
+    }.flatten
+
+  test("no group-invariant HOF is evaluated per generated row") {
+    val dir = "/root/testdata/sf0.001"
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val where =
+          try generatorOffenders(fn(spark, dir).queryExecution.optimizedPlan)
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (where.isEmpty) None else Some(name -> where.mkString("; "))
+    }
+    assert(flagged.isEmpty,
+      s"\nGroup-invariant HOF above a Generate (re-evaluated per " +
+        s"exploded row — the v11/KMeans bug class):\n" +
+        flagged.map { case (n, w) => s"  $n: $w" }.mkString("\n") +
+        "\nMaterialize it in its own projection BELOW the generator.")
   }
 }
