@@ -362,12 +362,35 @@ object DedupOps {
       .as(Seq("band", "band_key")))
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
-    * both sides of the pair list, intersect/union in one projection. */
+    * both sides of the pair list, intersect/union in one projection.
+    *
+    * Candidates are length-prefiltered first (the PPJoin bound):
+    * Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t, because min(|a|,|b|) ≥
+    * |a∩b| ≥ t·|a∪b| ≥ t·max(|a|,|b|) — so length-mismatched pairs
+    * drop via two slim integer joins before paying the shingle-array
+    * join + intersect. Applied only when 10·t is integral (0.7, 0.8 —
+    * every caller today), in exact integer form (10·x ≥ t10·y): the
+    * rational gap between any candidate Jaccard and t dwarfs double
+    * rounding, so no true pair can be lost at the boundary. */
   private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
       threshold: Double, ordered: Boolean = true): DataFrame = {
+    val t10 = math.round(threshold * 10).toInt
+    val pre =
+      if (math.abs(t10 / 10.0 - threshold) > 1e-12 || t10 <= 0) pairs
+      else {
+        val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("sz").as("sz_b")), "doc_b")
+          .filter(col("sz_b") * 10 >= col("sz_a") * t10 &&
+            col("sz_a") * 10 >= col("sz_b") * t10)
+          .select(col("doc_a"), col("doc_b"))
+      }
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val verified = pairs.join(a, "doc_a").join(b, "doc_b")
+    val verified = pre.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -699,22 +722,10 @@ object DedupOps {
         .filter(col("rn") <=
           col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
         .select(col("doc_id"), col("t").as("band_key"))
-      // PPJoin length bound BEFORE the shingle join-back: Jaccard ≥ 0.7
-      // forces 0.7·|a| ≤ |b| ≤ |a|/0.7 (min(|a|,|b|) ≥ |a∩b| ≥
-      // 0.7·|a∪b| ≥ 0.7·max(|a|,|b|)), so length-mismatched candidates
-      // can be dropped with a two-int-column join instead of paying the
-      // full shingle-array join + intersect. Integer form (10·x ≥ 7·y)
-      // so the exact-recall claim never rides on a float rounding edge.
-      val sizes = tg.select(col("doc_id"), size(col("shingles")).as("sz"))
-      val cand = bucketPairs(prefix, Seq("band_key"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-          "doc_b")
-        .filter(col("sz_b") * 10 >= col("sz_a") * 7 &&
-          col("sz_a") * 10 >= col("sz_b") * 7)
-        .select(col("doc_a"), col("doc_b"))
-      verifyJaccard(cand, tg, 0.7)
+      // the PPJoin length bound (0.7·|a| ≤ |b| ≤ |a|/0.7) prunes
+      // length-mismatched candidates before the shingle join-back —
+      // applied inside verifyJaccard, shared with d2/d12
+      verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
     }),
 
     // Chunk-level exact dedup — the C4 "drop duplicated paragraphs"
