@@ -55,7 +55,12 @@ import graft.operators.MergeOps
   * Contract: `to_date(tsCol)` must be stable per key (the reference's
   * AcqDate-never-changes invariant, common.py:267-306) — rows outside
   * the batch's dates are never read, so a key that moved dates would
-  * insert a second copy.
+  * insert a second copy. Schema evolution is NOT supported on this
+  * path: [[graft.operators.MergeOps.merge]] canonicalizes on the live
+  * columns — a batch MISSING one fails analysis loudly, and a batch
+  * ADDING one has the new column silently dropped — so evolve via
+  * [[Lake.mergeWrite]]'s explicit `evolve` route (or a backfill)
+  * before switching a table to versioned commits.
   */
 object PartitionedSnapshotLake {
 
