@@ -90,18 +90,21 @@ object Bench {
       s""""regressed":$regressed,"sf":${jsonQ(sfDir)}}"""
   }
 
-  /** Pull `"timing"` and the `"queries"` map back out of a history line.
-    * Regex on our own writer's output (flat map, %-free keys, plain
-    * numbers) — not a general JSON parser, and doesn't need to be. */
+  /** Pull `"timing"`, `"sf"`, and the `"queries"` map back out of a
+    * history line. Regex on our own writer's output (flat map, %-free
+    * keys, plain numbers) — not a general JSON parser, and doesn't
+    * need to be. */
   private[graft] def parseHistoryLine(
-      line: String): Option[(String, Seq[(String, Double)])] = {
+      line: String): Option[(String, String, Seq[(String, Double)])] = {
     val timing = """"timing":"([^"]*)"""".r
+      .findFirstMatchIn(line).map(_.group(1))
+    val sf = """"sf":"([^"]*)"""".r
       .findFirstMatchIn(line).map(_.group(1))
     val queries = """"queries":\{([^}]*)\}""".r
       .findFirstMatchIn(line).map(_.group(1))
-    for (t <- timing; q <- queries) yield {
+    for (t <- timing; s <- sf; q <- queries) yield {
       val kv = """"([^"]+)":([-0-9.eE]+)""".r
-      (t, kv.findAllMatchIn(q)
+      (t, s, kv.findAllMatchIn(q)
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq)
     }
   }
@@ -169,11 +172,15 @@ object Bench {
         times(name) = runs.min
         // read the observe() metrics off the executed plan directly —
         // synchronous, unlike the async listener-bus path BucketAudit
-        // uses for production logging
-        val overflowed = lastDf.queryExecution.observedMetrics.exists {
-          case (metric, row) => metric.startsWith("bucket_overflow_") &&
-            !row.isNullAt(0) && row.getLong(0) > 0
-        }
+        // uses for production logging. Only meaningful under the v2
+        // ruler: count-v1's df.count() executes a DIFFERENT
+        // QueryExecution, so lastDf's accumulators stay empty — the
+        // audit is explicitly absent in A/B mode, not silently zero.
+        val overflowed = Timing != "count-v1" &&
+          lastDf.queryExecution.observedMetrics.exists {
+            case (metric, row) => metric.startsWith("bucket_overflow_") &&
+              !row.isNullAt(0) && row.getLong(0) > 0
+          }
         if (overflowed) bucketOverflows += 1
         // dedup pipelines cache small feature tables; clear between
         // queries so storage memory never accumulates across the
@@ -188,16 +195,21 @@ object Bench {
       }
     }
 
-    // regression gate vs the last same-timing history entry (if any);
+    // regression gate vs the LAST history entry with the same timing
+    // tag AND the same sf dir (a dev's quick sf0.001 or filtered run
+    // appending to the history must never become the baseline for the
+    // next sf0.1 round — that would flag dozens of bogus regressions);
     // detail to stderr, count into the JSON artifacts
     val histPath = Paths.get(
       sys.env.getOrElse("BENCH_HISTORY", "bench_history.jsonl"))
-    val prevLine =
-      if (Files.exists(histPath))
-        Files.readAllLines(histPath).toArray.lastOption.map(_.toString)
-      else None
-    val regressed = prevLine.flatMap(parseHistoryLine) match {
-      case Some((prevTiming, prev)) =>
+    val prevSame =
+      if (!Files.exists(histPath)) None
+      else Files.readAllLines(histPath).toArray.toSeq
+        .flatMap(l => parseHistoryLine(l.toString))
+        .filter { case (t, s, _) => t == Timing && s == sfDir }
+        .lastOption
+    val regressed = prevSame match {
+      case Some((prevTiming, _, prev)) =>
         val r = regressions(prevTiming, prev, Timing, times.toSeq)
         r.foreach { case (n, was, now) =>
           System.err.println(f"BENCH REGRESSION $n: $was%.2f s -> $now%.2f s")

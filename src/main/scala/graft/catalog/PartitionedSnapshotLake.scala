@@ -188,23 +188,36 @@ object PartitionedSnapshotLake {
         s".tmp_commit_${java.util.UUID.randomUUID().toString.take(8)}")
       merged.drop("merge_status").write.mode("overwrite")
         .partitionBy("part_date").parquet(tmp.toString)
-      val committed = fs.listStatus(tmp).map(_.getPath)
-        .filter(_.getName.startsWith("part_date=")).map { tp =>
-          val pr = partRoot(root, tp.getName)
-          fs.mkdirs(new Path(pr, "_commits"))
-          val v = SnapshotLake.claimVersion(fs, pr,
-            () => SnapshotLake.latestVersion(spark, pr).getOrElse(0L))
-          val dest = new Path(pr, s"v=$v")
-          if (fs.exists(dest)) fs.delete(dest, true) // pre-lock orphan
-          require(fs.rename(tp, dest), s"commit failed: $tp -> $dest")
-          val out = fs.create(new Path(new Path(pr, "_commits"),
-            v.toString), true)
-          out.close() // partition commit point
-          SnapshotLake.releaseVersion(fs, pr, v)
-          tp.getName -> v
-        }.toMap
-      fs.delete(tmp, true)
-      (commitManifest(spark, root, committed), counts)
+      // claim locks release on EVERY exit and the tmp dir never
+      // outlives the call: a failure mid-loop leaves already-renamed
+      // partitions committed (marker'd — the next manifest picks them
+      // up) but leaks neither locks nor the staged rewrite
+      val committed =
+        try {
+          fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part_date=")).map { tp =>
+              val pr = partRoot(root, tp.getName)
+              fs.mkdirs(new Path(pr, "_commits"))
+              val v = SnapshotLake.claimVersion(fs, pr,
+                () => SnapshotLake.latestVersion(spark, pr).getOrElse(0L))
+              try {
+                val dest = new Path(pr, s"v=$v")
+                if (fs.exists(dest)) fs.delete(dest, true) // stale orphan
+                require(fs.rename(tp, dest), s"commit failed: $tp -> $dest")
+                val out = fs.create(new Path(new Path(pr, "_commits"),
+                  v.toString), true)
+                out.close() // partition commit point
+              } finally SnapshotLake.releaseVersion(fs, pr, v)
+              tp.getName -> v
+            }.toMap
+        } finally fs.delete(tmp, true)
+      // an empty delta (0-row batch) must not mint a snapshot: over an
+      // empty lake the manifest would pin nothing and every read of it
+      // would fail; over a live lake it would duplicate the previous
+      // pin set. No-op to the current latest instead.
+      if (committed.isEmpty)
+        (latestSnapshot(spark, root).getOrElse(0L), counts)
+      else (commitManifest(spark, root, committed), counts)
     } finally merged.unpersist()
   }
 
@@ -212,18 +225,40 @@ object PartitionedSnapshotLake {
     * every partition version they pin (so retained snapshots stay
     * readable in full), plus each partition's latest version (so
     * [[readLatest]] never breaks, manifest or not). Everything else —
-    * older committed versions, uncommitted orphan v-dirs below a
-    * partition's latest, stale claim locks below the partition's
-    * oldest kept version, expired manifests — is deleted. Reads past
-    * the horizon fail loudly at the marker check rather than
-    * half-reading. Like SnapshotLake.vacuum, this is maintenance:
-    * run it without a concurrent committer racing the same root. */
-  def vacuum(spark: SparkSession, root: String,
-      retainSnapshots: Int): Unit = {
+    * older committed versions, uncommitted orphan v-dirs NOT under a
+    * young claim lock, stale (aged-out) claim locks, leaked
+    * `.tmp_commit_*` staging dirs, expired manifests — is deleted.
+    * Reads past the horizon fail loudly at the marker check rather
+    * than half-reading.
+    *
+    * Live-writer safety mirrors [[SnapshotLake.vacuum]]: lock AGE, not
+    * version position, distinguishes an in-flight claim from crash
+    * residue — locks (and their in-flight data) younger than
+    * `lockTtlMs` are never touched. */
+  def vacuum(spark: SparkSession, root: String, retainSnapshots: Int,
+      lockTtlMs: Long = 60L * 60 * 1000): Unit = {
     require(retainSnapshots >= 1, "retainSnapshots >= 1")
     val fs = fsFor(spark, root)
     val snaps = snapshots(spark, root)
     if (snaps.isEmpty) return
+    val now = System.currentTimeMillis()
+    val lockPat = "^(\\d+)\\.lock$".r
+    def sweepLocks(commits: Path): Set[Long] = {
+      if (!fs.exists(commits)) return Set.empty
+      val locks = fs.listStatus(commits).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case lockPat(n) => Some((n.toLong, st))
+          case _ => None
+        }
+      }
+      locks.foreach { case (_, st) =>
+        if (now - st.getModificationTime >= lockTtlMs)
+          fs.delete(st.getPath, false)
+      }
+      locks.collect {
+        case (n, st) if now - st.getModificationTime < lockTtlMs => n
+      }.toSet
+    }
     val keepSnaps = snaps.takeRight(retainSnapshots)
     val pinned: Map[String, Set[Long]] = keepSnaps
       .flatMap(s => manifest(spark, root, s).toSeq)
@@ -232,31 +267,31 @@ object PartitionedSnapshotLake {
       val pr = partRoot(root, p)
       val vs = SnapshotLake.versions(spark, pr)
       if (vs.nonEmpty) {
+        val liveLocked = sweepLocks(new Path(pr, "_commits"))
         val latest = vs.last
         val keep = pinned.getOrElse(p, Set.empty) + latest
         vs.filterNot(keep).foreach { v =>
           fs.delete(new Path(pr, s"v=$v"), true)
           fs.delete(new Path(new Path(pr, "_commits"), v.toString), false)
         }
-        // uncommitted orphans below the partition's latest (crash
-        // leftovers; an orphan ABOVE latest may be in-flight) and
-        // stale locks below the oldest kept version
+        // uncommitted orphans (crash leftovers) — unless a young lock
+        // marks the version as a possibly-live writer's in-flight data
         fs.listStatus(new Path(pr)).foreach { st =>
           st.getPath.getName.stripPrefix("v=").toLongOption.foreach { v =>
             if (st.getPath.getName.startsWith("v=") && !keep(v) &&
-              v < latest) fs.delete(st.getPath, true)
+              v < latest && !liveLocked(v)) fs.delete(st.getPath, true)
           }
-        }
-        val horizon = keep.min
-        fs.listStatus(new Path(pr, "_commits")).foreach { st =>
-          val n = st.getPath.getName
-          if (n.endsWith(".lock"))
-            n.stripSuffix(".lock").toLongOption.foreach { v =>
-              if (v < horizon) fs.delete(st.getPath, false)
-            }
         }
       }
     }
+    // leaked staging dirs from crashed commits (the success/failure
+    // paths both delete theirs; only a process death leaves one)
+    fs.listStatus(new Path(root)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp_commit_") &&
+        now - st.getModificationTime >= lockTtlMs)
+        fs.delete(st.getPath, true)
+    }
+    sweepLocks(new Path(snapsDir(root), "_commits")): Unit
     snaps.filterNot(keepSnaps.contains).foreach { s =>
       fs.delete(new Path(snapsDir(root), s.toString), false)
       fs.delete(new Path(snapsDir(root), s"$s.manifest"), false)
@@ -266,9 +301,20 @@ object PartitionedSnapshotLake {
   /** Commit a global manifest pinning every partition at its latest
     * committed version, `overlay` taking precedence (the partitions
     * this writer just committed — a concurrent lister can never unpin
-    * them). Manifest number claimed by the same lock CAS as data
-    * versions; the pin set is re-listed on every claim so the winning
-    * manifest reflects the freshest view this writer can see. */
+    * them). The manifest number is claimed by the same lock CAS as
+    * data versions and the pin set is listed AFTER the claim wins (the
+    * freshest view this writer can take).
+    *
+    * Concurrency caveat, stated honestly: with concurrent committers
+    * the number claim and the pin listing are two filesystem steps, so
+    * a writer that stalls between them can commit a LOWER-numbered
+    * manifest whose pins are fresher than a higher-numbered one —
+    * snapshot numbers order commits, not pin freshness. Per-partition
+    * versions stay monotone regardless, no commit is ever lost, and
+    * the next manifest re-converges on the true latests; a total order
+    * over manifest CONTENT needs a real transaction log (the Delta/
+    * Iceberg catalog-commit problem, out of scope for a filesystem
+    * lake). */
   private def commitManifest(spark: SparkSession, root: String,
       overlay: Map[String, Long]): Long = {
     val fs = fsFor(spark, root)
@@ -276,16 +322,17 @@ object PartitionedSnapshotLake {
     val snapRootStr = snapsDir(root).toString
     val n = SnapshotLake.claimVersion(fs, snapRootStr,
       () => latestSnapshot(spark, root).getOrElse(0L))
-    val pins = partitions(spark, root).flatMap { p =>
-      SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
-    }.toMap ++ overlay
-    val body = pins.toSeq.sorted
-      .map { case (p, v) => s"$p\t$v" }.mkString("\n")
-    val out = fs.create(new Path(snapsDir(root), s"$n.manifest"), true)
-    out.write(body.getBytes("UTF-8")); out.close()
-    val marker = fs.create(new Path(snapsDir(root), n.toString), true)
-    marker.close() // snapshot commit point
-    SnapshotLake.releaseVersion(fs, snapRootStr, n)
+    try {
+      val pins = partitions(spark, root).flatMap { p =>
+        SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
+      }.toMap ++ overlay
+      val body = pins.toSeq.sorted
+        .map { case (p, v) => s"$p\t$v" }.mkString("\n")
+      val out = fs.create(new Path(snapsDir(root), s"$n.manifest"), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+      val marker = fs.create(new Path(snapsDir(root), n.toString), true)
+      marker.close() // snapshot commit point
+    } finally SnapshotLake.releaseVersion(fs, snapRootStr, n)
     n
   }
 }

@@ -75,8 +75,14 @@ object SnapshotLake {
       f.getParentFile.mkdirs()
       f.createNewFile()
     } else {
+      // ONLY already-exists means "lock taken" — any other IOException
+      // (permissions, network) must propagate, or the claim loop would
+      // spin forever mistaking a broken filesystem for contention
       try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     }
 
   /** Claim the next free version ≥ latest+1 via lock-file CAS; the
@@ -115,13 +121,17 @@ object SnapshotLake {
     fs.mkdirs(commitsDir(root))
     val n = claimVersion(fs, root,
       () => latestVersion(spark, root).getOrElse(0L))
-    // mode=overwrite clobbers an orphan dir a crashed (pre-lock-era)
-    // writer left at this same uncommitted version number
-    df.write.mode("overwrite").parquet(versionDir(root, n).toString)
-    val marker = new Path(commitsDir(root), n.toString)
-    val out = fs.create(marker, true) // exclusive owner: plain create
-    out.close() // marker existence = the commit point
-    releaseVersion(fs, root, n)
+    // the lock is released on EVERY exit: on success the marker exists
+    // first, on failure the freed number is safely re-claimable (its
+    // orphan data dir is clobbered by the next owner's overwrite)
+    try {
+      // mode=overwrite clobbers an orphan dir a crashed (pre-lock-era)
+      // writer left at this same uncommitted version number
+      df.write.mode("overwrite").parquet(versionDir(root, n).toString)
+      val marker = new Path(commitsDir(root), n.toString)
+      val out = fs.create(marker, true) // exclusive owner: plain create
+      out.close() // marker existence = the commit point
+    } finally releaseVersion(fs, root, n)
     n
   }
 
@@ -174,15 +184,41 @@ object SnapshotLake {
   /** Delete data dirs that are (a) committed but older than the last
     * `retain` versions — their markers go too, so reads past the
     * horizon fail loudly rather than half-read — or (b) uncommitted
-    * orphans BELOW the latest version (crash leftovers / rollbacks; an
-    * orphan ABOVE latest may be a live writer's in-flight commit and is
-    * left alone). The latest version is never touched. */
-  def vacuum(spark: SparkSession, root: String, retain: Int): Unit = {
+    * orphans (crash leftovers / rollbacks) whose version is NOT under
+    * a recent claim lock. The latest version is never touched.
+    *
+    * Live-writer safety under multi-writer commits: a lock younger
+    * than `lockTtlMs` marks a possibly-IN-FLIGHT claim — its version
+    * number can sit below `latest` (other writers commit past a slow
+    * one), so position proves nothing; lock AGE does. Young-locked
+    * versions and their data dirs are left entirely alone; locks older
+    * than the TTL are crash residue (a live claimant created its lock
+    * recently by definition) and are reclaimed together with their
+    * orphan dirs. Pick `lockTtlMs` above the longest plausible commit
+    * write. */
+  def vacuum(spark: SparkSession, root: String, retain: Int,
+      lockTtlMs: Long = 60L * 60 * 1000): Unit = {
     require(retain >= 1, "retain >= 1")
     val fs = fsFor(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return
     val keep = vs.takeRight(retain).toSet
+    val now = System.currentTimeMillis()
+    val lockPat = "^(\\d+)\\.lock$".r
+    val (liveLocked, staleLocks) = {
+      val locks = fs.listStatus(commitsDir(root)).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case lockPat(n) => Some((n.toLong, st))
+          case _ => None
+        }
+      }
+      (locks.collect {
+        case (n, st) if now - st.getModificationTime < lockTtlMs => n
+      }.toSet,
+        locks.collect {
+          case (n, st) if now - st.getModificationTime >= lockTtlMs => st
+        })
+    }
     vs.filterNot(keep).foreach { n =>
       fs.delete(versionDir(root, n), true)
       fs.delete(new Path(commitsDir(root), n.toString), false)
@@ -191,25 +227,11 @@ object SnapshotLake {
     val vPat = "^v=(\\d+)$".r
     fs.listStatus(new Path(root)).foreach { st =>
       st.getPath.getName match {
-        case vPat(n) if !keep(n.toLong) && n.toLong < latest =>
-          fs.delete(st.getPath, true)
+        case vPat(n) if !keep(n.toLong) && n.toLong < latest &&
+          !liveLocked(n.toLong) => fs.delete(st.getPath, true)
         case _ => ()
       }
     }
-    // stale claim locks: a writer that died between claim and marker
-    // left `n.lock` forever blocking version n. Anything below the
-    // oldest RETAINED version cannot be a live writer (claims start at
-    // latest+1), so those locks are crash residue and are reclaimed;
-    // locks at or above the horizon are left alone — they may belong
-    // to a slow in-flight commit.
-    val horizon = keep.min
-    val lockPat = "^(\\d+)\\.lock$".r
-    fs.listStatus(commitsDir(root)).foreach { st =>
-      st.getPath.getName match {
-        case lockPat(n) if n.toLong < horizon =>
-          fs.delete(st.getPath, false)
-        case _ => ()
-      }
-    }
+    staleLocks.foreach(st => fs.delete(st.getPath, false))
   }
 }

@@ -23,12 +23,9 @@ import org.apache.spark.sql.functions._
 object IngestPipeline {
 
   /** Driver-local staging root for the corpus and the kv parquet the
-    * oracle reads; overridable so concurrent users/CI runs don't
-    * collide. Read once at class-init: the query side and the oracle
-    * SQL are built from the same value in the same JVM, so the
-    * DuckDB compare always points where the query staged. */
-  private val StageRoot =
-    sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
+    * oracle reads — the shared [[graft.util.Stage]] definition, so the
+    * query side and the oracle SQL always point at the same place. */
+  private val StageRoot = graft.util.Stage.root
 
   /** Corpus size scales with the benchmark's sf dir so the codec path
     * is exercised at bench scale, not just on the 31-file branch-
@@ -37,9 +34,12 @@ object IngestPipeline {
     * from the staged kv parquet, so the compare scales with the
     * corpus automatically. */
   private def familiesFor(dir: String): Int = {
-    val sf = dir.split("sf").lastOption
-      .flatMap(_.toDoubleOption).getOrElse(0.01)
-    math.max(1, math.min(100, (sf * 1000).toInt))
+    // parse the trailing sf<number> path SEGMENT explicitly — a dir
+    // that doesn't carry one gets the base corpus (families = 1), not
+    // a silent mid-size guess from whatever followed an embedded "sf"
+    val sf = dir.split('/').filter(_.nonEmpty).lastOption
+      .filter(_.startsWith("sf")).flatMap(_.drop(2).toDoubleOption)
+    sf.map(x => math.max(1, math.min(100, (x * 1000).toInt))).getOrElse(1)
   }
 
   /** Deterministic corpus — same bytes every call (overwrite-stable

@@ -139,9 +139,7 @@ object MergeOps {
     // cleared first so version numbers stay deterministic under the
     // bench's repeated runs.
     "k15_time_travel" -> ((s, dir) => {
-      val root = new java.io.File(
-        sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage"),
-        "k15_lake")
+      val root = new java.io.File(graft.util.Stage.root, "k15_lake")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(): Unit

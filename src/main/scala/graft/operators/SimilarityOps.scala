@@ -21,12 +21,10 @@ import graft.Tables.load
   */
 object SimilarityOps {
 
-  /** Driver-local staging root (same contract as IngestPipeline's):
-    * v11 stages its fitted centroids here and the oracle SQL reads the
-    * same absolute path, so the DuckDB compare replays the fit output
-    * exactly. */
-  private val StageRoot =
-    sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
+  /** v11 stages its fitted centroids under the shared staging root and
+    * the oracle SQL reads the same absolute path, so the DuckDB
+    * compare replays the fit output exactly. */
+  private val StageRoot = graft.util.Stage.root
 
   private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))

@@ -130,9 +130,16 @@ object DicomLikeSource {
     case FGe("length", v) => longOf(v).forall(len >= _)
     case FLt("length", v) => longOf(v).forall(len < _)
     case FLe("length", v) => longOf(v).forall(len <= _)
+    // millisOf FLOORS the literal to epoch millis while file mtimes
+    // are exact milliseconds. Under truncation, keep iff the true
+    // predicate could still hold for SOME micros in the floored
+    // millisecond: Gt/Ge/Le are already conservative with the plain
+    // comparison; Lt needs <= (a file at exactly vMillis still
+    // satisfies `mtime < v` when v carries sub-millisecond digits —
+    // pruning it would drop rows the residual filter keeps).
     case FGt("mtime", v) => millisOf(v).forall(mtimeMs > _)
     case FGe("mtime", v) => millisOf(v).forall(mtimeMs >= _)
-    case FLt("mtime", v) => millisOf(v).forall(mtimeMs < _)
+    case FLt("mtime", v) => millisOf(v).forall(mtimeMs <= _)
     case FLe("mtime", v) => millisOf(v).forall(mtimeMs <= _)
     case IsNotNull(_) => true // listing columns are never null
     case _ => true

@@ -107,13 +107,18 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(full.contains("\"q120_some_query_name\":"))
   }
 
-  test("history line round-trips through the parser") {
+  test("history line round-trips through the parser, sf included") {
     val full = Bench.fullJson(
-      Seq("q1_a" -> 0.5, "d4_ngram" -> 6.964), Nil, "/sf", 0, 0)
+      Seq("q1_a" -> 0.5, "d4_ngram" -> 6.964), Nil,
+      "/root/testdata/sf0.1", 0, 0)
     val parsed = Bench.parseHistoryLine(full)
     assert(parsed.isDefined)
-    val (timing, qs) = parsed.get
+    val (timing, sf, qs) = parsed.get
     assert(timing == Bench.Timing)
+    // sf rides along so the gate can refuse cross-scale comparisons —
+    // a quick sf0.001 dev run in the history must never become the
+    // baseline for the next sf0.1 round
+    assert(sf == "/root/testdata/sf0.1")
     assert(qs.toMap == Map("q1_a" -> 0.5, "d4_ngram" -> 6.964))
     assert(Bench.parseHistoryLine("not json").isEmpty)
   }

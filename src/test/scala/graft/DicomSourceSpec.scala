@@ -179,6 +179,11 @@ class DicomSourceSpec extends AnyFunSuite {
     assert(!keeps(GreaterThanOrEqual("mtime", ts), "/p", 1L, 4999L))
     assert(keeps(GreaterThanOrEqual("mtime",
       java.time.Instant.ofEpochMilli(5000L)), "/p", 1L, 5000L))
+    // Lt stays conservative under the milli-floor of the literal: a
+    // file AT the floored millisecond may still satisfy mtime < v when
+    // v carries sub-millisecond digits the floor dropped
+    assert(keeps(LessThan("mtime", ts), "/p", 1L, 5000L))
+    assert(!keeps(LessThan("mtime", ts), "/p", 1L, 5001L))
     assert(keeps(StringStartsWith("path", "/a/b"), "/a/b/c.dcm", 1L, 0L))
     assert(!keeps(StringStartsWith("path", "/a/b"), "/a/c/c.dcm", 1L, 0L))
     // subtree skip: ancestor dirs of the prefix AND dirs under it match

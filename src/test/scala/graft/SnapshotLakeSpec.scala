@@ -168,7 +168,8 @@ class SnapshotLakeSpec extends AnyFunSuite {
   }
 
   test("a stale claim lock (writer died before its marker) is skipped " +
-      "by later commits and reclaimed by vacuum") {
+      "by later commits and reclaimed by vacuum; a YOUNG lock and its " +
+      "in-flight data survive") {
     val root = tmp()
     SnapshotLake.commit(spark, root, frame(1L -> "v1"))
     // simulate: a writer claimed version 2 then died pre-marker
@@ -178,8 +179,20 @@ class SnapshotLakeSpec extends AnyFunSuite {
     val v = SnapshotLake.commit(spark, root, frame(1L -> "v3"))
     assert(v == 3L, "commit must skip the locked (possibly live) number")
     assert(SnapshotLake.versions(spark, root) == Seq(1L, 3L))
+    // young lock = possibly a LIVE slow writer: vacuum must not touch
+    // the lock or its in-flight data dir, wherever latest has moved
+    frame(9L -> "inflight").write.parquet(s"$root/v=2")
     SnapshotLake.vacuum(spark, root, retain = 1)
-    assert(!lock.exists(), "stale lock below the horizon must be reclaimed")
+    assert(lock.exists(), "young lock must survive vacuum (live writer)")
+    assert(new java.io.File(s"$root/v=2").exists(),
+      "in-flight data under a young lock must survive vacuum")
+    // aged past the TTL the same lock is crash residue: reclaimed
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+    SnapshotLake.vacuum(spark, root, retain = 1)
+    assert(!lock.exists(), "stale (old) lock must be reclaimed")
+    assert(!new java.io.File(s"$root/v=2").exists(),
+      "orphan dir of a reclaimed stale lock must be vacuumed")
   }
 
   test("partitioned snapshots: a 2-partition batch commits one version " +
