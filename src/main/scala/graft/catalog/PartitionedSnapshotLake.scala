@@ -27,14 +27,17 @@ import graft.operators.MergeOps
   * Commit = (a) merge the batch against the LATEST version of each
   * affected partition only, (b) commit each rewritten partition as a
   * new partition version under that partition's own lock-CAS + marker
-  * protocol, (c) commit a global manifest pinning EVERY partition at
-  * its latest committed version (the just-written ones overlaid, so a
-  * racing lister can never unpin this commit's own work). Each step is
-  * crash-safe: death before a partition marker leaves an invisible
-  * orphan v-dir; death between partition commits and the manifest leaves the
-  * new partition versions visible to LATEST readers (per-partition
-  * `latest` is marker-based) but absent from any global snapshot — the
-  * next commit's manifest picks them up.
+  * protocol, (c) commit a global manifest whose pins are the PREVIOUS
+  * manifest overlaid with only this commit's partitions — O(touched)
+  * work with no per-partition re-listing, and snapshots advance one
+  * commit at a time (no torn read of another writer's half-finished
+  * multi-partition commit). Each step is crash-safe: death before a
+  * partition marker leaves an invisible orphan v-dir; death between
+  * partition commits and the manifest leaves the new partition
+  * versions visible to LATEST readers (per-partition `latest` is
+  * marker-based) but absent from global snapshots until
+  * [[repairManifest]] (the recovery path — the only full-listing
+  * manifest builder) picks them up.
   *
   * Reads:
   *  - [[readLatest]]: every partition at its newest marker — the
@@ -45,12 +48,16 @@ import graft.operators.MergeOps
   *    axis (the "what did yesterday's partition look like before
   *    today's backfill" question, without touching the other 36500).
   *
-  * Multi-writer: partition versions and manifest numbers are both
-  * claimed via [[SnapshotLake.atomicCreate]] lock CAS, so concurrent
-  * committers serialize into distinct versions — no version is lost or
-  * overwritten. Like SnapshotLake.commitMerge, the merge itself is
-  * optimistic (no read-conflict detection across writers on the SAME
-  * partition; writers on disjoint partitions compose perfectly).
+  * Multi-writer: partition versions are claimed via
+  * [[SnapshotLake.atomicCreate]] lock CAS (with the ABA recheck), so
+  * concurrent committers serialize into distinct versions — no version
+  * is lost or overwritten. Manifest commits serialize on a single
+  * heartbeated mutex (`_snapshots/_commits/manifest.lock`), so
+  * manifest N is ALWAYS manifest N−1 plus exactly one commit's
+  * overlay — numbers order content. Like SnapshotLake.commitMerge,
+  * the merge itself is optimistic (no read-conflict detection across
+  * writers on the SAME partition; writers on disjoint partitions
+  * compose perfectly).
   *
   * Contract: `to_date(tsCol)` must be stable per key (the reference's
   * AcqDate-never-changes invariant, common.py:267-306) — rows outside
@@ -127,12 +134,25 @@ object PartitionedSnapshotLake {
     else df.withColumn("part_date", lit(value).cast("date"))
   }
 
+  /** ONE multi-path parquet scan over all pinned v-dirs — a snapshot
+    * read over 10 000 partitions plans a single `FileSourceScan`
+    * relation instead of a 10 000-way union. Hive-style discovery
+    * under `basePath` parses BOTH path levels into columns:
+    * `part_date` (kept, cast to DATE; the default partition reads back
+    * as null) and `v` (the pinned version number — dropped, it is
+    * protocol metadata, not data). Data columns named `v` are
+    * therefore reserved on this path. */
   private def readPins(spark: SparkSession, root: String,
       pins: Map[String, Long]): DataFrame = {
     require(pins.nonEmpty, s"empty snapshot at $root")
-    pins.toSeq.sortBy(_._1)
-      .map { case (p, v) => readPartitionVersion(spark, root, p, v) }
-      .reduce(_.unionByName(_))
+    val paths = pins.toSeq.sortBy(_._1)
+      .map { case (p, v) => s"${partRoot(root, p)}/v=$v" }
+    val df = spark.read.option("basePath", root).parquet(paths: _*)
+    val dated =
+      if (df.columns.contains("part_date"))
+        df.withColumn("part_date", col("part_date").cast("date"))
+      else df.withColumn("part_date", lit(null).cast("date"))
+    dated.drop("v")
   }
 
   /** Global time travel: the table exactly as snapshot `snap` pinned
@@ -152,9 +172,9 @@ object PartitionedSnapshotLake {
 
   /** MERGE `batch` into the affected partitions and commit a global
     * snapshot. Returns (snapshot number, merge-status counts). Cost is
-    * O(touched partitions) in data moved: untouched partitions
-    * contribute one directory listing to the manifest and nothing
-    * else. */
+    * O(touched partitions) END-TO-END — data moved, filesystem calls,
+    * and the manifest alike: untouched partitions are carried forward
+    * from the previous manifest without so much as a listing. */
   def commitMerge(spark: SparkSession, root: String, batch: DataFrame,
       key: String, tsCol: String, exclude: Seq[String] = Nil)
       : (Long, Map[String, Long]) = {
@@ -204,9 +224,14 @@ object PartitionedSnapshotLake {
                 val dest = new Path(pr, s"v=$v")
                 if (fs.exists(dest)) fs.delete(dest, true) // stale orphan
                 require(fs.rename(tp, dest), s"commit failed: $tp -> $dest")
-                val out = fs.create(new Path(new Path(pr, "_commits"),
-                  v.toString), true)
-                out.close() // partition commit point
+                // partition commit point — create-if-absent as a belt
+                // over claimVersion's ABA recheck (never overwrite a
+                // committed version's marker)
+                if (!SnapshotLake.atomicCreate(fs,
+                  new Path(new Path(pr, "_commits"), v.toString)))
+                  throw new IllegalStateException(
+                    s"commit marker $v already exists under $pr — " +
+                      "concurrent commit protocol violation")
               } finally SnapshotLake.releaseVersion(fs, pr, v)
               tp.getName -> v
             }.toMap
@@ -234,7 +259,13 @@ object PartitionedSnapshotLake {
     * Live-writer safety mirrors [[SnapshotLake.vacuum]]: lock AGE, not
     * version position, distinguishes an in-flight claim from crash
     * residue — locks (and their in-flight data) younger than
-    * `lockTtlMs` are never touched. */
+    * `lockTtlMs` are never touched, and live holders heartbeat their
+    * locks ([[SnapshotLake.withLockHeartbeat]]) so a long commit never
+    * ages past the TTL. The same READER-side hazard applies: readers
+    * and merge bases hold no lock, so `retainSnapshots` (times the
+    * commit cadence) must exceed the longest snapshot read or merge in
+    * flight, or a concurrent vacuum can delete a pinned version
+    * mid-scan (the Delta/Iceberg VACUUM race). */
   def vacuum(spark: SparkSession, root: String, retainSnapshots: Int,
       lockTtlMs: Long = 60L * 60 * 1000): Unit = {
     require(retainSnapshots >= 1, "retainSnapshots >= 1")
@@ -292,47 +323,121 @@ object PartitionedSnapshotLake {
         fs.delete(st.getPath, true)
     }
     sweepLocks(new Path(snapsDir(root), "_commits")): Unit
+    // stale manifest mutex (crashed holder — a live one heartbeats)
+    val mlock = manifestLock(root)
+    if (fs.exists(mlock) &&
+      now - fs.getFileStatus(mlock).getModificationTime >= lockTtlMs)
+      fs.delete(mlock, false)
     snaps.filterNot(keepSnaps.contains).foreach { s =>
       fs.delete(new Path(snapsDir(root), s.toString), false)
       fs.delete(new Path(snapsDir(root), s"$s.manifest"), false)
     }
   }
 
-  /** Commit a global manifest pinning every partition at its latest
-    * committed version, `overlay` taking precedence (the partitions
-    * this writer just committed — a concurrent lister can never unpin
-    * them). The manifest number is claimed by the same lock CAS as
-    * data versions and the pin set is listed AFTER the claim wins (the
-    * freshest view this writer can take).
-    *
-    * Concurrency caveat, stated honestly: with concurrent committers
-    * the number claim and the pin listing are two filesystem steps, so
-    * a writer that stalls between them can commit a LOWER-numbered
-    * manifest whose pins are fresher than a higher-numbered one —
-    * snapshot numbers order commits, not pin freshness. Per-partition
-    * versions stay monotone regardless, no commit is ever lost, and
-    * the next manifest re-converges on the true latests; a total order
-    * over manifest CONTENT needs a real transaction log (the Delta/
-    * Iceberg catalog-commit problem, out of scope for a filesystem
-    * lake). */
+  /** TTL after which a manifest-mutex holder with no heartbeat is
+    * presumed dead and its lock broken by a waiter. The mutex is held
+    * for milliseconds (read previous manifest + write one small file)
+    * and heartbeated every [[SnapshotLake.heartbeatIntervalMs]] = 30 s,
+    * so 2 minutes = four missed beats. Package-visible for race
+    * specs. */
+  @volatile private[catalog] var manifestLockTtlMs: Long = 2L * 60 * 1000
+
+  private def manifestLock(root: String): Path =
+    new Path(new Path(snapsDir(root), "_commits"), "manifest.lock")
+
+  private def readLockToken(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** Acquire the manifest mutex: create-if-absent CAS on ONE lock file,
+    * then write a fencing token into it. A held lock whose mtime has
+    * aged past `ttlMs` (its holder heartbeats, so age means death or a
+    * freeze longer than the TTL) is broken and re-raced. Returns the
+    * token; [[commitManifest]] re-verifies it before its commit point
+    * so a frozen holder whose lock was broken aborts instead of
+    * overwriting the breaker's manifest. The verify-to-marker window
+    * is the inherent residual of lease-style locks without server-side
+    * fencing (the Delta/Iceberg catalog-commit problem). */
+  private def acquireManifestMutex(fs: FileSystem, root: String,
+      ttlMs: Long): String = {
+    val lock = manifestLock(root)
+    fs.mkdirs(lock.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    while (true) {
+      if (SnapshotLake.atomicCreate(fs, lock)) {
+        val out = fs.create(lock, true) // ours: stamp the fencing token
+        out.write(token.getBytes("UTF-8")); out.close()
+        return token
+      }
+      val age =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L } // freed
+      if (age >= ttlMs) fs.delete(lock, false) // stale: break + re-race
+      else Thread.sleep(20)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit global snapshot N as snapshot N−1's pins overlaid with
+    * `overlay` (the partitions this writer just committed) — O(touched
+    * partitions), no filesystem re-listing. Commits serialize on the
+    * heartbeated manifest mutex, so snapshot numbers totally order
+    * manifest CONTENT: each snapshot is exactly one commit applied to
+    * the previous one, and a concurrent writer's half-finished
+    * partition commits can never leak into someone else's pins.
+    * Partition versions stranded by a crash between partition commits
+    * and the manifest are recovered by [[repairManifest]]. */
   private def commitManifest(spark: SparkSession, root: String,
       overlay: Map[String, Long]): Long = {
     val fs = fsFor(spark, root)
     fs.mkdirs(snapsDir(root))
-    val snapRootStr = snapsDir(root).toString
-    val n = SnapshotLake.claimVersion(fs, snapRootStr,
-      () => latestSnapshot(spark, root).getOrElse(0L))
-    try {
-      val pins = partitions(spark, root).flatMap { p =>
-        SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
-      }.toMap ++ overlay
+    val token = acquireManifestMutex(fs, root, manifestLockTtlMs)
+    try SnapshotLake.withLockHeartbeat(fs, manifestLock(root)) {
+      val prev = latestSnapshot(spark, root)
+      val n = prev.getOrElse(0L) + 1L
+      val pins = prev.map(manifest(spark, root, _)).getOrElse(
+        Map.empty[String, Long]) ++ overlay
       val body = pins.toSeq.sorted
         .map { case (p, v) => s"$p\t$v" }.mkString("\n")
       val out = fs.create(new Path(snapsDir(root), s"$n.manifest"), true)
       out.write(body.getBytes("UTF-8")); out.close()
-      val marker = fs.create(new Path(snapsDir(root), n.toString), true)
-      marker.close() // snapshot commit point
-    } finally SnapshotLake.releaseVersion(fs, snapRootStr, n)
-    n
+      // fencing check, then create-if-absent marker: if the mutex was
+      // broken while this writer was frozen, abort loudly rather than
+      // overwrite the breaker's committed snapshot
+      if (readLockToken(fs, manifestLock(root)) != token)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest mutex at $root was broken while held (writer " +
+            "stalled past manifestLockTtlMs); aborting manifest commit")
+      if (!SnapshotLake.atomicCreate(fs,
+        new Path(snapsDir(root), n.toString)))
+        throw new IllegalStateException(
+          s"snapshot marker $n already exists at $root — concurrent " +
+            "manifest commit protocol violation")
+      n
+    } finally {
+      // release only if still ours — never delete a breaker's lock
+      if (readLockToken(fs, manifestLock(root)) == token)
+        fs.delete(manifestLock(root), false)
+    }
+  }
+
+  /** Recovery: commit a manifest pinning EVERY partition at its latest
+    * committed version from a FULL partition listing — O(partitions),
+    * the only full-listing manifest builder. Run after a writer died
+    * between its partition commits and its manifest (those versions
+    * are visible to [[readLatest]] but absent from snapshots), or to
+    * bootstrap manifests over a lake written before snapshots were
+    * enabled. */
+  def repairManifest(spark: SparkSession, root: String): Long = {
+    val full = partitions(spark, root).flatMap { p =>
+      SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
+    }.toMap
+    require(full.nonEmpty, s"nothing to repair at $root: no committed " +
+      "partition versions")
+    commitManifest(spark, root, full)
   }
 }

@@ -87,17 +87,61 @@ object SnapshotLake {
 
   /** Claim the next free version ≥ latest+1 via lock-file CAS; the
     * returned number is owned exclusively by this writer, which must
-    * create the commit marker and then [[releaseVersion]] the lock. */
+    * create the commit marker and then [[releaseVersion]] the lock.
+    *
+    * ABA guard: locks are deleted once their owner commits, so winning
+    * the lock CAS alone does NOT prove `n` is free — a writer that read
+    * `latest` before a racing commit landed can re-create the lock of
+    * an ALREADY-COMMITTED version and silently overwrite it. With the
+    * lock held nobody else can commit `n`, so one re-read of `latest`
+    * after the win closes the window: a marker at or past `n` means
+    * this claim is stale — drop the lock and re-claim higher. */
   private[catalog] def claimVersion(fs: FileSystem, root: String,
       latest: () => Long): Long = {
     var n = latest() + 1L
-    while (!atomicCreate(fs, lockPath(root, n)))
+    while (true) {
+      if (atomicCreate(fs, lockPath(root, n))) {
+        if (latest() < n) return n
+        releaseVersion(fs, root, n) // lost an ABA race on a freed lock
+      }
       n = math.max(n + 1L, latest() + 1L)
-    n
+    }
+    -1L // unreachable
   }
 
   private[catalog] def releaseVersion(fs: FileSystem, root: String,
       v: Long): Unit = fs.delete(lockPath(root, v), false)
+
+  /** Heartbeat cadence for [[withLockHeartbeat]] — package-visible so
+    * race specs can shrink it; production default 30 s, far below any
+    * sane vacuum `lockTtlMs`. */
+  @volatile private[catalog] var heartbeatIntervalMs: Long = 30000L
+
+  /** Refresh `lock`'s mtime on a daemon thread while `body` runs, so
+    * [[vacuum]]'s lock-age liveness test keeps seeing a live writer as
+    * live no matter how long its commit write takes. `lockTtlMs` then
+    * bounds the detection delay for CRASHED writers only — a live
+    * commit can safely outlast the TTL. A full process freeze (STW GC
+    * pause, SIGSTOP) longer than the TTL still defeats the heartbeat;
+    * that bound is inherent to lease-style locks and stays documented
+    * on [[vacuum]]. */
+  private[catalog] def withLockHeartbeat[T](fs: FileSystem, lock: Path)
+      (body: => T): T = {
+    val beat = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(heartbeatIntervalMs)
+          try {
+            val now = System.currentTimeMillis()
+            fs.setTimes(lock, now, -1)
+          } catch { case _: java.io.IOException => () } // retry next beat
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"lake-lock-heartbeat-${lock.getName}")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally { beat.interrupt(); beat.join(1000) }
+  }
 
   /** Committed versions, ascending (empty if the table doesn't exist). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
@@ -123,14 +167,23 @@ object SnapshotLake {
       () => latestVersion(spark, root).getOrElse(0L))
     // the lock is released on EVERY exit: on success the marker exists
     // first, on failure the freed number is safely re-claimable (its
-    // orphan data dir is clobbered by the next owner's overwrite)
-    try {
+    // orphan data dir is clobbered by the next owner's overwrite).
+    // The heartbeat keeps the claim lock's mtime fresh for the whole
+    // write, so a concurrent vacuum's lock-TTL test never mistakes a
+    // long-running LIVE commit for crash residue.
+    try withLockHeartbeat(fs, lockPath(root, n)) {
       // mode=overwrite clobbers an orphan dir a crashed (pre-lock-era)
       // writer left at this same uncommitted version number
       df.write.mode("overwrite").parquet(versionDir(root, n).toString)
+      // marker existence = the commit point. create-if-absent as a
+      // belt over claimVersion's ABA recheck: an existing marker here
+      // means a protocol violation — fail loudly, never overwrite a
+      // committed version
       val marker = new Path(commitsDir(root), n.toString)
-      val out = fs.create(marker, true) // exclusive owner: plain create
-      out.close() // marker existence = the commit point
+      if (!atomicCreate(fs, marker))
+        throw new IllegalStateException(
+          s"commit marker $n already exists at $root — concurrent " +
+            "commit protocol violation, refusing to overwrite")
     } finally releaseVersion(fs, root, n)
     n
   }
@@ -191,11 +244,23 @@ object SnapshotLake {
     * than `lockTtlMs` marks a possibly-IN-FLIGHT claim — its version
     * number can sit below `latest` (other writers commit past a slow
     * one), so position proves nothing; lock AGE does. Young-locked
-    * versions and their data dirs are left entirely alone; locks older
-    * than the TTL are crash residue (a live claimant created its lock
-    * recently by definition) and are reclaimed together with their
-    * orphan dirs. Pick `lockTtlMs` above the longest plausible commit
-    * write. */
+    * versions and their data dirs are left entirely alone. Live
+    * writers HEARTBEAT their claim lock ([[withLockHeartbeat]], every
+    * [[heartbeatIntervalMs]] = 30 s) for the whole commit write, so a
+    * lock older than the TTL is crash residue (or a process frozen
+    * longer than the TTL — the inherent lease bound) and is reclaimed
+    * together with its orphan dir. `lockTtlMs` therefore only needs to
+    * exceed the heartbeat cadence with slack for clock/FS skew, not
+    * the longest commit.
+    *
+    * READER-side hazard (locks protect writers only): a long-running
+    * [[readVersion]] — or a [[commitMerge]] whose merge base is a lazy
+    * read of the previous latest — holds no lock, so if enough NEWER
+    * commits land during the read that its version ages past `retain`,
+    * a concurrent vacuum deletes the files mid-scan → task-time
+    * FileNotFound. Same inherent race as Delta/Iceberg VACUUM: size
+    * `retain` (and commit cadence) so the retention horizon exceeds
+    * the longest read or merge in flight. */
   def vacuum(spark: SparkSession, root: String, retain: Int,
       lockTtlMs: Long = 60L * 60 * 1000): Unit = {
     require(retain >= 1, "retain >= 1")

@@ -1,0 +1,239 @@
+package graft.catalog
+
+import java.net.URI
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** A local filesystem that counts `listStatus` calls — the probe the
+  * O(touched) commit contract is asserted against. Registered under the
+  * `countfs` scheme via `fs.countfs.impl`. */
+class CountingLocalFs extends RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: URI = URI.create("countfs:///")
+  override def listStatus(f: Path): Array[FileStatus] = {
+    CountingLocalFs.calls.incrementAndGet()
+    CountingLocalFs.listed.add(f.toUri.getPath)
+    super.listStatus(f)
+  }
+}
+object CountingLocalFs {
+  val calls = new AtomicLong(0)
+  val listed = new ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { calls.set(0); listed.clear() }
+}
+
+/** Lock-protocol and at-scale contracts of the snapshot lakes that the
+  * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
+  * recheck, the vacuum heartbeat, the manifest mutex, and the
+  * O(touched-partitions) commit + single-scan snapshot read over a
+  * 1000-partition lake. */
+class LakeProtocolSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("lakeproto").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def localFs: FileSystem = FileSystem.get(
+    new URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  private def frame(rows: (Long, String)*) = rows.toSeq.toDF("id", "val")
+
+  test("ABA guard: a claim computed from a STALE latest cannot re-take " +
+      "a committed version whose lock was already released") {
+    val root = tmp()
+    val fs = localFs
+    SnapshotLake.commit(spark, root, frame(1L -> "a")) // v1
+    SnapshotLake.commit(spark, root, frame(1L -> "b")) // v2, lock freed
+    // writer B read latest=1 BEFORE v2 committed; without the recheck
+    // it would atomically re-create the freed 2.lock and own v2
+    var calls = 0
+    val stale = () => {
+      calls += 1
+      if (calls == 1) 1L
+      else SnapshotLake.latestVersion(spark, root).getOrElse(0L)
+    }
+    val n = SnapshotLake.claimVersion(fs, root, stale)
+    try assert(n == 3L,
+      s"claim returned $n: a stale read re-claimed committed version 2")
+    finally SnapshotLake.releaseVersion(fs, root, n)
+    // and the committed data was never disturbed
+    assert(SnapshotLake.readVersion(spark, root, 2)
+      .select("val").as[String].head() == "b")
+  }
+
+  test("commit refuses to overwrite an existing commit marker " +
+      "(belt over the ABA recheck)") {
+    val root = tmp()
+    val fs = localFs
+    SnapshotLake.commit(spark, root, frame(1L -> "a"))
+    // force-claim the already-committed version 1 (protocol violation)
+    assert(SnapshotLake.atomicCreate(fs,
+      new Path(s"$root/_commits", "1.lock")))
+    try {
+      // replicate commit()'s marker step for the stolen number
+      assert(!SnapshotLake.atomicCreate(fs,
+        new Path(s"$root/_commits", "1")),
+        "marker create-if-absent must fail on a committed version")
+    } finally SnapshotLake.releaseVersion(fs, root, 1L)
+  }
+
+  test("heartbeat keeps a LIVE writer's aged lock fresh, so vacuum " +
+      "spares its claim and in-flight data") {
+    val root = tmp()
+    val fs = localFs
+    SnapshotLake.commit(spark, root, frame(1L -> "v1"))
+    // a live writer claimed v2 and is mid-write
+    val lock = new java.io.File(s"$root/_commits/2.lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    frame(9L -> "inflight").write.parquet(s"$root/v=2")
+    val oldBeat = SnapshotLake.heartbeatIntervalMs
+    SnapshotLake.heartbeatIntervalMs = 25L
+    try {
+      SnapshotLake.withLockHeartbeat(fs, new Path(lock.getAbsolutePath)) {
+        // the lock somehow looks ancient (clock skew, slow commit far
+        // beyond the TTL) — the heartbeat must re-freshen it
+        assert(lock.setLastModified(
+          System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+        Thread.sleep(250) // >= several beats
+        assert(System.currentTimeMillis() - lock.lastModified() <
+          60 * 1000, "heartbeat did not refresh the lock mtime")
+        SnapshotLake.vacuum(spark, root, retain = 1) // TTL default 1 h
+        assert(lock.exists(),
+          "vacuum swept a heartbeating (live) writer's lock")
+        assert(new java.io.File(s"$root/v=2").exists(),
+          "vacuum swept a heartbeating writer's in-flight data")
+      }
+    } finally SnapshotLake.heartbeatIntervalMs = oldBeat
+  }
+
+  test("a stale manifest mutex (crashed holder) is broken by the next " +
+      "committer; a fresh one blocks until released") {
+    val root = tmp()
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-03-01", "a")), "id", "ts")
+    // crashed holder: mutex exists, no heartbeat, mtime far in the past
+    val mlock = new java.io.File(
+      s"$root/_snapshots/_commits/manifest.lock")
+    mlock.getParentFile.mkdirs()
+    assert(mlock.createNewFile())
+    assert(mlock.setLastModified(
+      System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+    val (s2, _) = PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-03-01", "a2")), "id", "ts")
+    assert(s2 == 2L, "commit did not break the stale manifest mutex")
+    assert(!mlock.exists, "broken+released mutex must not linger")
+  }
+
+  test("repairManifest picks up partition versions stranded by a crash " +
+      "between partition commits and the manifest") {
+    val root = tmp()
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2026-04-01", "a"), (2L, "2026-04-02", "b")), "id", "ts")
+    // simulate a writer that committed a partition version but died
+    // before its manifest: commit straight into the partition's lake
+    val p = "part_date=2026-04-03"
+    SnapshotLake.commit(spark, s"$root/$p",
+      Seq((3L, java.sql.Timestamp.valueOf("2026-04-03 00:00:00"), "c"))
+        .toDF("id", "ts", "val"))
+    assert(PartitionedSnapshotLake
+      .manifest(spark, root, 1L).get(p).isEmpty,
+      "stranded partition must be absent from the pre-crash manifest")
+    assert(PartitionedSnapshotLake.readLatest(spark, root).count() == 3,
+      "readLatest is marker-based and must already see the orphan")
+    val s2 = PartitionedSnapshotLake.repairManifest(spark, root)
+    assert(s2 == 2L)
+    assert(PartitionedSnapshotLake.manifest(spark, root, s2) ==
+      Map("part_date=2026-04-01" -> 1L, "part_date=2026-04-02" -> 1L,
+        p -> 1L))
+    assert(PartitionedSnapshotLake.readVersion(spark, root, s2)
+      .count() == 3)
+  }
+
+  test("AT SCALE: over a 1000-partition lake, commit touches O(touched) " +
+      "filesystem listings (never the root), the manifest carries " +
+      "forward untouched pins, and snapshot reads plan ONE scan") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    val dir = tmp()
+    val root = s"countfs://$dir"
+
+    // seed partition 0 through the real protocol, then fabricate 999
+    // more partitions by direct file copy (cheap, no Spark jobs): the
+    // commit under test must not care HOW the others got there
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((0L, "2023-01-01", "seed")), "id", "ts")
+    val seed = new java.io.File(dir, "part_date=2023-01-01")
+    val day0 = java.time.LocalDate.parse("2023-01-01")
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c =>
+          copyTree(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    val parts = (0 until 1000).map(i => s"part_date=${day0.plusDays(i)}")
+    parts.drop(1).foreach { p =>
+      copyTree(seed, new java.io.File(dir, p))
+    }
+    // hand-write manifest 2 pinning all 1000 at v1 (the repair shape)
+    val snaps = new java.io.File(dir, "_snapshots")
+    java.nio.file.Files.write(new java.io.File(snaps, "2.manifest").toPath,
+      parts.sorted.map(p => s"$p\t1").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(snaps, "2").toPath,
+      Array.emptyByteArray)
+
+    // the measured commit: touches 2 of 1000 partitions
+    CountingLocalFs.reset()
+    val (s3, _) = PartitionedSnapshotLake.commitMerge(spark, root,
+      df((10L, "2023-01-05", "x"), (11L, "2023-01-06", "y")), "id", "ts")
+    val listCalls = CountingLocalFs.calls.get()
+    val rootLists = {
+      val canonical = new java.io.File(dir).getAbsolutePath
+      CountingLocalFs.listed.toArray(Array.empty[String])
+        .count(p => p.stripSuffix("/") == canonical)
+    }
+    assert(s3 == 3L)
+    assert(rootLists == 0,
+      s"commit listed the lake ROOT $rootLists times — that is " +
+        "O(partitions), not O(touched)")
+    assert(listCalls < 150,
+      s"commit of 2 touched partitions issued $listCalls listStatus " +
+        "calls over a 1000-partition lake — not O(touched)")
+
+    // manifest 3 = manifest 2 + the 2-partition overlay
+    val m3 = PartitionedSnapshotLake.manifest(spark, root, 3L)
+    assert(m3.size == 1000)
+    assert(m3("part_date=2023-01-05") == 2L &&
+      m3("part_date=2023-01-06") == 2L)
+    assert(m3("part_date=2023-01-09") == 1L)
+
+    // snapshot read over all 1000 pinned partition versions: ONE scan
+    val snap = PartitionedSnapshotLake.readVersion(spark, root, 3L)
+    val scans = snap.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"time-travel read planned ${scans.size} scans — must be a " +
+        "single multi-path FileSourceScan")
+    assert(snap.count() == 1002L) // 1000 seeds + the 2 new rows
+    // part_date survives as a real DATE column parsed from the path
+    assert(snap.filter($"part_date" === "2023-01-06")
+      .select("val").as[String].collect().toSet == Set("seed", "y"))
+  }
+}
