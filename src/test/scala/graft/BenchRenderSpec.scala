@@ -123,6 +123,24 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseHistoryLine("not json").isEmpty)
   }
 
+  test("filtered (partial) runs are tagged in both artifacts so the " +
+      "gate can refuse them as baselines") {
+    val line = Bench.stdoutLine(manyTimes.take(2), Nil, "/sf",
+      filtered = true)
+    assertStrictJsonObject(line)
+    assert(line.contains(""""filtered":true"""))
+    val full = Bench.fullJson(manyTimes.take(2), Nil, "/sf", 0, 0,
+      filtered = true)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""filtered":true"""))
+    // a FULL run stays untagged — history lines from earlier rounds
+    // (no tag at all) must keep qualifying as baselines
+    assert(!Bench.fullJson(manyTimes, Nil, "/sf", 0, 0)
+      .contains("filtered"))
+    // and the tagged line still round-trips through the history parser
+    assert(Bench.parseHistoryLine(full).isDefined)
+  }
+
   test("regression gate: flags real slowdowns, skips on tag mismatch") {
     val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0)
     val cur  = Seq("qa" -> 1.1, "qb" -> 7.0, "qc" -> 0.6, "qd" -> 1.4,
