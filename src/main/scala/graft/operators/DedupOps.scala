@@ -131,7 +131,15 @@ object DedupOps {
     val und = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst").as("a"), col("src").as("b")))
       .persist() // probed once per round; don't rescan the edge source
-    val nodes = und.select(col("a").as("node")).distinct()
+    // Seed labels with least(node, min neighbor) — round 1's neighbor
+    // step for FREE: the naive node-list seed already pays a full
+    // exchange on the node key (distinct IS a groupBy), so folding the
+    // 1-hop min into that same aggregation costs one extra `min` and
+    // saves one whole join-join-agg round whenever diameter > 1 (every
+    // real near-dup graph).
+    val nodes = und.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("seed"))
+      .select(col("a").as("node"), col("seed"))
     // Each round references the previous labels 4× (self, neighbor
     // join, both sides of the jump join): on an unbroken lineage the
     // LOGICAL plan embeds the whole round history 4^k-fold and
@@ -152,7 +160,7 @@ object DedupOps {
       (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
     }
     var (labels, labelsHandle) =
-      flatten(nodes.withColumn("label", col("node")))
+      flatten(nodes.select(col("node"), col("seed").as("label")))
     // Convergence probe without a labels⋈next join: labels only ever
     // shrink (min-propagation is monotone), so the label-sum is strictly
     // decreasing until the fixpoint — equal sums ⇔ no label moved. One
@@ -487,7 +495,10 @@ object DedupOps {
     // class representatives is connectivity-identical and cuts the
     // signature/banding work by the duplication factor (the order
     // production pipelines use: exact dedup first, fuzzy on the
-    // survivors). Components elect min doc_id; output = one verdict
+    // survivors). The iterative component step runs on the keeper
+    // near-dup graph alone — members inherit their keeper's label
+    // through one propagation join, never through CC rounds (see the
+    // inline note). Components elect min doc_id; output = one verdict
     // row per document (doc_id, cluster, keep). Every stage is an
     // already-verified operator (d1's groupBy, d2's LSH chain, d6's
     // label propagation) composed into one lineage.
@@ -496,33 +507,46 @@ object DedupOps {
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
       val all = d.union(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      val hashed = all.withColumn("h", md5(col("text")))
-      val keeper = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("k"))
-      // feeds BOTH the exact-edge branch and the keeper-representative
-      // branch — cache the slim (doc_id, text, h, k) result once
-      val withK = hashed.join(keeper, "h").cache()
-      val exactEdges = withK
-        .filter(col("doc_id") =!= col("k"))
-        .select(col("k").as("src"), col("doc_id").as("dst"))
+      // keeper election as ONE window over the content hash — a
+      // groupBy+join-back would shuffle the text-bearing table twice
+      // (once to aggregate, once to join); the window does a single
+      // exchange on h and tags every row in place
+      val withK = all
+        .withColumn("k", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))))
+        .cache() // feeds the representative branch AND the label join
       val reps = withK.filter(col("doc_id") === col("k"))
         .select(col("doc_id"), col("text"))
+      // no repartition before the shingle math: reps flows out of the
+      // window's hash exchange already spread across all cores (the
+      // helper's repartition guards a 1-partition parquet scan, which
+      // this is not), so another full shuffle of text buys nothing
       val sh = reps.filter(length(col("text")) >= 8)
-        .repartition(col("doc_id"))
         .withColumn("shingles", expr("md5_shingle60(text)"))
         .cache()
       val nearEdges = verifyJaccard(
         bucketPairs(minhashBanded(sh), Seq("band", "band_key")), sh, 0.8,
         ordered = false)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val labels = connectedComponents(exactEdges.union(nearEdges))
-        .withColumnRenamed("node", "doc_id")
-      all.select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
+      // Iterate ONLY on the keeper near-dup graph. Star edges need no
+      // iteration: every member's component is its keeper's component,
+      // and the keeper is already its exact class's min doc_id, so the
+      // component minimum over keepers IS the component minimum over
+      // all docs. One label-propagation join through the (cached) star
+      // map replaces feeding 2×|corpus| star edges into every CC
+      // round — the fixed-point runs on a graph |keepers'| nodes
+      // small, and the propagation join is a single shuffle.
+      val nearLabels = connectedComponents(nearEdges)
+        .withColumnRenamed("node", "k")
+      // no global sort on the verdict table: the compare is
+      // order-insensitive, and range-sorting one row per document is
+      // exactly the exchange you would not pay at corpus scale
+      withK.select(col("doc_id"), col("k"))
+        .join(nearLabels, Seq("k"), "left")
         .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster"),
-          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
-            .as("keep"))
-        .orderBy(col("doc_id"))
+          coalesce(col("label"), col("k")).as("cluster"))
+        .withColumn("keep", col("cluster") === col("doc_id"))
     }),
 
     // Signature-only similarity estimate: Ĵ = matching minhash lanes /
