@@ -1,0 +1,117 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-probe data generator: replicates the driver's sf0.1 tables
+  * `copies`× into a scratch dir (default /tmp/sf1) so the top bench
+  * queries can be timed one scale up. This data is ONLY for timing —
+  * correctness stays gated on the driver's own testdata + DuckDB.
+  *
+  * Replication preserves the properties the probe cares about:
+  *
+  *  - **Referential integrity**: every key domain (custkey, orderkey,
+  *    partkey, suppkey, doc_id, vec_id, user_id, event_id) is offset
+  *    by `copy * (max+1)` consistently across all tables that carry
+  *    it, so joins at sf1 match exactly as many rows per probe row as
+  *    at sf0.1. `nation`/`region` are fixed-size dimensions in TPC-H
+  *    and are copied as-is.
+  *  - **Constant duplicate density**: `documents.text` is passed
+  *    through a per-copy letter rotation (translate a→b→c…), so a
+  *    copy is NOT a near-duplicate of its source — shingle/MinHash/
+  *    SimHash neighborhoods keep sf0.1's density instead of every doc
+  *    gaining 9 spurious twins (which would quadratically inflate LSH
+  *    pair counts and make the probe read super-linear for data
+  *    reasons, not plan reasons). Text length is preserved, so
+  *    length/chunking distributions are unchanged.
+  *  - **Distinct vectors**: embeddings get a small per-copy offset so
+  *    ANN neighborhoods aren't 10-way ties.
+  *  - **10× event density, same time window**: `events.ts` is kept,
+  *    user_id offset — per-user session shapes are unchanged, there
+  *    are just 10× more users in the same wall-clock range.
+  */
+object ScaleUp {
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Rotate letters by `i` (identity at i=0); non-letters unchanged. */
+  private def rot(c: org.apache.spark.sql.Column, i: Int) = {
+    val k = i % 26
+    translate(c, lower + upper,
+      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+
+    def strideOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    // key-domain strides, shared across every table carrying the key
+    val ok = strideOf(read("orders"), "o_orderkey")
+    val ck = strideOf(read("customer"), "c_custkey")
+    val pk = strideOf(read("part"), "p_partkey")
+    val sk = strideOf(read("supplier"), "s_suppkey")
+    val dk = strideOf(read("documents"), "doc_id")
+    val vk = strideOf(read("embeddings"), "vec_id")
+    val ek = strideOf(read("events"), "event_id")
+    val uk = strideOf(read("events"), "user_id")
+
+    /** `copies`-way union of per-copy transforms of `t`. */
+    def scaled(t: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = read(t)
+      (0 until copies).map(i => f(base, i)).reduce(_ unionByName _)
+    }
+    def shift(k: String, stride: Long, i: Int)(df: DataFrame): DataFrame =
+      df.withColumn(k, col(k) + lit(stride * i))
+
+    val out: Seq[(String, DataFrame)] = Seq(
+      "region" -> read("region"),
+      "nation" -> read("nation"),
+      "customer" -> scaled("customer") { (d, i) =>
+        shift("c_custkey", ck, i)(d)
+      },
+      "supplier" -> scaled("supplier") { (d, i) =>
+        shift("s_suppkey", sk, i)(d)
+      },
+      "part" -> scaled("part") { (d, i) => shift("p_partkey", pk, i)(d) },
+      "orders" -> scaled("orders") { (d, i) =>
+        shift("o_custkey", ck, i)(shift("o_orderkey", ok, i)(d))
+      },
+      "lineitem" -> scaled("lineitem") { (d, i) =>
+        shift("l_suppkey", sk, i)(
+          shift("l_partkey", pk, i)(shift("l_orderkey", ok, i)(d)))
+      },
+      "events" -> scaled("events") { (d, i) =>
+        shift("user_id", uk, i)(shift("event_id", ek, i)(d))
+      },
+      "documents" -> scaled("documents") { (d, i) =>
+        shift("doc_id", dk, i)(d).withColumn("text", rot(col("text"), i))
+      },
+      "embeddings" -> scaled("embeddings") { (d, i) =>
+        shift("vec_id", vk, i)(d).withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 1e-3f)))
+      }
+    )
+
+    out.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"wrote $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
