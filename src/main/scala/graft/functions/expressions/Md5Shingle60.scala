@@ -13,6 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * in one pass with a reused MessageDigest instead of an interpreted
   * substring→md5-hex→conv string chain per shingle. The DuckDB oracle's
   * `('0x'||substr(md5(s),1,15))::BIGINT` is bit-identical.
+  *
+  * The output is SORTED ASCENDING (strictly increasing, since
+  * distinct): every consumer treats the array as a set (minhash,
+  * simhash, intersection), and sorted-distinct is exactly the input
+  * contract of [[SortedIntersectCount]], the Jaccard-verify hot loop.
   */
 @ExpressionDescription(
   usage = "_FUNC_(text) - distinct 60-bit md5 byte-8-gram shingle hashes.")
@@ -54,7 +59,8 @@ object Md5Shingle60 {
   /** Static so generated code can call it directly. Dedupe is on the
     * string shingle (byte window); for distinct windows the 60-bit md5
     * values are distinct up to md5 collisions. Strings shorter than K
-    * yield an empty set, mirroring the oracle's substring range. */
+    * yield an empty set, mirroring the oracle's substring range.
+    * Returned sorted ascending (see class doc). */
   def compute(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length - K + 1
@@ -75,6 +81,8 @@ object Md5Shingle60 {
       if (seen.add(v)) { out(m) = v; m += 1 }
       i += 1
     }
-    java.util.Arrays.copyOf(out, m)
+    val res = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(res)
+    res
   }
 }

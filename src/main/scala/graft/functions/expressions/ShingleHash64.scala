@@ -9,7 +9,9 @@ import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct hashed byte 8-gram shingles of a string, in one pass.
+/** Distinct hashed byte 8-gram shingles of a string, in one pass,
+  * sorted ascending (the [[SortedIntersectCount]] input contract —
+  * consumers are set-wise, so order is free).
   *
   * Replaces `array_distinct(transform(sequence(...), i -> substring(...)))`
   * + a per-shingle hash: the HOF form allocates ~300 substring objects
@@ -68,7 +70,9 @@ object ShingleHash64 {
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
-    java.util.Arrays.copyOf(out, m)
+    val res = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(res)
+    res
   }
 
   private def mix(bytes: Array[Byte], offset: Int, len: Int): Long = {

@@ -398,8 +398,15 @@ object DedupOps {
       }
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    // sorted_intersect_count (native, allocation-free two-pointer
+    // merge) instead of size(array_intersect(...)): the hash-set form
+    // materializes the intersection array per pair only to take its
+    // size — ~7.7 µs/pair on ~300-element sets, the dominant cost once
+    // candidates reach millions (round-9 sf1 probe). INPUT CONTRACT:
+    // shingle arrays sorted-distinct — md5_shingle60/shingle_hash64
+    // emit that; d4 sort_arrays its trigram hashes.
     val verified = pre.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jacc",
@@ -664,21 +671,19 @@ object DedupOps {
       val oldB = banded.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("old_id"), col("band"), col("band_key"))
       val cand = oldB.join(broadcast(newB), Seq("band", "band_key"))
-        .select(col("new_id"), col("old_id")).distinct()
-      val a = sh.select(col("doc_id").as("new_id"),
-        col("shingles").as("sh_a"))
-      val b = sh.select(col("doc_id").as("old_id"),
-        col("shingles").as("sh_b"))
-      val dup = cand.join(a, "new_id").join(b, "old_id")
-        .withColumn("inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("uni",
-          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-        .filter(col("inter").cast("double") / col("uni").cast("double")
-          >= 0.8)
-        .groupBy(col("new_id")).agg(count(lit(1)).as("n_dups"))
+        .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+        .distinct()
+      // verify through the shared verifyJaccard: same exact-Jaccard
+      // semantics as the inline form it replaces, plus the PPJoin
+      // length bound (exact-safe pair pruning) and the native
+      // sorted-merge intersection — the round-9 sf1 probe showed the
+      // verify join is where an LSH band heavy-tail (one popular-
+      // shingle band bucket holding ~6% of a corpus copy) actually
+      // costs, so candidate-side verify cost is the scale lever here
+      val dup = verifyJaccard(cand, sh, 0.8, ordered = false)
+        .groupBy(col("doc_a")).agg(count(lit(1)).as("n_dups"))
       sh.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
-        .join(dup, col("doc_id") === col("new_id"), "left")
+        .join(dup, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
@@ -722,11 +727,15 @@ object DedupOps {
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
         .withColumn("w", split(col("text"), " "))
+        // sort_array: verifyJaccard's sorted_intersect_count needs
+        // ascending input (order is otherwise free — every consumer
+        // here is set-wise)
         .withColumn("shingles", expr(
           """case when size(w) >= 3 then
-            |  transform(array_distinct(transform(sequence(1, size(w)-2), i ->
-            |    concat_ws(' ', element_at(w,i), element_at(w,i+1),
-            |              element_at(w,i+2)))), t -> xxhash64(t))
+            |  sort_array(transform(array_distinct(
+            |    transform(sequence(1, size(w)-2), i ->
+            |      concat_ws(' ', element_at(w,i), element_at(w,i+1),
+            |                element_at(w,i+2)))), t -> xxhash64(t)))
             |else cast(array() as array<bigint>) end""".stripMargin))
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"))

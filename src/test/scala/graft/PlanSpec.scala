@@ -141,7 +141,7 @@ class PlanSpec extends AnyFunSuite {
     // executedPlan prints top-down, so the bound's multiply must
     // appear AFTER (= deeper than) the exact-verify projection
     val p = plan("d4_ngram_jaccard")
-    val verifyIdx = p.indexOf("array_intersect")
+    val verifyIdx = p.indexOf("sorted_intersect_count")
     val boundIdx = math.max(p.indexOf("* 10)"), p.indexOf("* 7)"))
     assert(verifyIdx >= 0, s"verify join missing:\n${p.take(2000)}")
     assert(boundIdx >= 0, s"length bound missing:\n${p.take(2000)}")
