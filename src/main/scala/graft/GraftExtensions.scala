@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate}
+import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -38,6 +38,9 @@ object GraftFunctions {
     (FunctionIdentifier("md5_shingle60"),
       new ExpressionInfo(classOf[Md5Shingle60].getName, "md5_shingle60"),
       (es: Seq[Expression]) => Md5Shingle60(es.head)),
+    (FunctionIdentifier("lane_matches"),
+      new ExpressionInfo(classOf[LaneMatchCount].getName, "lane_matches"),
+      (es: Seq[Expression]) => LaneMatchCount(es.head, es(1))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),

@@ -31,9 +31,10 @@ class HofPredicateAuditSpec extends AnyFunSuite {
   private val justified: Map[String, String] = Map(
     // t16's filter(keep) now inlines the NATIVE text_quality_gate
     // expression (not a HOF) — it left this list when the gate went
-    // native; the SQL fallback form stays let-bound (TextQualitySpec)
-    "d11_minhash_estimate" ->
-      "zip_with over fixed 128-long signatures: constant work per pair")
+    // native; the SQL fallback form stays let-bound (TextQualitySpec).
+    // d11's zip_with lane estimate left in round 9: the NATIVE
+    // lane_matches expression replaced the HOF chain.
+  )
 
   private def hofs(e: Expression): Seq[HigherOrderFunction] =
     e.collect { case h: HigherOrderFunction => h }

@@ -25,6 +25,21 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("lane_matches equals the HOF zip_with count it replaces") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300) { i =>
+      (i, Array.fill(128)(rnd.nextInt(4).toLong),
+        Array.fill(128)(rnd.nextInt(4).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("fast", expr("lane_matches(a, b)"))
+      .withColumn("ref", expr(
+        "aggregate(zip_with(a, b, (x, y) -> if(x = y, 1, 0)), 0, (a, b) -> a + b)"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("interpreted and codegen paths agree") {
     import spark.implicits._
     GraftFunctions.register(spark)
