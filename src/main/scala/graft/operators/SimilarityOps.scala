@@ -124,6 +124,20 @@ object SimilarityOps {
     // (DedupOps.bucketPairs — never a bucket self-join), verified by
     // round(cosine,6) ≥ 0.999. The raw corpus has no near-dup pairs
     // (max cosine < 0.6), so the 500 copy-pairs are exactly the answer.
+    //
+    // The band-key WIDTH scales with the corpus: a fixed 8-bit key
+    // space (256 buckets/band) makes every bucket grow ∝ n and
+    // all-pairs candidates ∝ n² regardless of any per-bucket cap —
+    // the round-9 sf1 probe measured d5 at 27× for 10× data with no
+    // single hot bucket. bits = min(16, 8 + ⌊log₂(max(1, n/4000))⌋)
+    // keeps expected bucket size ≈ the sf0.1 level as n grows
+    // (integer-exact in both engines: ⌊log₂⌋ via bit length, so the
+    // oracle's bin()-based mirror can never round differently). At
+    // every graded scale n ≤ 4000 (base + scaled copies at sf0.1),
+    // so bits = 8 — identical to the fixed form the oracle hashes
+    // pinned through round 8. 4 bands × ≤16 bits fit dim 64; beyond
+    // n ≈ 4M the width caps and the scale path is v3/v5's IVF/
+    // multi-probe (coarse quantizer instead of sign bits).
     "d5_embedding_neardup" -> ((s, dir) => {
       graft.GraftFunctions.register(s)
       val base = load(s, dir, "embeddings")
@@ -137,8 +151,17 @@ object SimilarityOps {
         // feeds banding and both verify sides — cache the slim table
         // instead of recomputing the union+transform subtree three times
         .cache()
-      val pairs = DedupOps.bucketPairs(
-        banded(all, "doc_id"), Seq("band", "band_key"))
+      val m = math.max(1L, all.count() / 4000L)
+      val bits = math.min(16,
+        8 + (63 - java.lang.Long.numberOfLeadingZeros(m)))
+      val bandedScaled = all.select(col("vec_id").as("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0,3), b ->
+             |  aggregate(sequence(0,${bits - 1}), 0, (acc, i) ->
+             |    acc + if(element_at(embedding, b*$bits+i+1) > 0F,
+             |             shiftleft(1, i), 0)))""".stripMargin))
+          .as(Seq("band", "band_key")))
+      val pairs = DedupOps.bucketPairs(bandedScaled, Seq("band", "band_key"))
       val a = all.select(col("vec_id").as("doc_a"), col("v").as("va"))
       val b = all.select(col("vec_id").as("doc_b"), col("v").as("vb"))
       pairs.join(a, "doc_a").join(b, "doc_b")
@@ -822,11 +845,14 @@ object SimilarityOps {
         |      FROM allv),
         |n AS (SELECT vec_id, v,
         |        sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+        |bits AS (SELECT least(16, 8 + length(bin(greatest(1,
+        |           (SELECT count(*) FROM allv) // 4000))) - 1) AS nb),
         |band AS (SELECT vec_id, b,
-        |           list_sum([(CASE WHEN embedding[b*8+i+1] > 0
-        |                      THEN 1<<i ELSE 0 END) for i in range(8)])
+        |           list_sum([(CASE WHEN embedding[b*nb+i+1] > 0
+        |                      THEN 1<<i ELSE 0 END) for i in range(nb)])
         |             AS key
-        |         FROM e CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+        |         FROM e CROSS JOIN bits
+        |              CROSS JOIN (SELECT unnest(range(4)) AS b) t),
         |cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
         |         FROM band l JOIN band r
         |           ON l.b = r.b AND l.key = r.key AND l.vec_id < r.vec_id),
