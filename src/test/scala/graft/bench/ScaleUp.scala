@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *    at sf0.1. `nation`/`region` are fixed-size dimensions in TPC-H
   *    and are copied as-is.
   *  - **Constant duplicate density**: `documents.text` is passed
-  *    through a per-copy letter rotation (translate a→b→c…), so a
-  *    copy is NOT a near-duplicate of its source — shingle/MinHash/
-  *    SimHash neighborhoods keep sf0.1's density instead of every doc
-  *    gaining 9 spurious twins (which would quadratically inflate LSH
-  *    pair counts and make the probe read super-linear for data
-  *    reasons, not plan reasons). Text length is preserved, so
-  *    length/chunking distributions are unchanged.
+  *    through a per-copy SEEDED LETTER PERMUTATION, so a copy is NOT
+  *    a near-duplicate of its source — shingle/MinHash/SimHash
+  *    neighborhoods keep sf0.1's density instead of every doc gaining
+  *    spurious twins (which would quadratically inflate LSH pair
+  *    counts and make the probe read super-linear for data reasons,
+  *    not plan reasons). Text length is preserved, so length/chunking
+  *    distributions are unchanged. Always scale FROM the driver's
+  *    sf0.1 (copies = 10·target_sf): composing ScaleUp over its own
+  *    output multiplies transforms and any structural collision in
+  *    the family shows up as verbatim duplicate text.
   *  - **Distinct vectors**: embeddings get a small per-copy offset so
   *    ANN neighborhoods aren't 10-way ties.
   *  - **10× event density, same time window**: `events.ts` is kept,
@@ -35,11 +38,21 @@ object ScaleUp {
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
 
-  /** Rotate letters by `i` (identity at i=0); non-letters unchanged. */
-  private def rot(c: org.apache.spark.sql.Column, i: Int) = {
-    val k = i % 26
-    translate(c, lower + upper,
-      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+  /** Per-copy seeded letter PERMUTATION (identity at i=0); non-letters
+    * unchanged. A rotation family caps at 26 distinct transforms, so
+    * any copy count above 26 — or a ScaleUp composed over an earlier
+    * ScaleUp output, where net rotations add mod 26 — produces
+    * VERBATIM duplicate texts across copies and quadratically inflates
+    * true-dup density (this invalidated the first sf10 attempt).
+    * Seeded Fisher-Yates gives 26! possible maps: copies never
+    * collide, text length and shingle-set structure are preserved. */
+  private def permute(c: org.apache.spark.sql.Column, i: Int) = {
+    if (i == 0) c
+    else {
+      val rnd = new scala.util.Random(0x5ca1eab1eL + i)
+      val p = rnd.shuffle(lower.toList).mkString
+      translate(c, lower + upper, p + p.toUpperCase)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,7 +113,8 @@ object ScaleUp {
         shift("user_id", uk, i)(shift("event_id", ek, i)(d))
       },
       "documents" -> scaled("documents") { (d, i) =>
-        shift("doc_id", dk, i)(d).withColumn("text", rot(col("text"), i))
+        shift("doc_id", dk, i)(d)
+          .withColumn("text", permute(col("text"), i))
       },
       "embeddings" -> scaled("embeddings") { (d, i) =>
         shift("vec_id", vk, i)(d).withColumn("embedding",
