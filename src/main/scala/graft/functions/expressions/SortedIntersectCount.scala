@@ -24,14 +24,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * distinct) — [[Md5Shingle60]] and [[ShingleHash64]] emit exactly
   * that; anything else needs `sort_array` (+ `array_distinct` if
   * duplicates are possible) first. On unsorted input the merge
-  * silently undercounts, so the contract is pinned by spec
-  * (ExpressionSpec) against `size(array_intersect(...))` on random
-  * sorted inputs. Array elements must be non-null.
+  * silently undercounts, so the contract is pinned three ways: by
+  * spec against `size(array_intersect(...))` on random sorted inputs,
+  * in the DESCRIBE FUNCTION usage string (the SQL user's view), and
+  * by an OPT-IN runtime order check — set
+  * `spark.graft.sortedIntersect.check=true` (SQL conf, read at plan
+  * time) or `-Dgraft.sortedIntersect.check=true` and any
+  * non-increasing input throws instead of undercounting. The check
+  * adds a branch per element, so it stays off in the verify hot loop
+  * by default. Array elements must be non-null.
   */
 @ExpressionDescription(
-  usage = "_FUNC_(a, b) - |a ∩ b| for sorted-distinct bigint arrays.")
+  usage = """_FUNC_(a, b) - |a ∩ b| for two bigint arrays that MUST each
+    be strictly increasing (sorted, distinct; e.g. the output of
+    sort_array(array_distinct(...))). On input violating that contract
+    the two-pointer merge silently undercounts — set
+    spark.graft.sortedIntersect.check=true to make violations throw.""")
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  /** Captured at construction (driver side, analysis time): SQL conf
+    * first, JVM property as the session-less fallback. A plain val, so
+    * it serializes with the expression to executors. */
+  private val checkSorted: Boolean =
+    java.lang.Boolean.getBoolean("graft.sortedIntersect.check") ||
+      (try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.sortedIntersect.check", "false")
+        .toBoolean
+      catch { case _: Exception => false })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -51,6 +71,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (checkSorted) { assertSorted(xs, "left"); assertSorted(ys, "right") }
     val (n, m) = (xs.numElements(), ys.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
@@ -60,6 +81,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else { c += 1; i += 1; j += 1 }
     }
     c
+  }
+
+  private def assertSorted(xs: ArrayData, side: String): Unit = {
+    var i = 1
+    while (i < xs.numElements()) {
+      if (xs.getLong(i) <= xs.getLong(i - 1))
+        throw SortedIntersectCount.contractViolation(side, i)
+      i += 1
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -72,8 +102,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val cls = classOf[SortedIntersectCount].getName
+      // opt-in debug check, resolved at codegen time (driver): the hot
+      // loop pays nothing unless the conf was on when the plan compiled
+      val check =
+        if (!checkSorted) ""
+        else {
+          val k = ctx.freshName("k")
+          s"""
+             |for (int $k = 1; $k < $n; $k++)
+             |  if ($a.getLong($k) <= $a.getLong($k - 1))
+             |    throw $cls.contractViolation("left", $k);
+             |for (int $k = 1; $k < $m; $k++)
+             |  if ($b.getLong($k) <= $b.getLong($k - 1))
+             |    throw $cls.contractViolation("right", $k);
+           """.stripMargin
+        }
       s"""
          |int $n = $a.numElements(), $m = $b.numElements();
+         |$check
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $n && $j < $m) {
          |  long $x = $a.getLong($i);
@@ -89,4 +136,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Shared by the interpreted and generated check paths (generated
+    * code calls it statically — keep the signature stable). */
+  def contractViolation(side: String, pos: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"sorted_intersect_count: $side input is not strictly increasing " +
+        s"at index $pos — the contract is sorted-distinct arrays " +
+        "(sort_array(array_distinct(...)) first)")
 }

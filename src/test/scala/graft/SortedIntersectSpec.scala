@@ -45,12 +45,62 @@ class SortedIntersectSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val df = Seq((Array(1L, 3L, 5L, 9L), Array(3L, 4L, 5L, 10L)))
       .toDF("a", "b")
+    // NO_CODEGEN forces the interpreted UnsafeProjection, so this
+    // branch reaches nullSafeEval — disabling whole-stage codegen
+    // alone still runs generated projections (round-9 advice)
     withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
-      assert(df.select(expr("sorted_intersect_count(a, b)"))
-        .head.getInt(0) == 2)
+      withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+        assert(df.select(expr("sorted_intersect_count(a, b)"))
+          .head.getInt(0) == 2)
+      }
     }
     assert(df.select(expr("sorted_intersect_count(a, b)"))
       .head.getInt(0) == 2)
+  }
+
+  test("nullSafeEval direct: the true interpreted path, no projection") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Long*) = Literal.create(
+      ArrayData.toArrayData(xs.toArray), ArrayType(LongType, false))
+    val e = graft.functions.expressions.SortedIntersectCount(
+      lit(1L, 3L, 5L, 9L), lit(3L, 4L, 5L, 10L))
+    assert(e.eval(InternalRow.empty) == 2)
+    assert(graft.functions.expressions.SortedIntersectCount(
+      lit(), lit(1L, 2L)).eval(InternalRow.empty) == 0)
+  }
+
+  test("opt-in order check: unsorted input throws instead of " +
+      "silently undercounting (codegen and interpreted)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(5L, 1L, 3L), Array(1L, 3L, 5L))).toDF("a", "b")
+    // default: contract violated, silent undercount (documented)
+    assert(df.select(expr("sorted_intersect_count(a, b)"))
+      .head.getInt(0) < 2)
+    withSQLConf("spark.graft.sortedIntersect.check" -> "true") {
+      def violates(t: Throwable): Boolean = t != null && (
+        (t.isInstanceOf[IllegalArgumentException] &&
+          t.getMessage.contains("not strictly increasing")) ||
+        violates(t.getCause))
+      val viaCodegen = intercept[Exception] {
+        df.select(expr("sorted_intersect_count(a, b)")).head
+      }
+      assert(violates(viaCodegen), s"unexpected: $viaCodegen")
+      withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+        withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+          val viaEval = intercept[Exception] {
+            df.select(expr("sorted_intersect_count(a, b)")).head
+          }
+          assert(violates(viaEval), s"unexpected: $viaEval")
+        }
+      }
+      // sorted input still fine with the check on
+      assert(Seq((Array(1L, 3L), Array(3L, 9L))).toDF("a", "b")
+        .select(expr("sorted_intersect_count(a, b)")).head.getInt(0) == 1)
+    }
   }
 
   private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {

@@ -45,12 +45,36 @@ object ScaleUp {
     * VERBATIM duplicate texts across copies and quadratically inflates
     * true-dup density (this invalidated the first sf10 attempt).
     * Seeded Fisher-Yates gives 26! possible maps: copies never
-    * collide, text length and shingle-set structure are preserved. */
+    * collide, text length and shingle-set structure are preserved.
+    * The shuffle is HAND-ROLLED (splitmix64-fed Fisher-Yates) so the
+    * seed→permutation map is specified by this repo, not by
+    * scala.util.Random.shuffle's implementation — regenerating scaled
+    * corpora on a different Scala version must produce byte-identical
+    * text (round-9 advice). */
+  private[bench] def permutation(i: Int): String = {
+    // splitmix64 (public-domain PRNG finalizer) over a per-copy seed
+    var state = 0x5ca1eab1eL + i
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = lower.toCharArray
+    var k = a.length - 1
+    while (k > 0) {
+      val j = (Math.floorMod(next(), k + 1L)).toInt
+      val t = a(k); a(k) = a(j); a(j) = t
+      k -= 1
+    }
+    new String(a)
+  }
+
   private def permute(c: org.apache.spark.sql.Column, i: Int) = {
     if (i == 0) c
     else {
-      val rnd = new scala.util.Random(0x5ca1eab1eL + i)
-      val p = rnd.shuffle(lower.toList).mkString
+      val p = permutation(i)
       translate(c, lower + upper, p + p.toUpperCase)
     }
   }
