@@ -235,9 +235,17 @@ object JdbcCatalog {
       // drop-and-recreate-idempotent database
       val url = s"jdbc:derby:memory:graft${math.abs(dir.hashCode)};create=true"
       val colTypes = Map("o_orderpriority" -> "VARCHAR(32)")
-      write(base, url, "GRAFT_ORDERS", SaveMode.Overwrite, colTypes)
-      stagedUpsert(s, url, "GRAFT_ORDERS", batch, "o_orderkey",
-        colTypes = colTypes)
+      // PhaseLog: the embedded single-JVM database is the scale-bound
+      // share of this query (13× at 10× data is Derby, not the plan —
+      // K1Attribution r9); tag it so the bench artifact carries the
+      // split and regression gates can diff the Spark residual alone
+      graft.PhaseLog.timed("derby_load") {
+        write(base, url, "GRAFT_ORDERS", SaveMode.Overwrite, colTypes)
+      }
+      graft.PhaseLog.timed("derby_merge") {
+        stagedUpsert(s, url, "GRAFT_ORDERS", batch, "o_orderkey",
+          colTypes = colTypes): Unit
+      }
       scan(s, url, "GRAFT_ORDERS",
         partition = Some(("o_orderkey", 0L, 2000000L, 8)))
         .orderBy(col("o_orderkey"))

@@ -73,6 +73,24 @@ object PartitionedSnapshotLake {
 
   private val DefaultPart = "part_date=__HIVE_DEFAULT_PARTITION__"
 
+  /** The vacuum reader-hazard horizon (VERDICT r9 ask #7): readers and
+    * merge bases hold no lock, so a vacuum may only delete versions no
+    * in-flight reader can still be scanning. A snapshot's pins are
+    * immune while its manifest is younger than this. Default 1 h —
+    * the same order as `lockTtlMs`, and far above any single read at
+    * the scales this lake targets; deployments with longer scans (a
+    * full-table model-training read over days) must raise it to
+    * ≥ max read duration. 0 restores the pre-round-10 behavior
+    * (retention purely by snapshot count). */
+  val DefaultReaderHazardMs: Long = 60L * 60 * 1000
+
+  /** Threads for vacuum's per-partition sweep (each partition's
+    * listings + deletes are independent; the sweep is FS-latency
+    * bound, so parallelism pays on remote stores and is harmless
+    * locally). */
+  val VacuumParallelism: Int =
+    math.min(32, Runtime.getRuntime.availableProcessors())
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(
       if (path.contains("://")) path else s"file://$path"),
@@ -161,13 +179,60 @@ object PartitionedSnapshotLake {
     readPins(spark, root, manifest(spark, root, snap))
 
   /** The current table: every partition at its newest committed
-    * version (marker-based, independent of manifests — a partition
-    * committed after the last manifest is already visible here). */
-  def readLatest(spark: SparkSession, root: String): DataFrame = {
-    val pins = partitions(spark, root).flatMap { p =>
+    * version (marker-based — a partition committed after the last
+    * manifest is already visible here). Listing cost is O(1) in the
+    * partition count, not O(partitions): the newest manifest supplies
+    * the base pins, and only the DELTA — partition dirs the manifest
+    * does not pin, or whose directory mtime is at/after the manifest's
+    * (a v-dir landed there since; creating a child updates the parent
+    * dir's mtime on HDFS-semantics filesystems, which the rename-based
+    * commit protocol already requires) — re-resolves its marker
+    * listing. Every [[commitMerge]] mints a manifest AFTER its
+    * partition commits, so the delta is empty except (a) mid-commit
+    * concurrent writers and (b) crash-stranded partition versions —
+    * both exactly the cases the mtime test catches. [[vacuum]] bumps
+    * partition dir mtimes when it deletes old v-dirs, making the next
+    * readLatest O(partitions) once; run [[repairManifest]] after a
+    * vacuum to restore the O(1) path (or just eat one full walk).
+    * Object stores without real directory mtimes (S3) should use
+    * [[readLatestFullWalk]]. */
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readPins(spark, root, latestPins(spark, root))
+
+  /** The always-correct O(partitions) pin walk — the shape readLatest
+    * had before the manifest-delta fast path; kept public for object
+    * stores with unreliable directory mtimes. */
+  def readLatestFullWalk(spark: SparkSession, root: String): DataFrame =
+    readPins(spark, root, fullWalkPins(spark, root))
+
+  private def fullWalkPins(spark: SparkSession,
+      root: String): Map[String, Long] =
+    partitions(spark, root).flatMap { p =>
       SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
     }.toMap
-    readPins(spark, root, pins)
+
+  private[catalog] def latestPins(spark: SparkSession,
+      root: String): Map[String, Long] = {
+    val fs = fsFor(spark, root)
+    latestSnapshot(spark, root) match {
+      case None => fullWalkPins(spark, root)
+      case Some(s) =>
+        val base = manifest(spark, root, s)
+        val mMtime = fs.getFileStatus(
+          new Path(snapsDir(root), s"$s.manifest")).getModificationTime
+        // ONE listing of the lake root; >= not > on the mtime compare
+        // so same-granularity-tick commits re-check rather than hide
+        val delta = fs.listStatus(new Path(root)).toSeq
+          .filter(_.getPath.getName.startsWith("part_date="))
+          .filter(st => !base.contains(st.getPath.getName) ||
+            st.getModificationTime >= mMtime)
+          .flatMap { st =>
+            val p = st.getPath.getName
+            SnapshotLake.latestVersion(spark, partRoot(root, p))
+              .map(p -> _)
+          }.toMap
+        base ++ delta
+    }
   }
 
   /** MERGE `batch` into the affected partitions and commit a global
@@ -261,13 +326,25 @@ object PartitionedSnapshotLake {
     * residue — locks (and their in-flight data) younger than
     * `lockTtlMs` are never touched, and live holders heartbeat their
     * locks ([[SnapshotLake.withLockHeartbeat]]) so a long commit never
-    * ages past the TTL. The same READER-side hazard applies: readers
-    * and merge bases hold no lock, so `retainSnapshots` (times the
-    * commit cadence) must exceed the longest snapshot read or merge in
-    * flight, or a concurrent vacuum can delete a pinned version
-    * mid-scan (the Delta/Iceberg VACUUM race). */
+    * ages past the TTL. The READER-side hazard is different: readers
+    * and merge bases hold no lock (the Delta/Iceberg VACUUM race), so
+    * the retention horizon must exceed the longest read in flight.
+    * That bound is named here as `readerHazardMs`
+    * ([[DefaultReaderHazardMs]]): any snapshot whose manifest is
+    * younger than it is RETAINED (and its pins kept) regardless of
+    * `retainSnapshots` — a reader that resolved pins at time T is safe
+    * as long as its scan finishes within readerHazardMs of T. Size it
+    * ≥ your longest snapshot read or merge; `retainSnapshots` alone is
+    * only safe when retainSnapshots × commit cadence already exceeds
+    * that (the previous, implicit contract).
+    *
+    * The per-partition sweep — listings and deletes, each partition
+    * independent — fans out over [[VacuumParallelism]] threads:
+    * maintenance over a 36 500-partition decade lake is latency-bound
+    * on filesystem round trips, not CPU. */
   def vacuum(spark: SparkSession, root: String, retainSnapshots: Int,
-      lockTtlMs: Long = 60L * 60 * 1000): Unit = {
+      lockTtlMs: Long = 60L * 60 * 1000,
+      readerHazardMs: Long = DefaultReaderHazardMs): Unit = {
     require(retainSnapshots >= 1, "retainSnapshots >= 1")
     val fs = fsFor(spark, root)
     val snaps = snapshots(spark, root)
@@ -290,31 +367,51 @@ object PartitionedSnapshotLake {
         case (n, st) if now - st.getModificationTime < lockTtlMs => n
       }.toSet
     }
-    val keepSnaps = snaps.takeRight(retainSnapshots)
+    // reader-hazard horizon: young snapshots stay, however many there
+    // are — their pins may still be mid-scan in a lockless reader
+    val hazardKept = snaps.filter { s =>
+      val m = new Path(snapsDir(root), s"$s.manifest")
+      fs.exists(m) &&
+        now - fs.getFileStatus(m).getModificationTime < readerHazardMs
+    }
+    val keepSnaps =
+      (snaps.takeRight(retainSnapshots) ++ hazardKept).distinct.sorted
     val pinned: Map[String, Set[Long]] = keepSnaps
       .flatMap(s => manifest(spark, root, s).toSeq)
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
-    partitions(spark, root).foreach { p =>
-      val pr = partRoot(root, p)
-      val vs = SnapshotLake.versions(spark, pr)
-      if (vs.nonEmpty) {
-        val liveLocked = sweepLocks(new Path(pr, "_commits"))
-        val latest = vs.last
-        val keep = pinned.getOrElse(p, Set.empty) + latest
-        vs.filterNot(keep).foreach { v =>
-          fs.delete(new Path(pr, s"v=$v"), true)
-          fs.delete(new Path(new Path(pr, "_commits"), v.toString), false)
-        }
-        // uncommitted orphans (crash leftovers) — unless a young lock
-        // marks the version as a possibly-live writer's in-flight data
-        fs.listStatus(new Path(pr)).foreach { st =>
-          st.getPath.getName.stripPrefix("v=").toLongOption.foreach { v =>
-            if (st.getPath.getName.startsWith("v=") && !keep(v) &&
-              v < latest && !liveLocked(v)) fs.delete(st.getPath, true)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(VacuumParallelism)
+    try {
+      val sweeps = partitions(spark, root).map { p =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val pr = partRoot(root, p)
+            val vs = SnapshotLake.versions(spark, pr)
+            if (vs.nonEmpty) {
+              val liveLocked = sweepLocks(new Path(pr, "_commits"))
+              val latest = vs.last
+              val keep = pinned.getOrElse(p, Set.empty) + latest
+              vs.filterNot(keep).foreach { v =>
+                fs.delete(new Path(pr, s"v=$v"), true)
+                fs.delete(
+                  new Path(new Path(pr, "_commits"), v.toString), false)
+              }
+              // uncommitted orphans (crash leftovers) — unless a young
+              // lock marks the version as possibly-live in-flight data
+              fs.listStatus(new Path(pr)).foreach { st =>
+                st.getPath.getName.stripPrefix("v=").toLongOption
+                  .foreach { v =>
+                    if (st.getPath.getName.startsWith("v=") && !keep(v) &&
+                      v < latest && !liveLocked(v))
+                      fs.delete(st.getPath, true)
+                  }
+              }
+            }
           }
-        }
+        })
       }
-    }
+      sweeps.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
     // leaked staging dirs from crashed commits (the success/failure
     // paths both delete theirs; only a process death leaves one)
     fs.listStatus(new Path(root)).foreach { st =>

@@ -141,6 +141,28 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseHistoryLine(full).isDefined)
   }
 
+  test("phase attribution lands in the full artifact with the Spark " +
+      "residual, and the history parser still sees the queries map") {
+    val full = Bench.fullJson(
+      Seq("k1_jdbc_roundtrip" -> 2.5, "q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      phases = Map("k1_jdbc_roundtrip" ->
+        Map("derby_load" -> 1.2, "derby_merge" -> 0.7)))
+    assertStrictJsonObject(full)
+    assert(full.contains(""""phases":{"k1_jdbc_roundtrip":{"""))
+    assert(full.contains(""""derby_load":1.200"""))
+    assert(full.contains(""""derby_merge":0.700"""))
+    // residual = 2.5 - (1.2 + 0.7): the pure-Spark share the gate diffs
+    assert(full.contains(""""spark_residual":0.600"""))
+    // the queries map survives the extra field for the history parser
+    val parsed = Bench.parseHistoryLine(full)
+    assert(parsed.isDefined)
+    assert(parsed.get._3.toMap ==
+      Map("k1_jdbc_roundtrip" -> 2.5, "q1_a" -> 0.5))
+    // no phases recorded -> no field at all (old lines stay identical)
+    assert(!Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0)
+      .contains("phases"))
+  }
+
   test("regression gate: flags real slowdowns, skips on tag mismatch") {
     val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0)
     val cur  = Seq("qa" -> 1.1, "qb" -> 7.0, "qc" -> 0.6, "qd" -> 1.4,

@@ -265,7 +265,11 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(PartitionedSnapshotLake.partitionVersions(spark, root, p1)
       == Seq(1L, 2L, 3L))
 
-    PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 2)
+    // readerHazardMs = 0: this test's manifests are seconds old, and
+    // the count-based retention is what's under test — the hazard
+    // horizon has its own boundary spec (VacuumHazardSpec)
+    PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 2,
+      readerHazardMs = 0L)
     // snapshots 2,3 kept; snapshot 1 gone loudly
     assert(PartitionedSnapshotLake.snapshots(spark, root) == Seq(2L, 3L))
     intercept[IllegalArgumentException] {

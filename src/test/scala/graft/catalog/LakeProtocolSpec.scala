@@ -235,5 +235,51 @@ class LakeProtocolSpec extends AnyFunSuite {
     // part_date survives as a real DATE column parsed from the path
     assert(snap.filter($"part_date" === "2023-01-06")
       .select("val").as[String].collect().toSet == Set("seed", "y"))
+
+    // readLatest's PIN RESOLUTION is O(1)-listing (round-10):
+    // newest-manifest pins + a single root listing for the mtime
+    // delta — never a per-partition marker walk over all 1000. (The
+    // data scan itself then lists the pinned v-dirs, as any scan of
+    // 1000 partitions must — that part is Spark's parallel file
+    // index, not the protocol.)
+    CountingLocalFs.reset()
+    val pins = PartitionedSnapshotLake.latestPins(spark, root)
+    val pinCalls = CountingLocalFs.calls.get()
+    assert(pinCalls <= 12,
+      s"latestPins issued $pinCalls listStatus calls over a " +
+        "1000-partition lake — pin resolution is O(partitions), " +
+        "not O(1)-listing")
+    assert(pins.size == 1000)
+    assert(pins("part_date=2023-01-05") == 2L &&
+      pins("part_date=2023-01-09") == 1L)
+    assert(PartitionedSnapshotLake.readLatest(spark, root)
+      .count() == 1002L)
+
+    // a partition version stranded AFTER the manifest (crashed writer)
+    // must still be visible: its dir mtime moves past the manifest's,
+    // so the delta path re-resolves exactly that partition
+    Thread.sleep(1100) // local-FS mtime granularity can be 1 s
+    SnapshotLake.commit(spark, s"$root/part_date=2023-01-09",
+      Seq((99L, java.sql.Timestamp.valueOf("2023-01-09 00:00:00"),
+        "stranded")).toDF("id", "ts", "val"))
+    CountingLocalFs.reset()
+    val pins2 = PartitionedSnapshotLake.latestPins(spark, root)
+    val strandCalls = CountingLocalFs.calls.get()
+    assert(pins2("part_date=2023-01-09") == 2L,
+      "latestPins missed a partition version committed after the " +
+        "newest manifest")
+    assert(strandCalls <= 15,
+      s"the 1-partition delta cost $strandCalls listStatus calls — " +
+        "delta resolution is not O(delta)")
+    // v=2 is a full partition snapshot (SnapshotLake.commit semantics),
+    // so latest serves exactly it — while snapshot 3 still time-travels
+    // to the pre-strand v=1
+    assert(PartitionedSnapshotLake.readLatest(spark, root)
+      .filter($"part_date" === "2023-01-09")
+      .select("val").as[String].collect().toSet == Set("stranded"),
+      "readLatest must serve the stranded version through the delta")
+    assert(PartitionedSnapshotLake.readVersion(spark, root, 3L)
+      .filter($"part_date" === "2023-01-09")
+      .select("val").as[String].collect().toSet == Set("seed"))
   }
 }
