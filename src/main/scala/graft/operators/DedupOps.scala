@@ -283,7 +283,8 @@ object DedupOps {
   /** One STREAMING incremental-dedup step — the d8 asymmetric probe as
     * a `foreachBatch` body over a continuous ingest: the micro-batch's
     * band table probes the persisted signature store (band equi-join —
-    * no corpus re-scan, per-batch cost ∝ batch), each batch doc gets a
+    * no corpus re-banding, and the batch side broadcasts so the store
+    * rows never shuffle), each batch doc gets a
     * dup verdict — against the store AND against earlier docs of the
     * SAME micro-batch (a band-bucket window over the batch's own band
     * table; min doc_id per bucket is the batch keeper) — and the NOVEL
@@ -293,6 +294,16 @@ object DedupOps {
     * (an exact copy collides in all 16 bands); pipelines wanting exact
     * confirmation run the d8 verify on flagged docs downstream.
     *
+    * STORE LAYOUT: `(doc_id, bh)` where bh = xxhash64(band, band_key)
+    * — the 8-lane band slice (64 bytes) folds into one 8-byte key
+    * before it ever lands on disk. A band collision ⇔ a bh collision
+    * (modulo 64-bit hash collisions, vanishing against LSH's own
+    * false-positive rate — and verdicts are candidates by contract).
+    * The probe's per-batch cost is O(batch) work + one columnar scan
+    * of the store's 16-byte rows; the round-10 probe measured the
+    * scan share directly (BENCH_NOTES), and the hash layout cuts that
+    * share's bytes ~5× vs storing the band arrays.
+    *
     * @return (doc_id, is_dup) for every batch doc */
   def probeAndExtend(store: String, batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
@@ -300,7 +311,7 @@ object DedupOps {
     val sh = batch.filter(length(col("text")) >= 8)
       .withColumn("shingles", expr("md5_shingle60(text)"))
       .select(col("doc_id"), col("shingles"))
-    val bands = minhashBanded(sh).cache()
+    val bands = bandHashes(sh).cache()
     // store existence resolves through Hadoop's FileSystem, not
     // java.io.File: on hdfs:// / s3a:// a File-based check is always
     // false, silently disabling the probe exactly at the scale this
@@ -313,10 +324,10 @@ object DedupOps {
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"))
       else
-        bands.join(
+        broadcast(bands).join(
           spark.read.parquet(store)
             .withColumnRenamed("doc_id", "corpus_id"),
-          Seq("band", "band_key"))
+          Seq("bh"))
           .select(col("doc_id")).distinct()
     // within-batch duplicates never reach the store probe (neither
     // copy is stored yet), so a batch-sized self-probe closes the
@@ -324,7 +335,7 @@ object DedupOps {
     // keeper, every other batch doc sharing the bucket is a dup. The
     // window is over the micro-batch's band table only — cheap.
     val perBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_key"))
+      .partitionBy(col("bh"))
     val batchHits = bands
       .withColumn("min_id", min(col("doc_id")).over(perBucket))
       .filter(col("doc_id") =!= col("min_id"))
@@ -402,6 +413,16 @@ object DedupOps {
     bandedFromSig(sh.select(col("doc_id"),
       expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
         .as("sig")))
+
+  /** The STORE-layout form of [[minhashBanded]]: each (band,
+    * band_key) folded to one xxhash64 long. This is what the
+    * streaming signature store persists — 16-byte rows instead of
+    * ~80-byte band arrays, so the per-batch store scan of
+    * [[probeAndExtend]] reads ~5× fewer bytes and the equi-join runs
+    * on a primitive key inside whole-stage codegen. */
+  def bandHashes(sh: DataFrame): DataFrame =
+    minhashBanded(sh)
+      .select(col("doc_id"), xxhash64(col("band"), col("band_key")).as("bh"))
 
   /** Bands as 8-lane slices of an EXISTING (doc_id, sig) signature
     * table — consumers that also need the full signature (d11's lane
