@@ -63,6 +63,13 @@ object Bench {
     if (Timing == "count-v1") df.count()
     else df.queryExecution.toRdd.count()
 
+  /** Locale-proof 3-decimal number for JSON: the `f"%.3f"`
+    * interpolator formats with the JVM default locale, and a de_DE/
+    * fr_FR JVM would emit `1,200` — invalid JSON — into the
+    * machine-parsed artifacts. */
+  private[graft] def num3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private[graft] def jsonQ(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -84,10 +91,10 @@ object Bench {
     val total = times.map(_._2).sum
     val filt = if (filtered) s""""filtered":true,""" else ""
     def render(qmap: Seq[(String, Double)], omitted: Int): String = {
-      val qs = qmap.map { case (k, v) => f"${jsonQ(k)}:$v%.3f" }
+      val qs = qmap.map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":${jsonQ(Timing)},""" +
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},""" +
         s"""$filt"queries":$qs,"errors":$es,"n_ok":${times.size},""" +
         s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
         s""""regressed":$regressed$omit,"sf":${jsonQ(sfDir)}}"""
@@ -124,7 +131,7 @@ object Bench {
           .map(t => math.max(0.0, t - m.values.sum))
         val kv = (m.toSeq.sortBy(_._1) ++
           residual.map("spark_residual" -> _))
-          .map { case (p, v) => f"${jsonQ(p)}:$v%.3f" }
+          .map { case (p, v) => s"${jsonQ(p)}:${num3(v)}" }
         s"${jsonQ(qn)}:${kv.mkString("{", ",", "}")}"
       }.mkString(""""phases":{""", ",", "},")
     s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},""" +
@@ -221,8 +228,13 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best) {
             best = sec
+            // the split must belong to the SAME run as the recorded
+            // min — a faster run with no phases clears any stale
+            // snapshot from a slower one, or the residual would be
+            // computed against another run's phase sum
             val snap = PhaseLog.snapshot()
             if (snap.nonEmpty) phases(name) = snap
+            else phases.remove(name): Unit
           }
         }
         times(name) = best
@@ -248,6 +260,7 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
+          phases.remove(name): Unit // no time row -> no split row
       }
     }
     names.foreach(measure)

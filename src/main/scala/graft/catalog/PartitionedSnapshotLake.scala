@@ -127,7 +127,20 @@ object PartitionedSnapshotLake {
 
   /** The partition→version pins of a committed global snapshot. */
   def manifest(spark: SparkSession, root: String,
-      snap: Long): Map[String, Long] = {
+      snap: Long): Map[String, Long] =
+    manifestWithTimes(spark, root, snap)
+      .map { case (p, (v, _)) => p -> v }
+
+  /** Pins plus each pin's PINNED-AT time — the millis of the manifest
+    * commit that FIRST pinned that (partition, version), carried
+    * forward verbatim when later manifests overlay other partitions.
+    * Lines are `partition TAB version [TAB pinnedAtMillis]`; two-field
+    * lines (pre-round-10 manifests) read as pinnedAt 0, which makes
+    * [[latestPins]] re-check those partitions — correct, just unpruned
+    * (ordinary commits carry the 0 forward; run [[repairManifest]]
+    * once after upgrading to re-pin everything fresh). */
+  private[catalog] def manifestWithTimes(spark: SparkSession,
+      root: String, snap: Long): Map[String, (Long, Long)] = {
     val fs = fsFor(spark, root)
     require(fs.exists(new Path(snapsDir(root), snap.toString)),
       s"snapshot $snap is not committed at $root; " +
@@ -135,7 +148,12 @@ object PartitionedSnapshotLake {
     val in = fs.open(new Path(snapsDir(root), s"$snap.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).map { line =>
-        val Array(p, v) = line.split('\t'); p -> v.toLong
+        line.split('\t') match {
+          case Array(p, v) => p -> (v.toLong, 0L)
+          case Array(p, v, at) => p -> (v.toLong, at.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed manifest line for snapshot $snap at $root: $line")
+        }
       }.toMap
     finally in.close()
   }
@@ -217,21 +235,32 @@ object PartitionedSnapshotLake {
     latestSnapshot(spark, root) match {
       case None => fullWalkPins(spark, root)
       case Some(s) =>
-        val base = manifest(spark, root, s)
-        val mMtime = fs.getFileStatus(
-          new Path(snapsDir(root), s"$s.manifest")).getModificationTime
-        // ONE listing of the lake root; >= not > on the mtime compare
-        // so same-granularity-tick commits re-check rather than hide
+        val base = manifestWithTimes(spark, root, s)
+        // ONE listing of the lake root. A partition re-resolves its
+        // marker listing iff its dir mtime is at/after ITS OWN pin's
+        // pinnedAt — NOT the newest manifest's mtime: a manifest only
+        // validates its own overlay, and comparing every partition
+        // against the newest manifest would hide a version stranded by
+        // a crashed writer once any LATER writer committed elsewhere
+        // (its carried-forward pin rides along untested). pinnedAt and
+        // dir mtimes live in the same clock domain (both FS-stamped —
+        // see commitManifest's fsNow probe), and >= not > so
+        // same-granularity-tick commits re-check rather than hide.
         val delta = fs.listStatus(new Path(root)).toSeq
           .filter(_.getPath.getName.startsWith("part_date="))
-          .filter(st => !base.contains(st.getPath.getName) ||
-            st.getModificationTime >= mMtime)
+          .filter { st =>
+            base.get(st.getPath.getName) match {
+              case None => true
+              case Some((_, pinnedAt)) =>
+                st.getModificationTime >= pinnedAt
+            }
+          }
           .flatMap { st =>
             val p = st.getPath.getName
             SnapshotLake.latestVersion(spark, partRoot(root, p))
               .map(p -> _)
           }.toMap
-        base ++ delta
+        base.map { case (p, (v, _)) => p -> v } ++ delta
     }
   }
 
@@ -330,13 +359,23 @@ object PartitionedSnapshotLake {
     * and merge bases hold no lock (the Delta/Iceberg VACUUM race), so
     * the retention horizon must exceed the longest read in flight.
     * That bound is named here as `readerHazardMs`
-    * ([[DefaultReaderHazardMs]]): any snapshot whose manifest is
-    * younger than it is RETAINED (and its pins kept) regardless of
-    * `retainSnapshots` — a reader that resolved pins at time T is safe
-    * as long as its scan finishes within readerHazardMs of T. Size it
-    * ≥ your longest snapshot read or merge; `retainSnapshots` alone is
-    * only safe when retainSnapshots × commit cadence already exceeds
-    * that (the previous, implicit contract).
+    * ([[DefaultReaderHazardMs]]) and protects BOTH pin sources a
+    * reader can resolve: any snapshot whose manifest is younger than
+    * the horizon is retained (pins kept) regardless of
+    * `retainSnapshots`, and any partition VERSION whose SUCCESSOR's
+    * commit marker is younger is kept even when no manifest pins it —
+    * readLatest serves marker-resolved (manifest-less,
+    * crash-stranded) versions through its mtime delta, and such a
+    * version was resolvable as "the latest" right up until its
+    * successor landed, so its hazard clock runs from the successor's
+    * marker. Together: a readLatest that resolved pins at time T is
+    * safe as long as its scan finishes within readerHazardMs of T
+    * (each resolved pin was either the newest manifest's — always
+    * retained — or its partition's latest at T, deletable only once
+    * superseded for a full horizon).
+    * Size it ≥ your longest snapshot read or merge; `retainSnapshots`
+    * alone is only safe when retainSnapshots × commit cadence already
+    * exceeds that (the previous, implicit contract).
     *
     * The per-partition sweep — listings and deletes, each partition
     * independent — fans out over [[VacuumParallelism]] threads:
@@ -367,12 +406,20 @@ object PartitionedSnapshotLake {
         case (n, st) if now - st.getModificationTime < lockTtlMs => n
       }.toSet
     }
-    // reader-hazard horizon: young snapshots stay, however many there
-    // are — their pins may still be mid-scan in a lockless reader
-    val hazardKept = snaps.filter { s =>
+    // reader-hazard horizon: snapshot s was "the newest" — what a
+    // lockless readLatest resolves — until its successor's manifest
+    // landed, so s's hazard clock runs from the SUCCESSOR's mtime:
+    // keep s while the successor is younger than the horizon (this
+    // also keeps every young snapshot: its successor is younger
+    // still, and the newest is always in the takeRight)
+    def manifestMtime(s: Long): Option[Long] = {
       val m = new Path(snapsDir(root), s"$s.manifest")
-      fs.exists(m) &&
-        now - fs.getFileStatus(m).getModificationTime < readerHazardMs
+      if (fs.exists(m)) Some(fs.getFileStatus(m).getModificationTime)
+      else None
+    }
+    val hazardKept = snaps.zip(snaps.drop(1)).collect {
+      case (s, nxt)
+        if manifestMtime(nxt).exists(now - _ < readerHazardMs) => s
     }
     val keepSnaps =
       (snaps.takeRight(retainSnapshots) ++ hazardKept).distinct.sorted
@@ -386,11 +433,36 @@ object PartitionedSnapshotLake {
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = {
             val pr = partRoot(root, p)
-            val vs = SnapshotLake.versions(spark, pr)
+            val commits = new Path(pr, "_commits")
+            // marker mtimes in one listing: versions whose COMMIT is
+            // younger than the hazard horizon are kept even when no
+            // manifest pins them — readLatest serves marker-resolved
+            // (manifest-less, crash-stranded) versions through its
+            // delta path, so a lockless reader may be mid-scan on one;
+            // manifest-age protection alone cannot see those pins
+            val markerTimes: Map[Long, Long] =
+              if (!fs.exists(commits)) Map.empty
+              else fs.listStatus(commits).toSeq.flatMap { st =>
+                st.getPath.getName.toLongOption
+                  .map(_ -> st.getModificationTime)
+              }.toMap
+            val vs = markerTimes.keys.toSeq.sorted
             if (vs.nonEmpty) {
-              val liveLocked = sweepLocks(new Path(pr, "_commits"))
+              val liveLocked = sweepLocks(commits)
               val latest = vs.last
-              val keep = pinned.getOrElse(p, Set.empty) + latest
+              // a version was resolvable as "the latest" by delta
+              // readers until its SUCCESSOR's marker landed — so the
+              // hazard clock for version v runs from marker(v+next),
+              // not from v's own commit: keep v while its successor is
+              // younger than the horizon (markers commit in version
+              // order under the claim protocol)
+              val recentlySuperseded: Set[Long] =
+                vs.zip(vs.drop(1)).collect {
+                  case (v, nxt)
+                    if now - markerTimes(nxt) < readerHazardMs => v
+                }.toSet
+              val keep = pinned.getOrElse(p, Set.empty) + latest ++
+                recentlySuperseded
               vs.filterNot(keep).foreach { v =>
                 fs.delete(new Path(pr, s"v=$v"), true)
                 fs.delete(
@@ -410,7 +482,17 @@ object PartitionedSnapshotLake {
           }
         })
       }
-      sweeps.foreach(_.get()) // propagate the first failure
+      // fail-stop: on the first failure cancel everything still queued
+      // or running before rethrowing — deletion must not continue in
+      // the background after vacuum has reported failure — and unwrap
+      // the ExecutionException so callers see the original IOException
+      try sweeps.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
     // leaked staging dirs from crashed commits (the success/failure
     // paths both delete theirs; only a process death leaves one)
@@ -496,10 +578,26 @@ object PartitionedSnapshotLake {
     try SnapshotLake.withLockHeartbeat(fs, manifestLock(root)) {
       val prev = latestSnapshot(spark, root)
       val n = prev.getOrElse(0L) + 1L
-      val pins = prev.map(manifest(spark, root, _)).getOrElse(
-        Map.empty[String, Long]) ++ overlay
-      val body = pins.toSeq.sorted
-        .map { case (p, v) => s"$p\t$v" }.mkString("\n")
+      // pinnedAt for this commit's overlay, in the FILESYSTEM's clock
+      // domain (a throwaway touch, statted back): latestPins compares
+      // it against partition DIR mtimes, which the FS stamps — using
+      // the writer's own clock would let cross-machine skew hide a
+      // stranded commit landing just after this manifest. All of this
+      // writer's partition renames happened before now, so fsNow
+      // upper-bounds their mtimes and the overlay pins start clean.
+      val fsNow: Long = {
+        val probe = new Path(new Path(snapsDir(root), "_commits"), "clock")
+        val out = fs.create(probe, true); out.close()
+        fs.getFileStatus(probe).getModificationTime
+      }
+      val prevPins = prev
+        .map(manifestWithTimes(spark, root, _))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val pins = prevPins ++ overlay.map { case (p, v) =>
+        p -> (v, fsNow)
+      }
+      val body = pins.toSeq.sortBy(_._1)
+        .map { case (p, (v, at)) => s"$p\t$v\t$at" }.mkString("\n")
       val out = fs.create(new Path(snapsDir(root), s"$n.manifest"), true)
       out.write(body.getBytes("UTF-8")); out.close()
       // fencing check, then create-if-absent marker: if the mutex was

@@ -323,12 +323,28 @@ object DedupOps {
       if (!storeExists)
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
           .select(col("doc_id"))
-      else
-        broadcast(bands).join(
-          spark.read.parquet(store)
-            .withColumnRenamed("doc_id", "corpus_id"),
-          Seq("bh"))
+      else {
+        val corpus = spark.read.parquet(store)
+        // layout guard: a store written before the hashed layout
+        // (doc_id, band, band_key) must not half-work or get mixed
+        // schemas appended next to it — fail with the migration path
+        if (!corpus.columns.contains("bh"))
+          throw new IllegalStateException(
+            s"signature store at $store uses the pre-hash layout " +
+              s"(${corpus.columns.mkString(", ")}); run " +
+              "DedupOps.migrateStore(spark, store) once to rewrite " +
+              "it as (doc_id, bh)")
+        // the batch side broadcasts ONLY while its band table is
+        // broadcast-sized — a catch-up batch after stream downtime can
+        // carry millions of docs (16 band rows each), and forcing a
+        // driver collect there would OOM where a shuffle join is fine
+        val batchSide =
+          if (bands.count() <= MaxBroadcastBandRows) broadcast(bands)
+          else bands
+        batchSide.join(
+          corpus.withColumnRenamed("doc_id", "corpus_id"), Seq("bh"))
           .select(col("doc_id")).distinct()
+      }
     // within-batch duplicates never reach the store probe (neither
     // copy is stored yet), so a batch-sized self-probe closes the
     // blind spot: in every band bucket the batch's min doc_id is the
@@ -414,6 +430,13 @@ object DedupOps {
       expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
         .as("sig")))
 
+  /** Band-row ceiling for broadcasting a micro-batch's band table
+    * into the store probe: 4M rows ≈ 64 MB of (doc_id, bh) pairs ≈
+    * 250k docs — far above any sane micro-batch, far below the
+    * driver-side broadcast danger zone. Bigger batches fall back to a
+    * shuffle join (same result, no collect). */
+  val MaxBroadcastBandRows: Long = 4000000L
+
   /** The STORE-layout form of [[minhashBanded]]: each (band,
     * band_key) folded to one xxhash64 long. This is what the
     * streaming signature store persists — 16-byte rows instead of
@@ -423,6 +446,29 @@ object DedupOps {
   def bandHashes(sh: DataFrame): DataFrame =
     minhashBanded(sh)
       .select(col("doc_id"), xxhash64(col("band"), col("band_key")).as("bh"))
+
+  /** One-time upgrade of a pre-round-10 signature store
+    * ((doc_id, band, band_key) rows) to the hashed layout
+    * ((doc_id, bh)): rewrite to a temp dir, then swap. Idempotent —
+    * an already-hashed store is left untouched. */
+  def migrateStore(spark: SparkSession, store: String): Unit = {
+    val old = spark.read.parquet(store)
+    if (old.columns.contains("bh")) return
+    require(old.columns.contains("band") &&
+      old.columns.contains("band_key"),
+      s"store at $store is neither hashed nor pre-hash layout: " +
+        old.columns.mkString(", "))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(store + ".migrating")
+    fs.delete(tmp, true)
+    old.select(col("doc_id"),
+        xxhash64(col("band"), col("band_key")).as("bh"))
+      .write.parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(store)),
+      s"migrate swap failed: $tmp -> $store")
+  }
 
   /** Bands as 8-lane slices of an EXISTING (doc_id, sig) signature
     * table — consumers that also need the full signature (d11's lane

@@ -684,19 +684,30 @@ object TextOps {
     // runs, with the sketch as the bounded-state first stage.
     "t22_heavy_hitters" -> ((s, dir) => {
       import graft.functions.Fns.md5Bucket
-      val words = load(s, dir, "documents")
+      // ONE word-count aggregation feeds both the exact top-20 and
+      // the sketch: per-cell CMS counts are additive, so summing
+      // pre-aggregated word counts into (d, b) cells is algebraically
+      // identical to incrementing per occurrence (the map-side-combine
+      // form of sketch construction) — and the 4 md5 probes compute
+      // per DISTINCT word, not per word occurrence (round 10: ~10×
+      // fewer hashes; at 100 TB the hash work scales with vocabulary,
+      // not corpus size)
+      val counts = load(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
-        .cache() // feeds the exact counts and the counter table
-      val top = words.groupBy(col("word"))
+        .groupBy(col("word"))
         .agg(count(lit(1)).as("n_exact"))
+        .cache() // feeds the top-20 and the counter table
+      val top = counts
         .orderBy(col("n_exact").desc, col("word")).limit(20)
       def bucket(d: org.apache.spark.sql.Column,
           word: org.apache.spark.sql.Column) =
         md5Bucket(concat_ws("#", d.cast("string"), word), 64)
-      val cm = words
-        .select(col("word"), explode(sequence(lit(0), lit(3))).as("d"))
-        .select(col("d"), bucket(col("d"), col("word")).as("b"))
-        .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+      val cm = counts
+        .select(col("word"), col("n_exact"),
+          explode(sequence(lit(0), lit(3))).as("d"))
+        .select(col("d"), bucket(col("d"), col("word")).as("b"),
+          col("n_exact"))
+        .groupBy(col("d"), col("b")).agg(sum(col("n_exact")).as("c"))
       top
         .select(col("word"), col("n_exact"),
           explode(sequence(lit(0), lit(3))).as("d"))

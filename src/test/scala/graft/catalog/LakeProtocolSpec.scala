@@ -191,10 +191,13 @@ class LakeProtocolSpec extends AnyFunSuite {
     parts.drop(1).foreach { p =>
       copyTree(seed, new java.io.File(dir, p))
     }
-    // hand-write manifest 2 pinning all 1000 at v1 (the repair shape)
+    // hand-write manifest 2 pinning all 1000 at v1 (the repair shape:
+    // pinnedAt = now, as repairManifest would stamp)
     val snaps = new java.io.File(dir, "_snapshots")
+    val pinAt = System.currentTimeMillis()
     java.nio.file.Files.write(new java.io.File(snaps, "2.manifest").toPath,
-      parts.sorted.map(p => s"$p\t1").mkString("\n").getBytes("UTF-8"))
+      parts.sorted.map(p => s"$p\t1\t$pinAt").mkString("\n")
+        .getBytes("UTF-8"))
     java.nio.file.Files.write(new java.io.File(snaps, "2").toPath,
       Array.emptyByteArray)
 
@@ -281,5 +284,18 @@ class LakeProtocolSpec extends AnyFunSuite {
     assert(PartitionedSnapshotLake.readVersion(spark, root, 3L)
       .filter($"part_date" === "2023-01-09")
       .select("val").as[String].collect().toSet == Set("seed"))
+
+    // the carried-pin trap: a LATER writer now commits a DIFFERENT
+    // partition, minting manifest 4 that carries 2023-01-09 forward at
+    // its stale pin. The strand must STAY visible — each pin's delta
+    // test compares against that pin's own pinnedAt (which predates
+    // the strand), never against the newest manifest's mtime (which
+    // postdates it and would hide it forever)
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((20L, "2023-01-07", "later")), "id", "ts")
+    val pins3 = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(pins3("part_date=2023-01-09") == 2L,
+      "a later writer's manifest hid a crash-stranded partition " +
+        "version from readLatest (carried pin went untested)")
   }
 }

@@ -49,12 +49,18 @@ class VacuumHazardSpec extends AnyFunSuite {
   }
 
   test("snapshots aged past the horizon fall to count-based retention; " +
-      "the boundary is the manifest mtime") {
+      "the hazard clock is the SUCCESSOR's mtime (supersession time)") {
     val root = threeSnapshots()
-    // age manifests 1 and 2 past a 1-minute horizon; 3 stays fresh
-    Seq(1L, 2L).foreach { s =>
+    // age everything: manifests (snapshot supersession clock) and the
+    // partition's commit markers (version supersession clock) — a
+    // version/snapshot is only deletable once its successor has been
+    // visible for a full horizon
+    val old = System.currentTimeMillis() - 10L * 60 * 1000
+    (1L to 3L).foreach { s =>
       val m = new java.io.File(s"$root/_snapshots/$s.manifest")
-      assert(m.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000))
+      assert(m.setLastModified(old))
+      val mk = new java.io.File(s"$root/part_date=2026-05-01/_commits/$s")
+      assert(mk.setLastModified(old))
     }
     PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 1,
       readerHazardMs = 60L * 1000)
@@ -65,6 +71,24 @@ class VacuumHazardSpec extends AnyFunSuite {
       .partitionVersions(spark, root, "part_date=2026-05-01") == Seq(3L))
     assert(PartitionedSnapshotLake.readLatest(spark, root)
       .select("val").as[String].head() == "a3")
+  }
+
+  test("a version superseded within the horizon survives even with " +
+      "no manifest pinning it (delta readers may be mid-scan)") {
+    val root = threeSnapshots()
+    // age manifests 1..2 so count-based retention WOULD reclaim their
+    // pins, but leave the partition markers fresh: v1/v2 were each
+    // 'the latest' until seconds ago — a delta reader could be on them
+    Seq(1L, 2L).foreach { s =>
+      val m = new java.io.File(s"$root/_snapshots/$s.manifest")
+      assert(m.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000))
+    }
+    PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 1,
+      readerHazardMs = 60L * 1000)
+    assert(PartitionedSnapshotLake
+      .partitionVersions(spark, root, "part_date=2026-05-01")
+      == Seq(1L, 2L, 3L),
+      "recently superseded versions were reclaimed inside the horizon")
   }
 
   test("readerHazardMs = 0 restores pure count-based retention") {

@@ -266,6 +266,43 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(stored == Set(1L, 2L, 11L))
   }
 
+  test("a pre-hash-layout store fails loudly and migrateStore upgrades " +
+      "it in place (round-10 store format)") {
+    graft.GraftFunctions.register(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_oldstore").resolve("bands").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about spark engines"))
+      .toDF("doc_id", "text")
+    // fabricate an OLD-layout store: the banded rows as persisted
+    // before round 10
+    val sh = docs.withColumn("shingles",
+      org.apache.spark.sql.functions.expr("md5_shingle60(text)"))
+      .select($"doc_id", $"shingles")
+    DedupOps.minhashBanded(sh).write.parquet(store)
+    val e = intercept[IllegalStateException] {
+      DedupOps.probeAndExtend(store,
+        Seq((3L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text")).collect()
+    }
+    assert(e.getMessage.contains("migrateStore"))
+    DedupOps.migrateStore(spark, store)
+    assert(spark.read.parquet(store).columns.sorted.toSeq ==
+      Seq("bh", "doc_id"))
+    // post-migration the probe works and the old corpus still hits:
+    // doc 3 is an exact copy of stored doc 1
+    val verdicts = DedupOps.probeAndExtend(store,
+      Seq((3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "totally novel content that matches nothing at all"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(verdicts == Map(3L -> true, 4L -> false))
+    // migrate is idempotent
+    DedupOps.migrateStore(spark, store)
+    assert(spark.read.parquet(store).columns.contains("bh"))
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
