@@ -305,7 +305,18 @@ object DedupOps {
     * share's bytes ~5× vs storing the band arrays.
     *
     * @return (doc_id, is_dup) for every batch doc */
-  def probeAndExtend(store: String, batch: DataFrame): DataFrame = {
+  def probeAndExtend(store: String, batch: DataFrame): DataFrame =
+    probeAndExtendImpl(store, batch, MaxBroadcastBandRows)
+
+  /** [[probeAndExtend]] with the broadcast ceiling injectable — plan
+    * specs drive the shuffle-join fallback without building a 4M-row
+    * batch. */
+  private[operators] def probeAndExtendForTest(store: String,
+      batch: DataFrame, maxBroadcastBandRows: Long): DataFrame =
+    probeAndExtendImpl(store, batch, maxBroadcastBandRows)
+
+  private def probeAndExtendImpl(store: String, batch: DataFrame,
+      maxBroadcastBandRows: Long): DataFrame = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val sh = batch.filter(length(col("text")) >= 8)
@@ -339,7 +350,7 @@ object DedupOps {
         // carry millions of docs (16 band rows each), and forcing a
         // driver collect there would OOM where a shuffle join is fine
         val batchSide =
-          if (bands.count() <= MaxBroadcastBandRows) broadcast(bands)
+          if (bands.count() <= maxBroadcastBandRows) broadcast(bands)
           else bands
         batchSide.join(
           corpus.withColumnRenamed("doc_id", "corpus_id"), Seq("bh"))

@@ -195,4 +195,62 @@ class LakeCrashFuzzSpec extends AnyFunSuite {
       FaultInjectingFs.disarm()
     }
   }
+
+  test("sampled crash points through vacuum never break retained " +
+      "snapshots, and a rerun completes the interrupted sweep") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.failfs.impl", classOf[FaultInjectingFs].getName)
+    try {
+      def build(): String = {
+        val root = freshLake() // snapshot 1 (2 partitions)
+        FaultInjectingFs.disarm()
+        PartitionedSnapshotLake.commitMerge(spark, root, crashBatch,
+          "id", "ts") // snapshot 2
+        PartitionedSnapshotLake.commitMerge(spark, root, recoveryBatch,
+          "id", "ts") // snapshot 3
+        root
+      }
+      def vac(root: String): Unit =
+        PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 1,
+          readerHazardMs = 0L)
+      // clean probe: mutations in a full sweep of this lake shape
+      val probe = build()
+      FaultInjectingFs.arm(Long.MaxValue)
+      vac(probe)
+      val total = FaultInjectingFs.ops.get()
+      FaultInjectingFs.disarm()
+      assert(total >= 3, s"vacuum probe saw only $total mutations")
+
+      val rnd = new scala.util.Random(0xdead5eed)
+      val points = (Seq.fill(6)(1L + rnd.nextLong(total)) ++
+        Seq(1L, total)).distinct.filter(p => p >= 1 && p <= total).sorted
+      info(s"vacuum sweep = $total mutations; kill points: " +
+        points.mkString(", "))
+      points.foreach { k =>
+        val root = build()
+        FaultInjectingFs.arm(k)
+        val crashed =
+          try { vac(root); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        FaultInjectingFs.disarm()
+        val clue = s"vacuum kill@$k (crashed=$crashed)"
+        // whatever the crash point: the snapshot that must survive
+        // (newest) reads in full, and readLatest stays consistent
+        val snaps = PartitionedSnapshotLake.snapshots(spark, root)
+        assert(snaps.contains(3L), s"$clue: newest snapshot lost")
+        assert(PartitionedSnapshotLake.readVersion(spark, root, 3L)
+          .count() == 4, s"$clue: retained snapshot no longer whole")
+        val ids = PartitionedSnapshotLake.readLatest(spark, root)
+          .select("id").as[Long].collect().toSeq
+        assert(ids.sorted == Seq(1L, 2L, 3L, 4L),
+          s"$clue: readLatest rows wrong: $ids")
+        // the rerun finishes the job and converges to the clean state
+        vac(root)
+        assert(PartitionedSnapshotLake.snapshots(spark, root) == Seq(3L),
+          s"$clue: rerun did not converge")
+        assert(PartitionedSnapshotLake.readVersion(spark, root, 3L)
+          .count() == 4, s"$clue: post-rerun snapshot broken")
+      }
+    } finally FaultInjectingFs.disarm()
+  }
 }
