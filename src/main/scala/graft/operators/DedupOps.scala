@@ -458,6 +458,36 @@ object DedupOps {
     minhashBanded(sh)
       .select(col("doc_id"), xxhash64(col("band"), col("band_key")).as("bh"))
 
+  /** Maintenance compaction for the streaming signature store: every
+    * micro-batch's novel-band append leaves its own small parquet
+    * file, so after ten thousand batches the per-batch probe scan is
+    * file-OPEN bound, not byte bound. Rewrite to size-targeted files
+    * (~128 MB, or `targetFiles` if given), deduplicating rows on the
+    * way — at-least-once replay can append the same (doc_id, bh)
+    * twice, which is verdict-harmless (hits are distinct'd) but pure
+    * waste on disk. Same tmp+swap as [[migrateStore]]. NOT safe
+    * against a concurrent writer: run it from the ingest job between
+    * batches, where foreachBatch already serializes store access. */
+  def compactStore(spark: SparkSession, store: String,
+      targetFiles: Int = 0): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(store)).getLength
+    val n =
+      if (targetFiles > 0) targetFiles
+      else math.max(1L, bytes / (128L * 1024 * 1024)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(store + ".compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(store).select(col("doc_id"), col("bh"))
+      .distinct()
+      .repartition(n)
+      .write.parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(store)),
+      s"compact swap failed: $tmp -> $store")
+  }
+
   /** One-time upgrade of a pre-round-10 signature store
     * ((doc_id, band, band_key) rows) to the hashed layout
     * ((doc_id, bh)): rewrite to a temp dir, then swap. Idempotent —

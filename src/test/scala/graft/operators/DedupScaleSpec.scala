@@ -303,6 +303,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).columns.contains("bh"))
   }
 
+  test("compactStore collapses per-batch append files and dedupes " +
+      "replayed rows without changing verdicts") {
+    graft.GraftFunctions.register(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_compact").resolve("bands").toString
+    def batch(i: Long) = Seq(
+      (i, s"document number $i about completely distinct topic $i " +
+        s"with enough words to shingle properly every time"))
+      .toDF("doc_id", "text")
+    (1L to 4L).foreach(i =>
+      DedupOps.probeAndExtend(store, batch(i)).collect())
+    // simulate an at-least-once replay: re-append batch 1's bands
+    // (doc 1 is stored — near-identical batches 2..4 were flagged as
+    // its dups and never extended the store, which is itself the
+    // within-store dedup working)
+    val sh = batch(1L).withColumn("shingles",
+      org.apache.spark.sql.functions.expr("md5_shingle60(text)"))
+      .select($"doc_id", $"shingles")
+    DedupOps.bandHashes(sh).write.mode("append").parquet(store)
+    def files = new java.io.File(store).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 5, s"expected >=5 append files, got $files")
+    val before = spark.read.parquet(store).count()
+    DedupOps.compactStore(spark, store, targetFiles = 1)
+    assert(files == 1, s"compaction left $files files")
+    val after = spark.read.parquet(store).count()
+    assert(after == before - 16, // doc 1's 16 replayed bands deduped
+      s"expected dedupe of 16 replayed rows: $before -> $after")
+    // verdicts unchanged: copy of stored doc 2 hits, novel doc misses
+    val v = DedupOps.probeAndExtend(store,
+      Seq((20L, "document number 2 about completely distinct topic 2 " +
+        "with enough words to shingle properly every time"),
+        (21L, "nothing like anything stored before in any way at all"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v == Map(20L -> true, 21L -> false))
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
