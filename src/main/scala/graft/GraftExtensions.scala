@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate}
+import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate, WordTrigramHash64}
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -35,6 +35,10 @@ object GraftFunctions {
     (FunctionIdentifier("shingle_hash64"),
       new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
       (es: Seq[Expression]) => ShingleHash64(es.head)),
+    (FunctionIdentifier("word_trigram_hash64"),
+      new ExpressionInfo(classOf[WordTrigramHash64].getName,
+        "word_trigram_hash64"),
+      (es: Seq[Expression]) => WordTrigramHash64(es.head)),
     (FunctionIdentifier("md5_shingle60"),
       new ExpressionInfo(classOf[Md5Shingle60].getName, "md5_shingle60"),
       (es: Seq[Expression]) => Md5Shingle60(es.head)),

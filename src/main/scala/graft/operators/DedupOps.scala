@@ -897,20 +897,16 @@ object DedupOps {
     // Jaccard pair at sf0.1). Exact trigram-Jaccard ≥ 0.7 on candidates.
     "d4_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // native one-pass trigram tokenizer (round 10): hashes each
+      // trigram's byte SPAN in place — no words array, no trigram
+      // strings, no interpreted HOF lambdas; emits sorted-distinct
+      // (the sorted_intersect_count contract). Hash-identity equals
+      // string-set identity modulo 64-bit collisions, and the prefix
+      // filter below is recall-exact under any consistent token order
       val tg = load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
-        .withColumn("w", split(col("text"), " "))
-        // sort_array: verifyJaccard's sorted_intersect_count needs
-        // ascending input (order is otherwise free — every consumer
-        // here is set-wise)
-        .withColumn("shingles", expr(
-          """case when size(w) >= 3 then
-            |  sort_array(transform(array_distinct(
-            |    transform(sequence(1, size(w)-2), i ->
-            |      concat_ws(' ', element_at(w,i), element_at(w,i+1),
-            |                element_at(w,i+2)))), t -> xxhash64(t)))
-            |else cast(array() as array<bigint>) end""".stripMargin))
+        .withColumn("shingles", expr("word_trigram_hash64(text)"))
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"))
         .cache() // reused by the inverted index and both verify sides
