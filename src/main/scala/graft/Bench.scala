@@ -298,8 +298,19 @@ object Bench {
       System.err.println(s"BENCH retesting ${firstPass.size} suspected " +
         s"regressions: ${firstPass.map(_._1).mkString(", ")}")
       firstPass.foreach { case (n, _, first) =>
-        measure(n) // min-of-3 again; keep the better of the two passes
-        times(n) = math.min(first, times.getOrElse(n, first))
+        // keep the better of the two passes — TIME AND SPLIT TOGETHER:
+        // if the first pass stays the min, its phase snapshot must
+        // stay too, or the residual is computed against the retest
+        // run's phase sum (the mismatch the min-run rule exists for)
+        val firstPhases = phases.get(n)
+        measure(n) // min-of-3 again
+        if (first <= times.getOrElse(n, first)) {
+          times(n) = first
+          firstPhases match {
+            case Some(p) => phases(n) = p
+            case None => phases.remove(n): Unit
+          }
+        }
       }
     }
     val confirmed = gate()

@@ -209,11 +209,12 @@ object PartitionedSnapshotLake {
     * partition commits, so the delta is empty except (a) mid-commit
     * concurrent writers and (b) crash-stranded partition versions —
     * both exactly the cases the mtime test catches. [[vacuum]] bumps
-    * partition dir mtimes when it deletes old v-dirs, making the next
-    * readLatest O(partitions) once; run [[repairManifest]] after a
-    * vacuum to restore the O(1) path (or just eat one full walk).
-    * Object stores without real directory mtimes (S3) should use
-    * [[readLatestFullWalk]]. */
+    * partition dir mtimes when it deletes old v-dirs, and carried
+    * pins never re-stamp, so EVERY readLatest after a vacuum re-lists
+    * the swept partitions until something re-pins them — end vacuum
+    * maintenance windows with [[repairManifest]] (full walk, fresh
+    * pins) to restore the O(1) path. Object stores without real
+    * directory mtimes (S3) should use [[readLatestFullWalk]]. */
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readPins(spark, root, latestPins(spark, root))
 
@@ -237,22 +238,25 @@ object PartitionedSnapshotLake {
       case Some(s) =>
         val base = manifestWithTimes(spark, root, s)
         // ONE listing of the lake root. A partition re-resolves its
-        // marker listing iff its dir mtime is at/after ITS OWN pin's
-        // pinnedAt — NOT the newest manifest's mtime: a manifest only
-        // validates its own overlay, and comparing every partition
-        // against the newest manifest would hide a version stranded by
-        // a crashed writer once any LATER writer committed elsewhere
-        // (its carried-forward pin rides along untested). pinnedAt and
-        // dir mtimes live in the same clock domain (both FS-stamped —
-        // see commitManifest's fsNow probe), and >= not > so
-        // same-granularity-tick commits re-check rather than hide.
+        // marker listing iff its dir mtime is strictly after ITS OWN
+        // pin's pinnedAt — NOT the newest manifest's mtime: a
+        // manifest only validates its own overlay, and comparing
+        // every partition against the newest manifest would hide a
+        // version stranded by a crashed writer once any LATER writer
+        // committed elsewhere (its carried-forward pin rides along
+        // untested). pinnedAt IS a dir mtime (statted by the pinning
+        // commit inside its mutex), so both sides are FS-stamped —
+        // no cross-machine clock skew — and STRICT > is what makes
+        // an untouched partition (mtime == its pin's stat) prune;
+        // the residual is a same-mtime-tick strand, bounded by the
+        // filesystem's mtime granularity.
         val delta = fs.listStatus(new Path(root)).toSeq
           .filter(_.getPath.getName.startsWith("part_date="))
           .filter { st =>
             base.get(st.getPath.getName) match {
               case None => true
               case Some((_, pinnedAt)) =>
-                st.getModificationTime >= pinnedAt
+                st.getModificationTime > pinnedAt
             }
           }
           .flatMap { st =>
@@ -388,7 +392,18 @@ object PartitionedSnapshotLake {
     val fs = fsFor(spark, root)
     val snaps = snapshots(spark, root)
     if (snaps.isEmpty) return
-    val now = System.currentTimeMillis()
+    // every age this sweep computes (lock TTLs, manifest supersession,
+    // marker supersession, tmp-dir staleness) compares against
+    // FS-STAMPED mtimes, so "now" must come from the same clock: a
+    // vacuum host running minutes ahead of the namenode would
+    // otherwise overstate every age and delete inside the hazard
+    // horizon. One throwaway touch, statted back.
+    val now: Long = {
+      val probe = new Path(new Path(snapsDir(root), "_commits"), "clock")
+      fs.mkdirs(probe.getParent)
+      val out = fs.create(probe, true); out.close()
+      fs.getFileStatus(probe).getModificationTime
+    }
     val lockPat = "^(\\d+)\\.lock$".r
     def sweepLocks(commits: Path): Set[Long] = {
       if (!fs.exists(commits)) return Set.empty
@@ -578,23 +593,25 @@ object PartitionedSnapshotLake {
     try SnapshotLake.withLockHeartbeat(fs, manifestLock(root)) {
       val prev = latestSnapshot(spark, root)
       val n = prev.getOrElse(0L) + 1L
-      // pinnedAt for this commit's overlay, in the FILESYSTEM's clock
-      // domain (a throwaway touch, statted back): latestPins compares
-      // it against partition DIR mtimes, which the FS stamps — using
-      // the writer's own clock would let cross-machine skew hide a
-      // stranded commit landing just after this manifest. All of this
-      // writer's partition renames happened before now, so fsNow
-      // upper-bounds their mtimes and the overlay pins start clean.
-      val fsNow: Long = {
-        val probe = new Path(new Path(snapsDir(root), "_commits"), "clock")
-        val out = fs.create(probe, true); out.close()
-        fs.getFileStatus(probe).getModificationTime
-      }
+      // pinnedAt for this commit's overlay = each overlay PARTITION
+      // DIR's current mtime, statted here inside the mutex. That is
+      // the exact value latestPins will compare against (strictly
+      // greater ⇒ re-check), so the domain is the filesystem's clock
+      // on both sides — no writer-clock skew — and the pin is "clean
+      // as of the state we can see now": any commit to the partition
+      // AFTER this stat bumps the dir mtime past pinnedAt and gets
+      // re-resolved. The residual: a concurrent same-partition
+      // writer's version landing BETWEEN our rename and this stat is
+      // absorbed into pinnedAt and stays hidden until repairManifest
+      // — the same-partition-concurrency caveat this class already
+      // documents (writers on disjoint partitions compose perfectly).
+      // O(touched) getFileStatus calls, inside the mutex.
       val prevPins = prev
         .map(manifestWithTimes(spark, root, _))
         .getOrElse(Map.empty[String, (Long, Long)])
       val pins = prevPins ++ overlay.map { case (p, v) =>
-        p -> (v, fsNow)
+        p -> (v, fs.getFileStatus(new Path(partRoot(root, p)))
+          .getModificationTime)
       }
       val body = pins.toSeq.sortBy(_._1)
         .map { case (p, (v, at)) => s"$p\t$v\t$at" }.mkString("\n")

@@ -308,15 +308,10 @@ object DedupOps {
   def probeAndExtend(store: String, batch: DataFrame): DataFrame =
     probeAndExtendImpl(store, batch, MaxBroadcastBandRows)
 
-  /** [[probeAndExtend]] with the broadcast ceiling injectable — plan
-    * specs drive the shuffle-join fallback without building a 4M-row
-    * batch. */
-  private[operators] def probeAndExtendForTest(store: String,
-      batch: DataFrame, maxBroadcastBandRows: Long): DataFrame =
-    probeAndExtendImpl(store, batch, maxBroadcastBandRows)
-
-  private def probeAndExtendImpl(store: String, batch: DataFrame,
-      maxBroadcastBandRows: Long): DataFrame = {
+  /** package-visible so plan specs can inject the broadcast ceiling
+    * and drive the shuffle-join fallback without a 4M-row batch */
+  private[operators] def probeAndExtendImpl(store: String,
+      batch: DataFrame, maxBroadcastBandRows: Long): DataFrame = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val sh = batch.filter(length(col("text")) >= 8)
@@ -328,8 +323,14 @@ object DedupOps {
     // false, silently disabling the probe exactly at the scale this
     // operator targets (round-6 advice)
     val storePath = new org.apache.hadoop.fs.Path(store)
-    val storeExists = storePath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
+    val storeFs =
+      storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a missing store dir with swap debris next to it is an
+    // interrupted compact/migrate, NOT a fresh pipeline — roll it
+    // forward/back instead of silently reseeding an empty store and
+    // discarding the dedup history
+    if (!storeFs.exists(storePath)) recoverStoreSwap(storeFs, store)
+    val storeExists = storeFs.exists(storePath)
     val storeHits =
       if (!storeExists)
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
@@ -472,20 +473,67 @@ object DedupOps {
       targetFiles: Int = 0): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverStoreSwap(fs, store) // heal an interrupted earlier swap
+    if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return // no-op
+    val corpus = spark.read.parquet(store)
+    if (!corpus.columns.contains("bh"))
+      throw new IllegalStateException(
+        s"signature store at $store uses the pre-hash layout " +
+          s"(${corpus.columns.mkString(", ")}); run " +
+          "DedupOps.migrateStore(spark, store) before compacting")
     val bytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(store)).getLength
     val n =
       if (targetFiles > 0) targetFiles
       else math.max(1L, bytes / (128L * 1024 * 1024)).toInt
-    val tmp = new org.apache.hadoop.fs.Path(store + ".compacting")
+    val tmp = new org.apache.hadoop.fs.Path(store + ".next")
     fs.delete(tmp, true)
-    spark.read.parquet(store).select(col("doc_id"), col("bh"))
+    corpus.select(col("doc_id"), col("bh"))
       .distinct()
       .repartition(n)
       .write.parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(store)),
-      s"compact swap failed: $tmp -> $store")
+    swapStore(fs, store)
+  }
+
+  /** Crash-safe-enough store swap: `store.next` (the fully-written
+    * replacement) moves in via rename-aside — old store → `store.old`,
+    * next → store, delete old. A crash in the middle leaves either
+    * the old store in place (before the first rename) or the
+    * `store.old`+`store.next` debris pair, which [[recoverStoreSwap]]
+    * — called by every maintenance entry point AND by the
+    * [[probeAndExtend]] existence check — rolls forward or back; the
+    * store path is never observably absent without recoverable
+    * neighbors, so a crashed swap can no longer silently reseed an
+    * empty store. */
+  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
+      store: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(store)
+    val next = new org.apache.hadoop.fs.Path(store + ".next")
+    val old = new org.apache.hadoop.fs.Path(store + ".old")
+    fs.delete(old, true)
+    require(fs.rename(cur, old), s"swap aside failed: $cur -> $old")
+    require(fs.rename(next, cur), s"swap in failed: $next -> $cur")
+    fs.delete(old, true): Unit
+  }
+
+  /** Heal interrupted [[swapStore]]/[[migrateStore]] states: if the
+    * store is missing but a fully-written replacement (`store.next` /
+    * `store.migrating`) exists, roll FORWARD (the replacement was
+    * complete before the old store was touched); if only `store.old`
+    * remains, roll BACK. Idempotent, cheap (a few exists calls). */
+  private[operators] def recoverStoreSwap(
+      fs: org.apache.hadoop.fs.FileSystem, store: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(store)
+    if (fs.exists(cur)) return
+    Seq(store + ".next", store + ".migrating", store + ".old")
+      .map(new org.apache.hadoop.fs.Path(_))
+      .find(fs.exists)
+      .foreach { p =>
+        require(fs.rename(p, cur), s"store swap recovery failed: " +
+          s"$p -> $cur (recover by hand, do NOT reseed)")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"recovered interrupted store swap at $store from $p")
+      }
   }
 
   /** One-time upgrade of a pre-round-10 signature store
@@ -493,22 +541,21 @@ object DedupOps {
     * ((doc_id, bh)): rewrite to a temp dir, then swap. Idempotent —
     * an already-hashed store is left untouched. */
   def migrateStore(spark: SparkSession, store: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverStoreSwap(fs, store) // heal an interrupted earlier swap
     val old = spark.read.parquet(store)
     if (old.columns.contains("bh")) return
     require(old.columns.contains("band") &&
       old.columns.contains("band_key"),
       s"store at $store is neither hashed nor pre-hash layout: " +
         old.columns.mkString(", "))
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(store + ".migrating")
+    val tmp = new org.apache.hadoop.fs.Path(store + ".next")
     fs.delete(tmp, true)
     old.select(col("doc_id"),
         xxhash64(col("band"), col("band_key")).as("bh"))
       .write.parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(store)),
-      s"migrate swap failed: $tmp -> $store")
+    swapStore(fs, store)
   }
 
   /** Bands as 8-lane slices of an EXISTING (doc_id, sig) signature

@@ -339,6 +339,22 @@ class DedupScaleSpec extends AnyFunSuite {
         .toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
     assert(v == Map(20L -> true, 21L -> false))
+
+    // interrupted-swap recovery: simulate a crash between the
+    // rename-aside and the rename-in (store missing, .old present) —
+    // the next probe must ROLL BACK instead of silently reseeding an
+    // empty store and forgetting the corpus
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".old")))
+    val v2 = DedupOps.probeAndExtend(store,
+      Seq((30L, "document number 3 about completely distinct topic 3 " +
+        "with enough words to shingle properly every time"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v2 == Map(30L -> true),
+      "recovery lost the store: a copy of stored doc 3 read as novel")
   }
 
   test("cap exactly at bucket size keeps the bucket") {

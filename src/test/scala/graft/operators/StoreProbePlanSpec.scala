@@ -52,17 +52,36 @@ class StoreProbePlanSpec extends AnyFunSuite {
     val store = java.nio.file.Files
       .createTempDirectory("graft_planstore2").resolve("bands").toString
     DedupOps.probeAndExtend(store, docs).collect() // seed
-    val verdict = DedupOps.probeAndExtendForTest(store,
+    val verdict = DedupOps.probeAndExtendImpl(store,
       docs.withColumn("doc_id", col("doc_id") + 100),
       maxBroadcastBandRows = 1L)
-    verdict.collect()
-    val plan = verdict.queryExecution.executedPlan.toString
-    // with the hint suppressed Spark may still pick broadcast from
-    // size stats — the contract is only that the DRIVER-side collect
-    // is not forced by our hint; assert the query ran and verdicts
-    // are correct (the exact-copy docs hit, ids differ)
+    // the CONTRACT: over the ceiling, OUR broadcast hint must be
+    // absent from the plan (Spark may still pick broadcast from size
+    // stats — that's fine, it isn't a forced driver collect). The
+    // hint is inspectable as ResolvedHint in the analyzed plan.
+    val hints = verdict.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"over-cap batch still carries a broadcast hint: $hints")
     val v = verdict.collect().map(r => (r.getLong(0), r.getBoolean(1)))
       .toMap
     assert(v == Map(110L -> true, 111L -> true, 112L -> true))
+  }
+
+  test("an in-cap batch DOES carry the broadcast hint (the contract " +
+      "the over-cap test suppresses)") {
+    graft.GraftFunctions.register(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_planstore3").resolve("bands").toString
+    val docs = Seq((30L, "some words repeated here for shingling fine"))
+      .toDF("doc_id", "text")
+    DedupOps.probeAndExtend(store, docs).collect() // seed
+    val verdict = DedupOps.probeAndExtend(store,
+      docs.withColumn("doc_id", col("doc_id") + 1))
+    val hints = verdict.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "in-cap batch lost its broadcast hint")
   }
 }
