@@ -954,4 +954,78 @@ object SimilarityOps {
       .select(col("doc_id"), col("cid"),
         coalesce(col("is_dropped"), lit(false)).as("dropped"))
   }
+
+  // ------------------------------------------------------------------
+  // Streaming IVF vector store — the similarity-search counterpart of
+  // DedupOps.probeAndExtend: a continuously-fed ANN index as plain
+  // cell-partitioned parquet. Layout: `store/cid=<cell>/part-*.parquet`
+  // with (vec_id, v) rows — the IVF posting lists, one hive partition
+  // per coarse cell. The partition column is what buys the scale
+  // property: a probe reads ONLY its probed cells' directories
+  // (partition pruning at planning time), so per-query scan cost is
+  // nprobe/nlist of the corpus no matter how big the store grows —
+  // unlike the dedup signature store, whose hash keys spread every
+  // batch across all files. Ingest is append-only per cell; the store
+  // is the only state (restart = source checkpoint + store as
+  // written), mirroring the dedup store's replay story: a replayed
+  // vector appends a duplicate row, which changes no top-k result
+  // ranked with vec_id tiebreak after `distinct`.
+  // ------------------------------------------------------------------
+
+  /** Assign each batch vector to its nearest centroid (broadcast —
+    * centroids are k·d floats) and APPEND to the cell-partitioned
+    * store. `centroids` = (cid int, cv array<double>), e.g. the v11
+    * fitted quantizer's staged output. */
+  def extendVectorStore(store: String, centroids: DataFrame,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "v"): Unit = {
+    graft.GraftFunctions.register(batch.sparkSession)
+    val sim = batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(centroids))
+      .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("r").desc, col("cid"))
+    sim.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .write.mode("append").partitionBy("cid").parquet(store)
+  }
+
+  /** Top-`k` neighbors per query vector, scanning ONLY the `nprobe`
+    * cells nearest each query: the probed cell set (≤ queries ×
+    * nprobe, bounded by nlist) collects to the driver and becomes a
+    * PARTITION FILTER on the store scan — pruned cells' directories
+    * are never listed or read (VectorStoreSpec asserts the scan's
+    * file count). Queries broadcast into the cell-keyed equi-join;
+    * ranking is double-cosine rounded to 6 decimals with vec_id
+    * tiebreak, same determinism contract as v1–v11. */
+  def probeVectorStore(store: String, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val spark = queries.sparkSession
+    graft.GraftFunctions.register(spark)
+    val qc = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"))
+      .join(broadcast(centroids))
+      .withColumn("r", expr("round(cosine_sim(va, cv), 6)"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("r").desc, col("cid"))
+    val probes = qc.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cid"), col("va"))
+      .cache()
+    val cells = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nlist — driver-small
+    val postings = spark.read.parquet(store)
+      .filter(col("cid").isin(cells: _*)) // partition-pruned scan
+      .select(col("cid"), col("vec_id").as("n_id"), col("v").as("vb"))
+      .distinct() // replayed appends are rank-neutral, drop them early
+    val scored = postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("r").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("r"))
+  }
 }
