@@ -77,6 +77,23 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** `"phases":{...},` (trailing comma) or empty — per query, the
+    * recorded external-engine seconds plus the pure-Spark residual vs
+    * its total. Shared by [[stdoutLine]] and [[fullJson]]. */
+  private def phasesJson(times: Seq[(String, Double)],
+      phases: Map[String, Map[String, Double]]): String = {
+    if (phases.isEmpty) return ""
+    val timesMap = times.toMap
+    phases.toSeq.sortBy(_._1).map { case (qn, m) =>
+      val residual = timesMap.get(qn)
+        .map(t => math.max(0.0, t - m.values.sum))
+      val kv = (m.toSeq.sortBy(_._1) ++
+        residual.map("spark_residual" -> _))
+        .map { case (p, v) => s"${jsonQ(p)}:${num3(v)}" }
+      s"${jsonQ(qn)}:${kv.mkString("{", ",", "}")}"
+    }.mkString(""""phases":{""", ",", "},")
+  }
+
   /** The driver-scraped stdout line: full JSON if it fits, else drop
     * the FASTEST queries until ≤ `budget` chars (the slow ones are the
     * ones worth grading). Pure so BenchRenderSpec can gate it. */
@@ -84,18 +101,24 @@ object Bench {
       times: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String, budget: Int = 1700,
       bucketOverflows: Int = 0, regressed: Int = 0,
-      filtered: Boolean = false): String = {
+      filtered: Boolean = false,
+      phases: Map[String, Map[String, Double]] = Map.empty): String = {
     val es = errors.take(3)
       .map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v.take(60))}" }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val filt = if (filtered) s""""filtered":true,""" else ""
+    // the phase split rides in the driver-scraped line too (round-10
+    // ask: the round artifact carries k1's Derby-vs-Spark split, not
+    // just bench_history) — ~100 chars for one query, and the budget
+    // dropper accounts for it like everything else
+    val ph = phasesJson(times, phases)
     def render(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},""" +
-        s"""$filt"queries":$qs,"errors":$es,"n_ok":${times.size},""" +
+        s"""$filt"queries":$qs,$ph"errors":$es,"n_ok":${times.size},""" +
         s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
         s""""regressed":$regressed$omit,"sf":${jsonQ(sfDir)}}"""
     }
@@ -123,17 +146,7 @@ object Bench {
     // external-engine attribution (PhaseLog): per query, the recorded
     // phase seconds plus the pure-Spark residual vs its total — the
     // split future gates diff instead of the conflated wall time
-    val timesMap = times.toMap
-    val ph =
-      if (phases.isEmpty) ""
-      else phases.toSeq.sortBy(_._1).map { case (qn, m) =>
-        val residual = timesMap.get(qn)
-          .map(t => math.max(0.0, t - m.values.sum))
-        val kv = (m.toSeq.sortBy(_._1) ++
-          residual.map("spark_residual" -> _))
-          .map { case (p, v) => s"${jsonQ(p)}:${num3(v)}" }
-        s"${jsonQ(qn)}:${kv.mkString("{", ",", "}")}"
-      }.mkString(""""phases":{""", ",", "},")
+    val ph = phasesJson(times, phases)
     s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},""" +
       s"""$filt"queries":$full,$ph"errors":$esFull,"n_ok":${times.size},""" +
       s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
@@ -328,7 +341,7 @@ object Bench {
     // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
     println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows = bucketOverflows, regressed = regressed,
-      filtered = args.nonEmpty))
+      filtered = args.nonEmpty, phases = phases.toMap))
     val json = fullJson(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows, regressed, filtered = args.nonEmpty,
       phases = phases.toMap)

@@ -161,6 +161,22 @@ class BenchRenderSpec extends AnyFunSuite {
     // no phases recorded -> no field at all (old lines stay identical)
     assert(!Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0)
       .contains("phases"))
+    // the driver-scraped stdout line carries the split too (the round
+    // artifact is built from it), stays strict JSON, and still
+    // respects the budget by dropping fastest queries
+    val line = Bench.stdoutLine(
+      Seq("k1_jdbc_roundtrip" -> 2.5, "q1_a" -> 0.5), Nil, "/sf",
+      phases = Map("k1_jdbc_roundtrip" ->
+        Map("derby_load" -> 1.2, "derby_merge" -> 0.7)))
+    assertStrictJsonObject(line)
+    assert(line.contains(""""phases":{"k1_jdbc_roundtrip":{"""))
+    assert(line.contains(""""spark_residual":0.600"""))
+    val tight = Bench.stdoutLine(manyTimes, Nil, "/sf", budget = 900,
+      phases = Map("q120_some_query_name" -> Map("ext" -> 1.0)))
+    assertStrictJsonObject(tight)
+    assert(tight.length <= 900)
+    assert(tight.contains(""""phases":"""),
+      "budget trimming must drop queries, not the phases field")
   }
 
   test("regression gate: flags real slowdowns, skips on tag mismatch") {
