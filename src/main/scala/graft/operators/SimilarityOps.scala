@@ -361,18 +361,33 @@ object SimilarityOps {
       // corpus caps it with a hierarchical coarse quantizer
       // ([[semanticDedup]]'s staged KMeans).
       val k = scaledCentroids(all.count())
-      val cent = all.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("r").desc, col("cid"))
-      val assign = all.join(broadcast(cent))
-        .withColumn("r", expr("round(cosine_sim(v, cv), 6)"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // PER-ROW argmax over a typed-literal centroid matrix (the
+      // KMeans.assign shape) instead of crossJoin(broadcast)+window:
+      // the join form materializes AND SHUFFLES n×k rows into the
+      // window exchange — 1.6B rows at the sf10 probe (k scales with
+      // the corpus here, unlike v3/v5's fixed 16), which is exactly
+      // the executor-memory blowup the round-10 100× sweep caught.
+      // Here each row folds over the k centroids inline (one ArrayData
+      // literal in the plan, no join, no fan-out, no shuffle) and
+      // emits its argmax directly. Semantics are bit-identical to the
+      // window form the ORACLE still replicates: round(cos,6) per
+      // centroid, max r wins, ties to the lowest cid (array_position
+      // returns the FIRST maximum; centroid rows are cid-ascending).
+      val centRows = all.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("v")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      val centLit = typedLit(centRows.map(_._2).toSeq)
+      val cidLit = typedLit(centRows.map(_._1).toSeq)
+      val rs = transform(centLit,
+        c => round(call_function("cosine_sim", col("v"), c), 6))
+      val assign = all
+        .withColumn("rs", rs)
+        .withColumn("cid", element_at(cidLit,
+          array_position(col("rs"), array_max(col("rs"))).cast("int")))
         .select(col("vec_id"), col("cid"), col("v"))
         // feeds both pair sides AND the final keep/drop projection —
         // cache the slim (id, cid, v) result instead of re-running the
-        // centroid join + window three times
+        // centroid argmax three times
         .cache()
       // pair generation routes through the capped bucketPairs machinery
       // (band = cid): at this sf the default cap never binds, so the
