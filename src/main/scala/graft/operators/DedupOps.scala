@@ -505,7 +505,7 @@ object DedupOps {
     * store path is never observably absent without recoverable
     * neighbors, so a crashed swap can no longer silently reseed an
     * empty store. */
-  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def swapStore(fs: org.apache.hadoop.fs.FileSystem,
       store: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(store)
     val next = new org.apache.hadoop.fs.Path(store + ".next")

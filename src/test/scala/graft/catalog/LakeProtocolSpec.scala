@@ -28,6 +28,31 @@ object CountingLocalFs {
   def reset(): Unit = { calls.set(0); listed.clear() }
 }
 
+/** An "object store": counts listStatus like [[CountingLocalFs]], but
+  * registers under the `s3a` scheme and reports mtime 0 for every
+  * DIRECTORY — the flat-namespace semantics (S3/GCS/ABFS) where a
+  * parent dir's mtime never reflects child creation. The lake's
+  * dir-mtime delta path is useless here by construction; the commit
+  * log must carry readLatest on its own. */
+class NoMtimeCountingFs extends CountingLocalFs {
+  override def getScheme: String = "s3a"
+  override def getUri: URI = URI.create("s3a:///")
+  // rebuild EVERY status as a plain FileStatus (default permissions
+  // pre-set): Spark's s3a listing path wraps statuses into
+  // LocatedFileStatus, whose constructor eagerly loads permissions —
+  // on a lazy DeprecatedRawLocalFileStatus that re-enters File(URI)
+  // with the s3a scheme and throws. Dirs additionally get mtime 0
+  // (the flat-namespace semantics under test).
+  private def strip(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize,
+      if (st.isDirectory) 0L else st.getModificationTime, st.getPath)
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(strip)
+  override def getFileStatus(f: Path): FileStatus =
+    strip(super.getFileStatus(f))
+}
+
 /** Lock-protocol and at-scale contracts of the snapshot lakes that the
   * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
   * recheck, the vacuum heartbeat, the manifest mutex, and the
@@ -297,5 +322,106 @@ class LakeProtocolSpec extends AnyFunSuite {
     assert(pins3("part_date=2023-01-09") == 2L,
       "a later writer's manifest hid a crash-stranded partition " +
         "version from readLatest (carried pin went untested)")
+  }
+
+  test("OBJECT STORE (no usable dir mtimes): latestPins derives its " +
+      "delta from the COMMIT LOG alone — O(1) listStatus in partition " +
+      "count, crash-stranded versions served, dangling entries " +
+      "filtered, later manifests can't hide the strand") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[NoMtimeCountingFs].getName)
+    val dir = tmp()
+    val root = s"s3a://$dir"
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+
+    // seed partition 0 through the real protocol (manifest 1 + the
+    // commit log dir), then fabricate 499 more partitions by file
+    // copy and hand-write manifest 2 pinning all 500 at v1
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((0L, "2024-01-01", "seed")), "id", "ts")
+    val seed = new java.io.File(dir, "part_date=2024-01-01")
+    val day0 = java.time.LocalDate.parse("2024-01-01")
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c =>
+          copyTree(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    val parts = (0 until 500).map(i => s"part_date=${day0.plusDays(i)}")
+    parts.drop(1).foreach(p => copyTree(seed, new java.io.File(dir, p)))
+    val snaps = new java.io.File(dir, "_snapshots")
+    java.nio.file.Files.write(
+      new java.io.File(snaps, "2.manifest").toPath,
+      parts.sorted.map(p => s"$p\t1\t0").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(snaps, "2").toPath,
+      Array.emptyByteArray)
+
+    // clean state: pin resolution is O(1)-listing with NO mtime help
+    CountingLocalFs.reset()
+    val pins = PartitionedSnapshotLake.latestPins(spark, root)
+    val cleanCalls = CountingLocalFs.calls.get()
+    assert(pins.size == 500)
+    assert(pins.values.forall(_ == 1L))
+    assert(cleanCalls <= 8,
+      s"latestPins issued $cleanCalls listStatus calls over a " +
+        "500-partition object-store lake — not O(1)")
+
+    // crash-stranded version: the exact commitMerge crash state —
+    // v-dir renamed in, LOG ENTRY written, marker written, writer
+    // died before its manifest
+    val p = "part_date=2024-01-09"
+    copyTree(new java.io.File(dir, s"$p/v=1"),
+      new java.io.File(dir, s"$p/v=2"))
+    java.nio.file.Files.write(
+      new java.io.File(snaps, s"_log/$p@2").toPath,
+      Array.emptyByteArray)
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"$p/_commits/2").toPath,
+      Array.emptyByteArray)
+    // and a DANGLING entry (died between entry and marker): must not
+    // surface — its version never committed
+    val q = "part_date=2024-01-10"
+    java.nio.file.Files.write(
+      new java.io.File(snaps, s"_log/$q@2").toPath,
+      Array.emptyByteArray)
+
+    CountingLocalFs.reset()
+    val pins2 = PartitionedSnapshotLake.latestPins(spark, root)
+    val strandCalls = CountingLocalFs.calls.get()
+    assert(pins2(p) == 2L,
+      "the commit log failed to surface a crash-stranded version on " +
+        "an object store (dir mtimes useless there)")
+    assert(pins2(q) == 1L,
+      "a dangling log entry (no commit marker) leaked an uncommitted " +
+        "version into readLatest")
+    assert(strandCalls <= 8,
+      s"log-delta resolution cost $strandCalls listStatus calls — " +
+        "not O(delta)")
+    assert(PartitionedSnapshotLake.readLatest(spark, root)
+      .count() == 500L)
+
+    // the carried-pin trap, object-store edition: a later writer
+    // commits a DIFFERENT partition (manifest 3 carries p at v1);
+    // manifest-commit pruning must keep p@2 (not covered) and the
+    // strand must stay visible
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((20L, "2024-01-03", "later")), "id", "ts")
+    val pins3 = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(pins3(p) == 2L,
+      "a later writer's manifest pruned/hid the stranded version's " +
+        "log entry")
+    assert(pins3("part_date=2024-01-03") == 2L)
+    // repair heals: the strand gets pinned, its entry pruned, and the
+    // log path keeps serving O(1)
+    PartitionedSnapshotLake.repairManifest(spark, root)
+    assert(!new java.io.File(snaps, s"_log/$p@2").exists,
+      "repairManifest's manifest covers the strand — its log entry " +
+        "should be pruned at manifest commit")
+    CountingLocalFs.reset()
+    val pins4 = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(pins4(p) == 2L && pins4.size == 500)
+    assert(CountingLocalFs.calls.get() <= 8)
   }
 }

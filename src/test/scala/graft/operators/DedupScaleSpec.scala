@@ -365,4 +365,83 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(DedupOps.bucketOverflow(df, Seq("band_key"), maxBucket = 3)
       .count() == 0)
   }
+
+  // ------------------------------------------------------------------
+  // Two-level coarse quantizer (VERDICT r10 ask #1): on a planted
+  // corpus of SEPARATED direction-clusters, the √k-super probe must
+  // agree with the flat argmax/argmin row for row — for the d9 cosine
+  // form AND semanticDedup's L2 form. k = 100 > TwoLevelMinK so the
+  // hierarchical path genuinely engages; centroid ids interleave the
+  // 10 families (cid % 10 = family) so the deterministic grouping init
+  // seeds one super per family and each family becomes one group.
+  // ------------------------------------------------------------------
+
+  private def plantedCentroids: Array[(Int, Array[Double])] = {
+    val d = 16; val fams = 10; val perFam = 10
+    (0 until fams * perFam).map { i =>
+      val f = i % fams; val j = i / fams
+      val v = Array.fill(d)(0.0)
+      v(f) = 1.0
+      v(10 + (j % 6)) = 0.03 * (j + 1) // distinct within the family
+      (i, v)
+    }.toArray
+  }
+
+  private def plantedRows: Seq[(Long, Array[Double])] = {
+    val cents = plantedCentroids
+    (0 until 400).map { r =>
+      val (_, cv) = cents(r % cents.length)
+      val v = cv.clone()
+      v(r % v.length) += 0.0005 // tiny unique tilt, never argmax-flipping
+      (r.toLong, v)
+    }
+  }
+
+  test("two-level cosine argmax (d9 shape) ≡ flat argmax on a planted " +
+      "separated-cluster corpus at k=100") {
+    assert(plantedCentroids.length > KMeans.TwoLevelMinK)
+    val rows = plantedRows
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    val cids = plantedCentroids.map(_._1)
+    val cvs: Array[Seq[Double]] = plantedCentroids.map(_._2.toSeq)
+    val got = SimilarityOps.withCosArgmaxCid(df, cids, cvs)
+      .select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // flat reference: max round(cos, 6), ties to the lowest cid
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val disagree = rows.flatMap { case (id, v) =>
+      val flat = plantedCentroids
+        .map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, r) => (-r, c) }.head._1
+      if (got(id) != flat) Some((id, got(id), flat)) else None
+    }
+    assert(disagree.isEmpty,
+      s"two-level cosine argmax diverged from flat on " +
+        s"${disagree.size}/400 planted rows, e.g. ${disagree.take(5)}")
+  }
+
+  test("two-level L2 assignment (semanticDedup shape) ≡ flat " +
+      "KMeans.assign on the planted corpus at k=100") {
+    val cents = plantedCentroids.map(_._2)
+    val df = plantedRows.map { case (id, v) => (id, v.toSeq) }
+      .toDF("doc_id", "vec")
+    val flat = KMeans.assign(df, "vec", cents)
+      .select("doc_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = KMeans.assignHierarchical(df, "vec", cents)
+      .select("doc_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val disagree = flat.keys.filter(id => flat(id) != two(id))
+    assert(disagree.isEmpty,
+      s"two-level L2 assignment diverged from flat on " +
+        s"${disagree.size}/400 planted rows")
+    // and the hierarchical path genuinely engaged (k > TwoLevelMinK)
+    assert(cents.length > KMeans.TwoLevelMinK)
+  }
 }

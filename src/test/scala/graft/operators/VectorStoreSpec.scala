@@ -121,4 +121,60 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(cells2.size == 2, s"nprobe=2 should open exactly the two " +
       s"probed cells, opened: $cells2")
   }
+
+  test("cell assignment and probe-cell ranking plans are EXCHANGE-FREE " +
+      "(typed-literal argmax — the round-10 crossJoin+window shape " +
+      "shuffled n×nlist rows per batch)") {
+    graft.GraftFunctions.register(spark)
+    val assignPlan = SimilarityOps.assignToCells(centroids, vecs(0L to 63L))
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"assignToCells plans a shuffle/broadcast exchange:\n$assignPlan")
+    val probePlan = SimilarityOps
+      .probeCells(centroids, vecs(Seq(100L, 101L)), nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange"),
+      s"probeCells plans a shuffle/broadcast exchange:\n$probePlan")
+  }
+
+  test("compactVectorStore collapses per-cell small files, preserves " +
+      "probe results byte-for-byte, and flags a planted hot cell") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecstorec")
+    val store = s"$dir/store"
+    // plant: cell 0 gets 16 vectors across 4 separate appends (4+
+    // files); cells 1–3 get 1 vector each — threshold 12 makes ONLY
+    // cell 0 hot
+    val hotIds = (0L to 60L by 4) // all ≡ 0 (mod 4) → cell 0
+    hotIds.grouped(4).foreach { chunk =>
+      SimilarityOps.extendVectorStore(store, centroids, vecs(chunk.toSeq))
+    }
+    SimilarityOps.extendVectorStore(store, centroids, vecs(Seq(1L, 2L, 3L)))
+    def cellFiles(c: Int): Int =
+      new java.io.File(s"$store/cid=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(cellFiles(0) >= 4,
+      s"setup should leave ≥4 small files in cell 0, saw ${cellFiles(0)}")
+    val queries = vecs(Seq(100L, 102L)) // cells 0 and 2
+    val before = SimilarityOps.probeVectorStore(store, centroids,
+      queries, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val hot = SimilarityOps.compactVectorStore(spark, store,
+      hotCellThreshold = 12L)
+    assert(hot == Map(0 -> hotIds.size.toLong),
+      s"hot-cell audit should flag exactly cell 0 at ${hotIds.size} " +
+        s"rows, got $hot")
+    assert(cellFiles(0) == 1,
+      s"compaction left ${cellFiles(0)} files in cell 0 — not collapsed")
+    val after = SimilarityOps.probeVectorStore(store, centroids,
+      queries, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(after == before,
+      "compaction changed probe results")
+    // swap debris never lingers
+    assert(!new java.io.File(s"$store.next").exists())
+    assert(!new java.io.File(s"$store.old").exists())
+  }
 }
