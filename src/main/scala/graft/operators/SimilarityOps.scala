@@ -167,9 +167,14 @@ object SimilarityOps {
           .as("embedding"))
       val all = base.union(scaled)
         .repartition(col("vec_id"))
-        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
         // feeds banding and both verify sides — cache the slim table
-        // instead of recomputing the union+transform subtree three times
+        // instead of recomputing the union subtree three times. The
+        // vectors stay FLOAT32 end to end: cosine_sim widens each
+        // element to double inside its fused loop (bit-identical to a
+        // pre-cast array<double>), so the verify joins — the sf10
+        // bound: two vectors per candidate pair through two shuffles —
+        // ship half the bytes a double-cast column did (the round-10
+        // ~50 GB spill at 100× exceeded this box's disk).
         .cache()
       val bits = scaledSignBits(all.count())
       val bandedScaled = all.select(col("vec_id").as("doc_id"),
@@ -180,8 +185,8 @@ object SimilarityOps {
              |             shiftleft(1, i), 0)))""".stripMargin))
           .as(Seq("band", "band_key")))
       val pairs = DedupOps.bucketPairs(bandedScaled, Seq("band", "band_key"))
-      val a = all.select(col("vec_id").as("doc_a"), col("v").as("va"))
-      val b = all.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+      val a = all.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
+      val b = all.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
       pairs.join(a, "doc_a").join(b, "doc_b")
         .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
         .filter(col("r") >= 0.999)

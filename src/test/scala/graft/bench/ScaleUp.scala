@@ -89,6 +89,34 @@ object ScaleUp {
     }
   }
 
+  /** Events scaled on the chosen axis (see the class doc) — factored
+    * out of [[main]] so ScaleUpSpec can pin the density semantics the
+    * j3 re-probe depends on: `dense` multiplies per-day volume in the
+    * original wall-clock window; `constant-density` shifts copy i by
+    * i × (span+1) whole days, so day keys never collide across copies
+    * and every per-day/per-neighborhood cardinality stays at the base
+    * corpus's level. */
+  private[bench] def scaledEvents(base: DataFrame, copies: Int,
+      eventMode: String, eventStride: Long, userStride: Long): DataFrame = {
+    // constant-density: copy i lives span+1 days later — whole
+    // days, so per-day session shapes replicate exactly and
+    // to_date keys never collide across copies
+    val shiftDays: Long =
+      if (eventMode == "dense") 0L
+      else base
+        .agg(((floor(unix_timestamp(max(col("ts"))) / 86400L) -
+          floor(unix_timestamp(min(col("ts"))) / 86400L)) + 1L)
+          .as("d")).head.getLong(0)
+    (0 until copies).map { i =>
+      val keyed = base
+        .withColumn("event_id", col("event_id") + lit(eventStride * i))
+        .withColumn("user_id", col("user_id") + lit(userStride * i))
+      if (shiftDays == 0L || i == 0) keyed
+      else keyed.withColumn("ts", timestamp_add(
+        "DAY", lit(i * shiftDays), col("ts")))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
@@ -146,23 +174,7 @@ object ScaleUp {
         shift("l_suppkey", sk, i)(
           shift("l_partkey", pk, i)(shift("l_orderkey", ok, i)(d)))
       },
-      "events" -> {
-        // constant-density: copy i lives span+1 days later — whole
-        // days, so per-day session shapes replicate exactly and
-        // to_date keys never collide across copies
-        val shiftDays: Long =
-          if (eventMode == "dense") 0L
-          else read("events")
-            .agg(((floor(unix_timestamp(max(col("ts"))) / 86400L) -
-              floor(unix_timestamp(min(col("ts"))) / 86400L)) + 1L)
-              .as("d")).head.getLong(0)
-        scaled("events") { (d, i) =>
-          val keyed = shift("user_id", uk, i)(shift("event_id", ek, i)(d))
-          if (shiftDays == 0L || i == 0) keyed
-          else keyed.withColumn("ts", timestamp_add(
-            "DAY", lit(i * shiftDays), col("ts")))
-        }
-      },
+      "events" -> scaledEvents(read("events"), copies, eventMode, ek, uk),
       "documents" -> scaled("documents") { (d, i) =>
         shift("doc_id", dk, i)(d)
           .withColumn("text", permute(col("text"), i))
