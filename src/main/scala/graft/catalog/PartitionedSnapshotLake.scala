@@ -121,14 +121,18 @@ object PartitionedSnapshotLake {
   /** One commit-log entry per committed partition version — the
     * object-store-native delta source for [[latestPins]] (VERDICT r10
     * ask #3). `_snapshots/_log/<partition>@<version>`, zero bytes,
-    * written by [[commitMerge]] AFTER the v-dir rename and BEFORE the
-    * commit marker: every marker'd version has an entry (a crash
-    * between entry and marker leaves a dangling entry, filtered by the
-    * marker-existence check at read time and swept by [[vacuum]] once
-    * it ages past the lock TTL). Entries covered by a manifest pin are
-    * redundant and pruned opportunistically at manifest-commit time,
-    * so the log stays O(commits since the newest manifest), not
-    * O(history). Idempotent (content-free overwrite). */
+    * written by [[commitMerge]] AFTER the v-dir rename, BEFORE the
+    * commit marker, and RE-ASSERTED after the marker: every marker'd
+    * version has an entry (a crash between entry and marker leaves a
+    * dangling entry, filtered by the marker-existence check at read
+    * time and swept by [[vacuum]] once it ages past the lock TTL;
+    * the post-marker re-write restores an entry a concurrent vacuum
+    * deleted while this writer was frozen past the TTL — the same
+    * out-of-contract freeze the claim protocol already documents).
+    * Entries covered by a manifest pin are redundant and pruned
+    * opportunistically at manifest-commit time, so the log stays
+    * O(commits since the newest manifest), not O(history).
+    * Idempotent (content-free overwrite). */
   private def logPartitionCommit(fs: FileSystem, root: String,
       part: String, v: Long): Unit = {
     fs.mkdirs(logDir(root))
@@ -136,21 +140,39 @@ object PartitionedSnapshotLake {
     out.close()
   }
 
+  /** The log is only TRUSTED as a complete delta source once this
+    * marker exists. Entries are written by every [[commitMerge]]
+    * unconditionally, but completeness — "every marker'd version not
+    * pinned by the newest manifest has an entry" — holds only from a
+    * known-covered state: versions committed BEFORE the upgrade to
+    * the logging code (or by a mixed-fleet writer running pre-log
+    * code) have no entries, and a manifest's carried-forward pins do
+    * not cover them. [[repairManifest]] establishes that state (its
+    * full-walk manifest pins every marker'd version) and writes this
+    * marker AFTER its manifest commits; until then, readers keep the
+    * pre-log behavior (mtime delta on HDFS-class stores, full walk on
+    * object stores) — never a silently incomplete log delta. Run
+    * repairManifest once per lake to enable the O(1) object-store
+    * path. */
+  private def logEnabledMarker(root: String): Path =
+    new Path(logDir(root), "_enabled")
+
   /** The commit-log delta over `base` pins: every logged version newer
     * than its partition's pin whose commit marker EXISTS (max per
-    * partition). `None` when the lake predates the log (no `_log`
-    * dir) — callers fall back to the mtime delta or the full walk.
-    * Cost: ONE `listStatus` of the log dir + one `exists` per fresh
-    * entry — O(1) in partition count, O(delta) in stranded commits,
-    * and zero directory-mtime dependence (safe on S3-class stores). */
+    * partition). `None` until [[logEnabledMarker]] certifies
+    * completeness — callers fall back to the mtime delta or the full
+    * walk. Cost: ONE `listStatus` of the log dir + one `exists` per
+    * fresh entry — O(1) in partition count, O(delta) in stranded
+    * commits, and zero directory-mtime dependence (safe on S3-class
+    * stores). */
   private def logDelta(fs: FileSystem, root: String,
       base: Map[String, (Long, Long)]): Option[Map[String, Long]] = {
-    if (!fs.exists(logDir(root))) return None
+    if (!fs.exists(logEnabledMarker(root))) return None
     val fresh = fs.listStatus(logDir(root)).toSeq
       .flatMap { st =>
         val n = st.getPath.getName
         val at = n.lastIndexOf('@')
-        if (at <= 0) None
+        if (at <= 0 || n.startsWith("_")) None
         else n.drop(at + 1).toLongOption.map(v => (n.take(at), v))
       }
       .filter { case (p, v) => v > base.get(p).map(_._1).getOrElse(0L) }
@@ -285,13 +307,17 @@ object PartitionedSnapshotLake {
     * commits, so the delta is empty except (a) mid-commit concurrent
     * writers and (b) crash-stranded partition versions — the log
     * entry is written BEFORE the commit marker, so both cases have
-    * entries. Lakes written before the log existed (no `_log` dir)
-    * keep the pre-log behavior: mtime delta on HDFS-class stores,
-    * full walk on object stores; run [[repairManifest]] once after
-    * upgrading (it seeds the log dir) to enable the O(1) path.
-    * Out-of-band partition commits on an object store are only picked
-    * up by [[repairManifest]] — documented limitation of flat
-    * namespaces. */
+    * entries. The log is only trusted once [[repairManifest]] has
+    * certified it complete (the `_enabled` marker — see
+    * [[logEnabledMarker]] for why dir existence alone is not enough);
+    * until then readers keep the pre-log behavior: mtime delta on
+    * HDFS-class stores, full walk on object stores. Run
+    * repairManifest once per lake to enable the O(1) object-store
+    * path. Out-of-band partition commits on an object store are only
+    * picked up by [[repairManifest]] — documented limitation of flat
+    * namespaces. Concurrent manifest commits can prune log entries
+    * out from under a lockless reader; [[latestPins]] detects that
+    * (snapshot re-check) and re-resolves. */
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readPins(spark, root, latestPins(spark, root))
 
@@ -307,10 +333,36 @@ object PartitionedSnapshotLake {
       SnapshotLake.latestVersion(spark, partRoot(root, p)).map(p -> _)
     }.toMap
 
+  /** Pin resolution with a CONSISTENCY RE-CHECK against concurrent
+    * log pruning: a lockless reader that resolved `latestSnapshot = s`
+    * races a writer committing s+1 — the writer's post-commit prune
+    * can delete the very log entries that carried s's delta before
+    * this reader lists them. Pruning only ever happens AFTER a newer
+    * snapshot marker exists, so the race is detectable: if
+    * `latestSnapshot` is unchanged after the resolution, no prune
+    * completed inside the window and the (manifest, log) pair was
+    * consistent; if it moved, re-resolve from the newer manifest
+    * (whose pins cover everything the prune removed). Bounded retries
+    * — a pathological commit storm falls back to the always-correct
+    * full walk rather than spinning. The mtime path needs no re-check
+    * (dir mtimes only grow), but the loop is cheap enough to cover
+    * both. */
   private[catalog] def latestPins(spark: SparkSession,
       root: String): Map[String, Long] = {
+    var tries = 0
+    while (tries < 3) {
+      val before = latestSnapshot(spark, root)
+      val pins = latestPinsOnce(spark, root, before)
+      if (latestSnapshot(spark, root) == before) return pins
+      tries += 1
+    }
+    fullWalkPins(spark, root)
+  }
+
+  private def latestPinsOnce(spark: SparkSession, root: String,
+      snap: Option[Long]): Map[String, Long] = {
     val fs = fsFor(spark, root)
-    latestSnapshot(spark, root) match {
+    snap match {
       case None => fullWalkPins(spark, root)
       case Some(s) =>
         val base = manifestWithTimes(spark, root, s)
@@ -430,6 +482,10 @@ object PartitionedSnapshotLake {
                   throw new IllegalStateException(
                     s"commit marker $v already exists under $pr — " +
                       "concurrent commit protocol violation")
+                // re-assert the entry now that the marker exists (see
+                // logPartitionCommit: heals the frozen-writer ×
+                // concurrent-vacuum window)
+                logPartitionCommit(fs, root, tp.getName, v)
               } finally SnapshotLake.releaseVersion(fs, pr, v)
               tp.getName -> v
             }.toMap
@@ -636,10 +692,20 @@ object PartitionedSnapshotLake {
         val at = name.lastIndexOf('@')
         if (at > 0) name.drop(at + 1).toLongOption.foreach { v =>
           val p = name.take(at)
+          val commits = new Path(partRoot(root, p), "_commits")
           val covered = newestPins.get(p).exists(_ >= v)
-          lazy val dangling = !fs.exists(new Path(
-            new Path(partRoot(root, p), "_commits"), v.toString)) &&
-            now - st.getModificationTime >= lockTtlMs
+          // dangling = no marker, aged past the TTL, AND no live
+          // (young, heartbeated) claim lock on the version — a live
+          // writer sits between its entry and its marker exactly
+          // while it holds the claim, so the lock is the liveness
+          // signal, not the entry's own mtime
+          lazy val dangling =
+            !fs.exists(new Path(commits, v.toString)) &&
+            now - st.getModificationTime >= lockTtlMs &&
+            (try now - fs.getFileStatus(
+              new Path(commits, s"$v.lock")).getModificationTime >=
+              lockTtlMs
+            catch { case _: java.io.FileNotFoundException => true })
           if (covered || dangling) fs.delete(st.getPath, false)
         }
       }
@@ -794,10 +860,17 @@ object PartitionedSnapshotLake {
     }.toMap
     require(full.nonEmpty, s"nothing to repair at $root: no committed " +
       "partition versions")
-    // seed the commit log on pre-log lakes: the repair manifest pins
-    // EVERYTHING it can see, so an empty log is correct from this
-    // point on and readLatest gains the object-store O(1) path
-    fsFor(spark, root).mkdirs(logDir(root))
-    commitManifest(spark, root, full)
+    val n = commitManifest(spark, root, full)
+    // ONLY repair certifies the log as a complete delta source: its
+    // full-walk manifest pins every marker'd version, so from here on
+    // "not pinned ⇒ has a log entry" holds (every post-upgrade commit
+    // writes entries unconditionally). Written AFTER the manifest's
+    // commit point — a crash mid-repair leaves the log untrusted and
+    // readers on the safe pre-log paths.
+    val fs = fsFor(spark, root)
+    fs.mkdirs(logDir(root))
+    val out = fs.create(logEnabledMarker(root), true)
+    out.write(n.toString.getBytes("UTF-8")); out.close()
+    n
   }
 }

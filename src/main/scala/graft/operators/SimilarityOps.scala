@@ -1022,6 +1022,12 @@ object SimilarityOps {
   // ranked with vec_id tiebreak after `distinct`.
   // ------------------------------------------------------------------
 
+  /** Probe-row ceiling for [[probeVectorStore]]'s driver-side
+    * materialization: 100k rows × (id + cid + 64-dim double vector)
+    * ≈ 55 MB — far above an interactive top-k batch, far below driver
+    * danger. */
+  val MaxProbeRows: Int = 100000
+
   /** Collect the (cid, cv) centroid table to driver arrays, sorted by
     * cid. Centroids are k·d doubles by the IVF contract (the Spark ML
     * KMeans model shape) — driver-small at any production nlist. */
@@ -1098,9 +1104,11 @@ object SimilarityOps {
   }
 
   /** Nearest-cell assignment for a batch: (cid, vec_id, v), computed
-    * per-row against the typed-literal centroid matrix — max cosine
-    * wins, ties to the lowest cid (array_position returns the FIRST
-    * maximum; centroids are cid-ascending). Replaces the round-10
+    * per-row against the typed-literal centroid matrix via
+    * [[withCosArgmaxCid]] — max cosine wins, ties to the lowest cid,
+    * and past [[KMeans.TwoLevelMinK]] centroids the two-level probe
+    * engages (a production nlist of thousands would otherwise pay the
+    * flat n×nlist fold per batch). Replaces the round-10
     * crossJoin(broadcast)+window shape, whose n×nlist fan-out rows
     * all shuffled into the window exchange per batch; here the plan
     * is scan → project → (write), exchange-free (pinned by
@@ -1110,11 +1118,9 @@ object SimilarityOps {
       vecCol: String = "v"): DataFrame = {
     graft.GraftFunctions.register(batch.sparkSession)
     val (cids, cvs) = centroidArrays(centroids)
-    val cidLit = typedLit(cids.toSeq)
-    batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("rs", centSims(cvs, col("v")))
-      .withColumn("cid", element_at(cidLit,
-        array_position(col("rs"), array_max(col("rs"))).cast("int")))
+    withCosArgmaxCid(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        cids, cvs)
       .select(col("cid"), col("vec_id"), col("v"))
   }
 
@@ -1167,10 +1173,16 @@ object SimilarityOps {
     * the query's — right for in-store queries (self is always cosine
     * 1.0); pass false for EXTERNAL queries whose id space is
     * unrelated to the store's, where an accidental id collision would
-    * silently cost a true neighbor. The probe projection is evaluated
-    * twice (cell collection + the join) — it is one codegen
-    * projection over the query batch, deliberately NOT cached so no
-    * executor memory outlives the call. */
+    * silently cost a true neighbor. The probe rows are MATERIALIZED
+    * once (one collect, ≤ queries×nprobe rows — a probe batch, not a
+    * corpus) and re-used for both the partition filter and the join:
+    * a lazily re-evaluated probe projection over a nondeterministic
+    * query source could otherwise resolve DIFFERENT cells in the two
+    * evaluations and silently lose true neighbors to the pruned scan;
+    * the local relation also leaves no executor cache behind (the
+    * round-10 leak). Batches beyond [[MaxProbeRows]] fail loudly —
+    * probe batches that size should go through [[extendVectorStore]]
+    * + a bulk join instead. */
   def probeVectorStore(store: String, centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "v",
@@ -1179,9 +1191,16 @@ object SimilarityOps {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     DedupOps.recoverStoreSwap(fs, store) // heal an interrupted compact
-    val probes = probeCells(centroids, queries, nprobe, idCol, vecCol)
-    val cells = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ nlist — driver-small
+    val probeDf = probeCells(centroids, queries, nprobe, idCol, vecCol)
+    val probeRows = probeDf.limit(MaxProbeRows + 1).collect()
+    require(probeRows.length <= MaxProbeRows,
+      s"probeVectorStore: query batch exceeds $MaxProbeRows probe " +
+        "rows — for bulk scoring at corpus scale, join against the " +
+        "store directly instead of the top-k probe API")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeDf.schema)
+    val cells = probeRows
+      .map(r => r.getInt(r.fieldIndex("cid"))).distinct.toSeq // ≤ nlist
     val postings = spark.read.parquet(store)
       .filter(col("cid").isin(cells: _*)) // partition-pruned scan
       .select(col("cid"), col("vec_id").as("n_id"), col("v").as("vb"))

@@ -352,11 +352,17 @@ class LakeProtocolSpec extends AnyFunSuite {
     val parts = (0 until 500).map(i => s"part_date=${day0.plusDays(i)}")
     parts.drop(1).foreach(p => copyTree(seed, new java.io.File(dir, p)))
     val snaps = new java.io.File(dir, "_snapshots")
-    java.nio.file.Files.write(
-      new java.io.File(snaps, "2.manifest").toPath,
-      parts.sorted.map(p => s"$p\t1\t0").mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.write(new java.io.File(snaps, "2").toPath,
-      Array.emptyByteArray)
+    // the documented enablement flow: repairManifest pins all 500 at
+    // v1 (manifest 2) and certifies the log complete (_enabled) —
+    // WITHOUT it latestPins must keep the safe full walk on s3a
+    CountingLocalFs.reset()
+    val preEnable = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(preEnable.size == 500 && CountingLocalFs.calls.get() > 100,
+      "an UNCERTIFIED log (no _enabled) must keep the full-walk " +
+        "fallback on an object store — a manifest-1-only lake with " +
+        "fabricated partitions has versions no log entry covers")
+    assert(PartitionedSnapshotLake.repairManifest(spark, root) == 2L)
+    assert(new java.io.File(snaps, "_log/_enabled").exists)
 
     // clean state: pin resolution is O(1)-listing with NO mtime help
     CountingLocalFs.reset()
