@@ -430,4 +430,40 @@ class LakeProtocolSpec extends AnyFunSuite {
     assert(pins4(p) == 2L && pins4.size == 500)
     assert(CountingLocalFs.calls.get() <= 8)
   }
+
+  test("vacuum's dangling-log-entry sweep: a live (young-locked) " +
+      "writer's pre-marker entry survives; true crash debris goes " +
+      "once past the TTL; covered entries are pruned") {
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    val root = tmp()
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2025-05-01", "a"), (2L, "2025-05-02", "b")), "id", "ts")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2025-05-01", "a2")), "id", "ts")
+    val p = "part_date=2025-05-01"
+    val logDir = new java.io.File(s"$root/_snapshots/_log")
+    logDir.mkdirs()
+    val old = System.currentTimeMillis() - 3L * 60 * 60 * 1000
+    // (1) live writer mid-commit: aged entry for v=9, NO marker, but a
+    // YOUNG claim lock — must survive the sweep
+    val live = new java.io.File(logDir, s"$p@9")
+    assert(live.createNewFile()); assert(live.setLastModified(old))
+    val lock = new java.io.File(s"$root/$p/_commits/9.lock")
+    assert(lock.createNewFile()) // fresh mtime = heartbeating holder
+    // (2) crash debris: aged entry for v=8, no marker, no lock
+    val dead = new java.io.File(logDir, s"$p@8")
+    assert(dead.createNewFile()); assert(dead.setLastModified(old))
+    // (3) covered: entry for v=1, pinned (≥) by the newest manifest
+    val covered = new java.io.File(logDir, s"$p@1")
+    assert(covered.createNewFile())
+    PartitionedSnapshotLake.vacuum(spark, root, retainSnapshots = 2)
+    assert(live.exists,
+      "vacuum deleted a young-locked (live) writer's log entry — a " +
+        "writer between its entry and marker would lose its version " +
+        "from the object-store read path")
+    assert(!dead.exists, "aged no-marker no-lock entry not swept")
+    assert(!covered.exists, "manifest-covered entry not pruned")
+    lock.delete(): Unit
+  }
 }
