@@ -87,7 +87,7 @@ class ProbeGuardSpec extends AnyFunSuite {
         "the 15-other-bands margin eroded")
   }
 
-  test("streaming dedup per-batch cost is FLAT in store size: a 20× " +
+  test("streaming dedup per-batch cost is FLAT in store size: a 12× " +
       "store costs ≤ 3× per batch (the StreamDedupProbe headline, " +
       "guarded)") {
     val src = "/root/testdata/sf0.01"
@@ -135,14 +135,17 @@ class ProbeGuardSpec extends AnyFunSuite {
       }
       secs.sorted.apply(secs.size / 2)
     }
+    // 12× keeps the regression signal (a reintroduced per-batch
+    // corpus re-banding costs ∝ store corpus ⇒ ratio ≫ 3) while
+    // keeping this spec's share of the suite budget small
     buildStore(1, s"$work/s1")
-    buildStore(20, s"$work/s20")
+    buildStore(12, s"$work/s12")
     val m1 = medianBatchSec(s"$work/s1")
-    val m20 = medianBatchSec(s"$work/s20")
-    val ratio = m20 / m1
+    val m12 = medianBatchSec(s"$work/s12")
+    val ratio = m12 / m1
     assert(ratio <= 3.0,
-      f"per-batch cost grew $ratio%.2f× ($m1%.2fs → $m20%.2fs) on a " +
-        "20× store — the probe path is no longer flat in store size " +
+      f"per-batch cost grew $ratio%.2f× ($m1%.2fs → $m12%.2fs) on a " +
+        "12× store — the probe path is no longer flat in store size " +
         "(re-banding the corpus per batch? batch side not broadcast?)")
   }
 
