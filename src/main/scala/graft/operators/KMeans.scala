@@ -169,9 +169,18 @@ object KMeans {
     * planted corpus). Ties: level 1 first-minimum (lowest super
     * index); level 2 children are index-ascending, so first-minimum =
     * lowest original cid within the group — the flat tiebreak,
-    * restricted. */
+    * restricted.
+    *
+    * `nprobe1` (r12, VERDICT r11 ask #7) is the agreement/speed knob:
+    * probe the `nprobe1` NEAREST supers at level 1 and argmin over
+    * the union of their children — n×(√k + nprobe1·√k) folds. The
+    * standard IVF miss mode is a row sitting near a super BOUNDARY
+    * whose true centroid lives in the runner-up group; nprobe1=2
+    * recovers most of those (D9Diag measures agreement% vs wall-time
+    * per setting). Ties with multiple probed groups break to the
+    * LOWEST cid among equal distances — the flat rule, globally. */
   def assignHierarchical(df: DataFrame, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]], nprobe1: Int = 1): DataFrame = {
     val k = cents.length
     if (k <= TwoLevelMinK) return assign(df, vecCol, cents)
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -186,15 +195,39 @@ object KMeans {
       transform(m, c =>
         aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, b) => a + b))
-    df.withColumn("v",
+    val np = math.max(1, math.min(nprobe1, nonEmpty.length))
+    val base = df.withColumn("v",
         expr(s"transform($vecCol, x -> cast(x as double))"))
       .withColumn("d1", distsToM(superLit))
-      .withColumn("sx", array_position(col("d1"), array_min(col("d1")))
-        .cast("int"))
-      .withColumn("d2", distsToM(element_at(childVLit, col("sx"))))
-      .withColumn("cid", element_at(
-        element_at(childCidLit, col("sx")),
-        array_position(col("d2"), array_min(col("d2"))).cast("int")))
-      .drop("v", "d1", "sx", "d2")
+    val out =
+      if (np == 1)
+        base.withColumn("sx",
+            array_position(col("d1"), array_min(col("d1"))).cast("int"))
+          .withColumn("d2", distsToM(element_at(childVLit, col("sx"))))
+          .withColumn("cid", element_at(
+            element_at(childCidLit, col("sx")),
+            array_position(col("d2"), array_min(col("d2"))).cast("int")))
+      else {
+        // rank supers by (distance asc, index asc) — the default
+        // struct ordering — take the top nprobe1, and argmin over the
+        // UNION of their children with the global (d asc, cid asc)
+        // tiebreak, again the default struct order
+        val superRank = array_sort(zip_with(col("d1"),
+          sequence(lit(1), lit(nonEmpty.length)),
+          (dd, i) => struct(dd.as("d"), i.as("i"))))
+        base.withColumn("cands", flatten(transform(
+            slice(superRank, 1, np),
+            s => zip_with(
+              transform(element_at(childVLit, s("i").cast("int")),
+                c => aggregate(
+                  zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (a, b) => a + b)),
+              element_at(childCidLit, s("i").cast("int")),
+              (dd, cc) => struct(dd.as("d"), cc.as("cid"))))))
+          .withColumn("cid",
+            element_at(array_sort(col("cands")), 1).getField("cid"))
+          .drop("cands")
+      }
+    out.drop("v", "d1", "sx", "d2")
   }
 }

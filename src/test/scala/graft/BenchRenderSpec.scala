@@ -179,15 +179,21 @@ class BenchRenderSpec extends AnyFunSuite {
       "budget trimming must drop queries, not the phases field")
   }
 
-  test("regression gate: flags real slowdowns, skips on tag mismatch") {
-    val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0)
-    val cur  = Seq("qa" -> 1.1, "qb" -> 7.0, "qc" -> 0.6, "qd" -> 1.4,
-                   "qnew" -> 9.0)
+  test("regression gate: flags real slowdowns, absorbs the measured " +
+      "box-noise band, skips on tag mismatch") {
+    val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0,
+                   "qe" -> 1.85)
+    val cur  = Seq("qa" -> 1.1, "qb" -> 9.0, "qc" -> 0.6, "qd" -> 1.4,
+                   "qe" -> 2.95, "qnew" -> 9.0)
     val r = Bench.regressions("v2", prev, "v2", cur)
-    // qb: 1.75x and +3.0s -> flagged. qa: under factor. qc: 3x but under
-    // the 0.5s absolute floor (GC jitter band). qd: +0.4s under floor
-    // AND under 1.5x. qnew: no baseline.
-    assert(r == Seq(("qb", 4.0, 7.0)))
+    // qb: 2.25x and +5.0s -> flagged (the t22-class real regression).
+    // qa: under factor. qc: 3x but under the 0.5s absolute floor (GC
+    // jitter band). qd: +0.4s under floor AND under factor. qe is the
+    // r11 d12 false alarm VERBATIM (1.85 -> 2.95, 1.59x on code whose
+    // only change was a visibility modifier — driver-window writeback
+    // noise, see BENCH_NOTES): inside the measured 1.8x band, must NOT
+    // flag. qnew: no baseline.
+    assert(r == Seq(("qb", 4.0, 9.0)))
     // a ruler change must suppress the diff entirely (round-7 lesson)
     assert(Bench.regressions("v1", prev, "v2", cur).isEmpty)
   }

@@ -57,9 +57,10 @@ object LshRecallProbe {
       val n = all.count()
       val sh = all.select(col("doc_id"), col("shingles"))
       val banded = DedupOps.minhashBanded(sh).cache()
-      val detected = DedupOps.verifyJaccard(
-        DedupOps.bucketPairs(banded, Seq("band", "band_key"),
-          DedupOps.MaxBandBucketDefault), sh, 0.8, ordered = false)
+      // r12: the graded chain's shape (shingles-on-banded self-join)
+      val detected = DedupOps.lshVerifiedPairs(banded,
+        Seq("band", "band_key"), sh, 0.8,
+        DedupOps.MaxBandBucketDefault, ordered = false)
       val planted = all.select(col("doc_id").as("doc_a"))
         .filter(col("doc_a") % 4 === 0 && col("doc_a") < Off)
         .join(all.select(col("doc_id").as("doc_b")),

@@ -61,9 +61,10 @@ class ProbeGuardSpec extends AnyFunSuite {
     assert(overflowed >= 1,
       s"cap $cap did not bind on this corpus — recall-under-cap is " +
         "untested; lower the cap")
-    val detected = DedupOps.verifyJaccard(
-      DedupOps.bucketPairs(banded, Seq("band", "band_key"), cap),
-      sh, 0.8, ordered = false)
+    // the GRADED chain's shape (r12: the shingles-on-banded self-join
+    // verify) — this guard must exercise what d2/d12/d15 actually run
+    val detected = DedupOps.lshVerifiedPairs(banded,
+      Seq("band", "band_key"), sh, 0.8, cap, ordered = false)
     val planted = all.select(col("doc_id").as("doc_a"))
       .filter(col("doc_a") % 4 === 0 && col("doc_a") < Off)
       .join(all.select(col("doc_id").as("doc_b")),

@@ -58,6 +58,25 @@ class NoMtimeCountingFs extends CountingLocalFs {
   * recheck, the vacuum heartbeat, the manifest mutex, and the
   * O(touched-partitions) commit + single-scan snapshot read over a
   * 1000-partition lake. */
+/** HDFS-like (dir mtimes DO move on child create) but with a COARSE
+  * mtime clock: every reported mtime truncates to [[CoarseMtimeFs.Tick]]
+  * ms — the same-tick-strand stand-in (real filesystems have 1 ms–2 s
+  * granularity; 1.5 s makes the window reliably hittable in a test). */
+class CoarseMtimeFs extends CountingLocalFs {
+  override def getScheme: String = "coarsefs"
+  override def getUri: URI = URI.create("coarsefs:///")
+  private def strip(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize,
+      st.getModificationTime / CoarseMtimeFs.Tick * CoarseMtimeFs.Tick,
+      st.getPath)
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(strip)
+  override def getFileStatus(f: Path): FileStatus =
+    strip(super.getFileStatus(f))
+}
+object CoarseMtimeFs { val Tick = 1500L }
+
 class LakeProtocolSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -352,6 +371,13 @@ class LakeProtocolSpec extends AnyFunSuite {
     val parts = (0 until 500).map(i => s"part_date=${day0.plusDays(i)}")
     parts.drop(1).foreach(p => copyTree(seed, new java.io.File(dir, p)))
     val snaps = new java.io.File(dir, "_snapshots")
+    // simulate a PRE-LOG lake (upgraded fleet): commitMerge certifies
+    // fresh lakes at birth since r12, but this lake's 499 fabricated
+    // partitions are exactly the versions-without-entries state an
+    // upgrade produces — drop the birth certificate, as a pre-r12
+    // lake would never have had one
+    assert(new java.io.File(snaps, "_log/_enabled").delete(),
+      "commitMerge on a fresh root should have auto-certified the log")
     // the documented enablement flow: repairManifest pins all 500 at
     // v1 (manifest 2) and certifies the log complete (_enabled) —
     // WITHOUT it latestPins must keep the safe full walk on s3a
@@ -465,5 +491,93 @@ class LakeProtocolSpec extends AnyFunSuite {
     assert(!dead.exists, "aged no-marker no-lock entry not swept")
     assert(!covered.exists, "manifest-covered entry not pruned")
     lock.delete(): Unit
+  }
+
+  test("BORN CERTIFIED: a lake created and grown purely through " +
+      "commitMerge on an object store gets O(1) readLatest with ZERO " +
+      "repairManifest calls (r12: the birth certificate)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[NoMtimeCountingFs].getName)
+    val dir = tmp()
+    val root = s"s3a://$dir"
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2027-01-01", "a"), (2L, "2027-01-02", "b")), "id", "ts")
+    assert(new java.io.File(dir, "_snapshots/_log/_enabled").exists,
+      "first commitMerge on a fresh root must certify the commit log")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2027-01-01", "a2"), (3L, "2027-01-03", "c")), "id", "ts")
+    CountingLocalFs.reset()
+    val pins = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(pins == Map("part_date=2027-01-01" -> 2L,
+      "part_date=2027-01-02" -> 1L, "part_date=2027-01-03" -> 1L))
+    assert(CountingLocalFs.calls.get() <= 8,
+      s"born-certified lake cost ${CountingLocalFs.calls.get()} " +
+        "listStatus calls — the O(1) log path is not on by default " +
+        "for fresh lakes")
+    // a crash-stranded commit (entry + marker, no manifest) is served
+    // through the log alone — the dir-mtime path is useless on s3a
+    val p = "part_date=2027-01-02"
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c =>
+          copyTree(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(new java.io.File(dir, s"$p/v=1"),
+      new java.io.File(dir, s"$p/v=2"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"_snapshots/_log/$p@2").toPath,
+      Array.emptyByteArray)
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"$p/_commits/2").toPath,
+      Array.emptyByteArray)
+    assert(PartitionedSnapshotLake.latestPins(spark, root)(p) == 2L,
+      "born-certified log path missed a crash-stranded version")
+    // an EXISTING lake (pre-existing partitions, no certificate) must
+    // NOT get certified by a later commitMerge — only repair may
+    val dir2 = tmp()
+    val root2 = s"s3a://$dir2"
+    PartitionedSnapshotLake.commitMerge(spark, root2,
+      df((1L, "2027-02-01", "x")), "id", "ts")
+    assert(new java.io.File(dir2, "_snapshots/_log/_enabled").delete())
+    PartitionedSnapshotLake.commitMerge(spark, root2,
+      df((2L, "2027-02-02", "y")), "id", "ts")
+    assert(!new java.io.File(dir2, "_snapshots/_log/_enabled").exists,
+      "commitMerge certified a lake that already had history — " +
+        "pre-log versions could lack entries; only repairManifest " +
+        "(or birth) may write _enabled")
+  }
+
+  test("SAME-TICK STRAND closed (r12): on a log-less coarse-mtime " +
+      "HDFS-class lake, a version committed immediately after a " +
+      "manifest pin — inside what WOULD have been the pin's mtime " +
+      "tick — is still served by readLatest (the settled-stat wait)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.coarsefs.impl", classOf[CoarseMtimeFs].getName)
+    val dir = tmp()
+    val root = s"coarsefs://$dir"
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    PartitionedSnapshotLake.commitMerge(spark, root,
+      df((1L, "2027-03-01", "a")), "id", "ts")
+    // log-less HDFS lake: drop the birth certificate so the mtime
+    // delta is the ONLY delta source — the path under test
+    assert(new java.io.File(dir, "_snapshots/_log/_enabled").delete())
+    // out-of-band commit IMMEDIATELY after the manifest's pin stat:
+    // without the settled-stat wait this lands in the same 1.5 s
+    // mtime tick as pinnedAt, mtime == pinnedAt fails the STRICT >
+    // delta test, and the version strands until an unrelated commit
+    val p = "part_date=2027-03-01"
+    SnapshotLake.commit(spark, s"$root/$p",
+      Seq((9L, java.sql.Timestamp.valueOf("2027-03-01 00:00:00"), "b"))
+        .toDF("id", "ts", "val"))
+    val pins = PartitionedSnapshotLake.latestPins(spark, root)
+    assert(pins(p) == 2L,
+      "same-tick strand: a version committed in the pin's own mtime " +
+        "tick is invisible to readLatest — the settled-stat wait in " +
+        "commitManifest regressed")
   }
 }

@@ -26,6 +26,11 @@ object D2Diag {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
 
+    // single-shot per stage (cached outputs make in-process re-runs
+    // read the cache, not the work) — run the WHOLE main 3× and take
+    // per-stage mins: single numbers on this box swing 5× with
+    // writeback load (r12 re-measure: verifyJaccard read 6.8 s and
+    // 37.7 s on identical code+data minutes apart)
     def timed[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -52,6 +57,17 @@ object D2Diag {
     timed("verifyJaccard (per-pair shingle joins)") {
       DedupOps.verifyJaccard(pairs, sh, 0.8).count()
     }
+    // r12: the landed rewrite, end-to-end (banding is inside the
+    // cached `banded`, so this times size-pass + live filter +
+    // payload attach + self-join verify against the pair path's
+    // bucketPairs + verifyJaccard above)
+    val nV = timed("lshVerifiedPairs (shingles-on-banded self-join)") {
+      val v = DedupOps.lshVerifiedPairs(banded,
+        Seq("band", "band_key"), sh, 0.8,
+        DedupOps.MaxBandBucketDefault, ordered = false)
+      v.count()
+    }
+    println(s"verified_pairs=$nV")
     spark.stop()
   }
 }

@@ -75,7 +75,25 @@ object D9Diag {
       .join(two.withColumnRenamed("cid", "tc"), "vec_id")
       .agg(sum(when(col("fc") === col("tc"), 1L).otherwise(0L)),
         count(lit(1))).head()
-    println(s"agreement: ${agree.getLong(0)}/${agree.getLong(1)}")
+    println(s"agreement(nprobe=1): ${agree.getLong(0)}/${agree.getLong(1)}")
+
+    // TWO-LEVEL, level-1 nprobe=2 (r12 knob): the two nearest supers'
+    // children both probed — measures how much flat agreement the
+    // runner-up group recovers and what it costs
+    val two2 = SimilarityOps.withCosArgmaxCid(all,
+        centRows.map(_._1), centRows.map(_._2), nprobe1 = 2)
+      .select(col("vec_id"), col("cid")).cache()
+    timed("two-level nprobe=2 assign")(two2.count())
+    val two2Skew = two2.groupBy("cid").count()
+      .agg(sum(col("count") * col("count")), max(col("count")),
+        count(lit(1))).head()
+    println(s"two(np2) sum(sz^2)=${two2Skew.getLong(0)} " +
+      s"max=${two2Skew.getLong(1)} nclusters=${two2Skew.getLong(2)}")
+    val agree2 = flat.withColumnRenamed("cid", "fc")
+      .join(two2.withColumnRenamed("cid", "tc"), "vec_id")
+      .agg(sum(when(col("fc") === col("tc"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+    println(s"agreement(nprobe=2): ${agree2.getLong(0)}/${agree2.getLong(1)}")
 
     // verify cost for each assignment
     def verifySec(a: org.apache.spark.sql.DataFrame): Double = {

@@ -424,6 +424,15 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(disagree.isEmpty,
       s"two-level cosine argmax diverged from flat on " +
         s"${disagree.size}/400 planted rows, e.g. ${disagree.take(5)}")
+    // the r12 nprobe1=2 knob runs a DIFFERENT code path (ranked
+    // supers, union-of-children argmax) — pin it to the same flat
+    // semantics on the separated corpus
+    val got2 = SimilarityOps.withCosArgmaxCid(df, cids, cvs, nprobe1 = 2)
+      .select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == got,
+      "nprobe1=2 cosine argmax diverged from nprobe1=1 on the " +
+        "planted separated corpus (both must equal flat)")
   }
 
   test("two-level L2 assignment (semanticDedup shape) ≡ flat " +
@@ -443,5 +452,11 @@ class DedupScaleSpec extends AnyFunSuite {
         s"${disagree.size}/400 planted rows")
     // and the hierarchical path genuinely engaged (k > TwoLevelMinK)
     assert(cents.length > KMeans.TwoLevelMinK)
+    // the r12 nprobe1=2 knob (ranked supers, union-of-children argmin)
+    val two2 = KMeans.assignHierarchical(df, "vec", cents, nprobe1 = 2)
+      .select("doc_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two2 == flat,
+      "nprobe1=2 L2 assignment diverged from flat on the planted corpus")
   }
 }

@@ -177,4 +177,98 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$store.next").exists())
     assert(!new java.io.File(s"$store.old").exists())
   }
+
+  test("splitHotCells: a planted hot cell splits into children, probe " +
+      "results are unchanged while the probed row count drops, the " +
+      "centroid table swaps crash-safely, debris never lingers") {
+    graft.GraftFunctions.register(spark)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.openfs.impl", classOf[OpenCountingFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("vecsplit")
+    val store = s"openfs://$dir/store"
+    val centPath = s"openfs://$dir/centroids"
+    centroids.coalesce(1).write.parquet(centPath)
+    def cents: DataFrame = spark.read.parquet(centPath)
+
+    // hot cell 0 = TWO separable sub-clusters inside the axis-0
+    // halfspace: even ids lean (1, +0.3, …), odd ids (1, -0.3, …) —
+    // all assign to centroid 0 among the four axes, and a k'=2 refit
+    // (init = ids 0 and 1, one per sub-cluster) recovers the split
+    val hotVecs = (0L until 40L).map { id =>
+      val tilt = if (id % 2 == 0) 0.3 + 0.001 * (id % 7)
+        else -0.3 - 0.001 * (id % 7)
+      (id, Seq(1.0 + 0.01 * (id % 11), tilt, 0.02, 0.02))
+    }.toDF("vec_id", "v")
+    SimilarityOps.extendVectorStore(store, cents, hotVecs)
+    SimilarityOps.extendVectorStore(store, cents,
+      vecs(Seq(101L, 102L, 103L))) // cells 1–3, one vector each
+    // external query in the even (+0.3) sub-cluster: its true top-5
+    // all live there, so a post-split nprobe=1 probe of the matching
+    // child returns the SAME answer from half the rows
+    val q = Seq((500L, Seq(1.0, 0.31, 0.02, 0.02))).toDF("vec_id", "v")
+    val before = SimilarityOps.probeVectorStore(store, cents, q,
+      k = 5, nprobe = 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val mapping = SimilarityOps.splitHotCells(spark, store, centPath,
+      hotCellThreshold = 30L, maxSplitK = 2)
+    assert(mapping == Map(0 -> Seq(4, 5)),
+      s"expected cell 0 → children (4, 5), got $mapping")
+    assert(!new java.io.File(s"$dir/store/cid=0").exists(),
+      "the split parent's dead directory must be deleted")
+    val newCids = cents.select("cid").collect().map(_.getInt(0)).toSet
+    assert(newCids == Set(1, 2, 3, 4, 5),
+      s"centroid table after split should be children + untouched, " +
+        s"got $newCids")
+
+    OpenCountingFs.reset()
+    val after = SimilarityOps.probeVectorStore(store, cents, q,
+      k = 5, nprobe = 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(after == before,
+      s"splitting the hot cell changed probe results:\n" +
+        s"before $before\nafter  $after")
+    // scan drop: the probe now opens exactly ONE child cell holding
+    // half the parent's rows
+    val openedCells = OpenCountingFs.opened.toArray(Array.empty[String])
+      .filter(p => p.contains("/store/") && p.contains("cid="))
+      .flatMap(p => "cid=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)))
+      .toSet
+    // schema inference may open one stray footer in another cell; the
+    // pruning claims are: exactly one CHILD is read (the sibling is
+    // pruned — the scan halved) and the dead parent is never touched
+    val probedChild = openedCells.intersect(Set("4", "5"))
+    assert(probedChild.size == 1,
+      s"post-split probe should read exactly one child cell, " +
+        s"opened: $openedCells")
+    assert(!openedCells.contains("0"),
+      s"post-split probe touched the dead parent cell: $openedCells")
+    val childRows = spark.read.parquet(store)
+      .filter(col("cid").isin(probedChild.map(_.toInt).toSeq: _*))
+      .count()
+    assert(childRows == 20L,
+      s"the probed child should hold half the parent's 40 rows, " +
+        s"has $childRows")
+    // untouched cells still probeable; total rows conserved
+    assert(spark.read.parquet(store).count() == 43L)
+    // no swap debris on either artifact
+    assert(!new java.io.File(s"$dir/centroids.next").exists())
+    assert(!new java.io.File(s"$dir/centroids.old").exists())
+    // a second pass over the now-cool store is a no-op
+    assert(SimilarityOps.splitHotCells(spark, store, centPath,
+      hotCellThreshold = 30L, maxSplitK = 2).isEmpty)
+    // interrupted-split debris (children appended, table never
+    // swapped) is swept on the next maintenance entry: plant a fake
+    // unreferenced cell and re-run
+    vecs(Seq(777L)).withColumn("cid", lit(99))
+      .select(col("cid"), col("vec_id"), col("v"))
+      .write.mode("append").partitionBy("cid").parquet(store)
+    assert(SimilarityOps.splitHotCells(spark, store, centPath,
+      hotCellThreshold = 30L, maxSplitK = 2).isEmpty)
+    assert(!new java.io.File(s"$dir/store/cid=99").exists(),
+      "entry sweep must remove a cid= dir the centroid table does " +
+        "not reference (interrupted-split debris)")
+  }
 }
