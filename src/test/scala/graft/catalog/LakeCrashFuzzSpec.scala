@@ -137,7 +137,8 @@ class LakeCrashFuzzSpec extends AnyFunSuite {
   }
 
   test("sampled crash points through commitMerge leave no torn state " +
-      "and always recover via repairManifest + a fresh commit") {
+      "and always recover via repairManifest + a fresh commit",
+      graft.SlowTest) {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.failfs.impl", classOf[FaultInjectingFs].getName)
     val oldTtl = PartitionedSnapshotLake.manifestLockTtlMs
@@ -197,7 +198,8 @@ class LakeCrashFuzzSpec extends AnyFunSuite {
   }
 
   test("sampled crash points through vacuum never break retained " +
-      "snapshots, and a rerun completes the interrupted sweep") {
+      "snapshots, and a rerun completes the interrupted sweep",
+      graft.SlowTest) {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.failfs.impl", classOf[FaultInjectingFs].getName)
     try {

@@ -53,11 +53,6 @@ class NoMtimeCountingFs extends CountingLocalFs {
     strip(super.getFileStatus(f))
 }
 
-/** Lock-protocol and at-scale contracts of the snapshot lakes that the
-  * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
-  * recheck, the vacuum heartbeat, the manifest mutex, and the
-  * O(touched-partitions) commit + single-scan snapshot read over a
-  * 1000-partition lake. */
 /** HDFS-like (dir mtimes DO move on child create) but with a COARSE
   * mtime clock: every reported mtime truncates to [[CoarseMtimeFs.Tick]]
   * ms — the same-tick-strand stand-in (real filesystems have 1 ms–2 s
@@ -77,6 +72,11 @@ class CoarseMtimeFs extends CountingLocalFs {
 }
 object CoarseMtimeFs { val Tick = 1500L }
 
+/** Lock-protocol and at-scale contracts of the snapshot lakes that the
+  * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
+  * recheck, the vacuum heartbeat, the manifest mutex, and the
+  * O(touched-partitions) commit + single-scan snapshot read over a
+  * 500-partition lake. */
 class LakeProtocolSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -207,9 +207,15 @@ class LakeProtocolSpec extends AnyFunSuite {
       .count() == 3)
   }
 
-  test("AT SCALE: over a 1000-partition lake, commit touches O(touched) " +
+  test("AT SCALE: over a 500-partition lake, commit touches O(touched) " +
       "filesystem listings (never the root), the manifest carries " +
       "forward untouched pins, and snapshot reads plan ONE scan") {
+    // 500 partitions, not 1000 (r12 suite-budget trim): every
+    // assertion below is an ABSOLUTE bound (root listings == 0,
+    // listStatus ≤ constants), so the O(touched)/O(1) claims are
+    // exactly as strong — a linear-in-partitions regression still
+    // blows the constants by 30×+ at this scale
+    val NParts = 500
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
     val dir = tmp()
@@ -231,11 +237,11 @@ class LakeProtocolSpec extends AnyFunSuite {
           copyTree(c, new java.io.File(dst, c.getName)))
       } else java.nio.file.Files.copy(src.toPath, dst.toPath)
     }
-    val parts = (0 until 1000).map(i => s"part_date=${day0.plusDays(i)}")
+    val parts = (0 until NParts).map(i => s"part_date=${day0.plusDays(i)}")
     parts.drop(1).foreach { p =>
       copyTree(seed, new java.io.File(dir, p))
     }
-    // hand-write manifest 2 pinning all 1000 at v1 (the repair shape:
+    // hand-write manifest 2 pinning all NParts at v1 (the repair shape:
     // pinnedAt = now, as repairManifest would stamp)
     val snaps = new java.io.File(dir, "_snapshots")
     val pinAt = System.currentTimeMillis()
@@ -245,7 +251,7 @@ class LakeProtocolSpec extends AnyFunSuite {
     java.nio.file.Files.write(new java.io.File(snaps, "2").toPath,
       Array.emptyByteArray)
 
-    // the measured commit: touches 2 of 1000 partitions
+    // the measured commit: touches 2 of NParts partitions
     CountingLocalFs.reset()
     val (s3, _) = PartitionedSnapshotLake.commitMerge(spark, root,
       df((10L, "2023-01-05", "x"), (11L, "2023-01-06", "y")), "id", "ts")
@@ -261,16 +267,16 @@ class LakeProtocolSpec extends AnyFunSuite {
         "O(partitions), not O(touched)")
     assert(listCalls < 150,
       s"commit of 2 touched partitions issued $listCalls listStatus " +
-        "calls over a 1000-partition lake — not O(touched)")
+        s"calls over a $NParts-partition lake — not O(touched)")
 
     // manifest 3 = manifest 2 + the 2-partition overlay
     val m3 = PartitionedSnapshotLake.manifest(spark, root, 3L)
-    assert(m3.size == 1000)
+    assert(m3.size == NParts)
     assert(m3("part_date=2023-01-05") == 2L &&
       m3("part_date=2023-01-06") == 2L)
     assert(m3("part_date=2023-01-09") == 1L)
 
-    // snapshot read over all 1000 pinned partition versions: ONE scan
+    // snapshot read over all pinned partition versions: ONE scan
     val snap = PartitionedSnapshotLake.readVersion(spark, root, 3L)
     val scans = snap.queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s
@@ -278,29 +284,29 @@ class LakeProtocolSpec extends AnyFunSuite {
     assert(scans.size == 1,
       s"time-travel read planned ${scans.size} scans — must be a " +
         "single multi-path FileSourceScan")
-    assert(snap.count() == 1002L) // 1000 seeds + the 2 new rows
+    assert(snap.count() == NParts + 2L) // seeds + the 2 new rows
     // part_date survives as a real DATE column parsed from the path
     assert(snap.filter($"part_date" === "2023-01-06")
       .select("val").as[String].collect().toSet == Set("seed", "y"))
 
     // readLatest's PIN RESOLUTION is O(1)-listing (round-10):
     // newest-manifest pins + a single root listing for the mtime
-    // delta — never a per-partition marker walk over all 1000. (The
+    // delta — never a per-partition marker walk over them all. (The
     // data scan itself then lists the pinned v-dirs, as any scan of
-    // 1000 partitions must — that part is Spark's parallel file
+    // hundreds of partitions must — that part is Spark's parallel file
     // index, not the protocol.)
     CountingLocalFs.reset()
     val pins = PartitionedSnapshotLake.latestPins(spark, root)
     val pinCalls = CountingLocalFs.calls.get()
     assert(pinCalls <= 12,
       s"latestPins issued $pinCalls listStatus calls over a " +
-        "1000-partition lake — pin resolution is O(partitions), " +
+        s"$NParts-partition lake — pin resolution is O(partitions), " +
         "not O(1)-listing")
-    assert(pins.size == 1000)
+    assert(pins.size == NParts)
     assert(pins("part_date=2023-01-05") == 2L &&
       pins("part_date=2023-01-09") == 1L)
     assert(PartitionedSnapshotLake.readLatest(spark, root)
-      .count() == 1002L)
+      .count() == NParts + 2L)
 
     // a partition version stranded AFTER the manifest (crashed writer)
     // must still be visible: its dir mtime moves past the manifest's,
