@@ -639,19 +639,38 @@ object DedupOps {
     *    integer form) rides in the join condition, so length-
     *    mismatched bucket-mates are rejected before the intersect.
     *
-    * A pair colliding in k bands is verified k times (expected ~2.7 at
-    * J=0.8 under 16×8 banding) and collapsed by the final distinct —
-    * arithmetic is the cheap side of this trade (the native two-
-    * pointer merge), bytes are the expensive one. `banded` is cached
-    * here (consumed by the size pass and the live filter); callers
-    * must pass the slim (doc_id, keys...) table, NOT one carrying
-    * payloads. NOT for asymmetric probes (d8's batch-vs-corpus): there
-    * the candidate list is batch-bounded and [[verifyJaccard]]'s
-    * pairs-form re-join is the cheaper shape. */
+    * THE SHAPE IS BUCKET-SIZE-ADAPTIVE, because neither form dominates:
+    *
+    *  - LARGE buckets (boilerplate/mixed cohorts) are where candidate
+    *    pairs explode quadratically — a 1000-member bucket is 1000
+    *    payload rows but 499 500 pairs, so payloads-on-rows wins ~500×
+    *    on bytes. These verify through the self-join above.
+    *  - SMALL buckets are where TRUE near-duplicates live, and a pair
+    *    at J≈0.9 collides in ~14 of 16 bands — payloads-on-rows would
+    *    ship and intersect that pair 14 times (measured: it took the
+    *    dup-dense d15 from 24 s to 100 s at sf10), while the pairs
+    *    form ships 28 slim rows, ONE distinct pair, two payload rows,
+    *    one intersect. Small-bucket candidates therefore self-join
+    *    SLIM (ids only), dedupe across bands, and verify through
+    *    [[verifyJaccard]]'s per-pair join — whose pair count here is
+    *    bounded by C([[PairFormBucketMax]],2)·buckets, never
+    *    quadratic in a hot cohort.
+    *
+    * The strata overlap only when one pair shares both a small and a
+    * large bucket — both compute the identical (doc_a, doc_b, jacc)
+    * row and the final distinct merges them. Over-cap buckets are
+    * dropped LOUDLY (same BucketAudit observe() semantics as
+    * [[bucketPairs]]); singleton buckets never attach anything.
+    * `banded` is cached here (size pass + two strata); callers pass
+    * the slim (doc_id, keys...) table, NOT one carrying payloads. NOT
+    * for asymmetric probes (d8's batch-vs-corpus): there the candidate
+    * list is batch-bounded and [[verifyJaccard]] alone is the right
+    * shape. */
   private[graft] def lshVerifiedPairs(banded: DataFrame,
       keys: Seq[String], sh: DataFrame, threshold: Double,
       maxBucket: Int = MaxBucketDefault,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true,
+      pairFormMax: Int = PairFormBucketMax): DataFrame = {
     BucketAudit.install(banded.sparkSession)
     val b = banded.cache()
     val sizes = b.groupBy(keys.map(col): _*)
@@ -659,24 +678,36 @@ object DedupOps {
       .observe(BucketAudit.nextMetricName(),
         sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
           .as("overflowed_buckets"))
-    val eligible = sizes
-      .filter(col("bsz") >= 2 && col("bsz") <= maxBucket)
+    val smallMax = math.min(pairFormMax, maxBucket)
+    val smallKeys = sizes
+      .filter(col("bsz") >= 2 && col("bsz") <= smallMax)
       .select(keys.map(col): _*)
-    // colliding band rows only — AQE broadcasts `eligible` when small;
-    // at worst this is a slim-row shuffle on the band keys
-    val live = b.join(eligible, keys)
+    val largeKeys = sizes
+      .filter(col("bsz") > smallMax && col("bsz") <= maxBucket)
+      .select(keys.map(col): _*)
+
+    // ---- small stratum: slim distinct pairs → per-pair verify (one
+    // intersect per DISTINCT pair, however many bands it collides in).
+    // Pair generation through [[bucketPairs]]' collect+explode, whose
+    // window reuses the stratum join's hash partitioning — one
+    // exchange, no self-join (a slim self-join here measured ~4 s of
+    // extra exchanges at sf10 on d4's 31-posting-per-doc table). The
+    // cap inside bucketPairs never binds: sizes already filtered to
+    // ≤ smallMax. AQE broadcasts the key list when small.
+    val liveS = b.join(smallKeys, keys)
+    val pairsS = bucketPairs(liveS, keys, smallMax)
+    val verifiedS = verifyJaccard(pairsS, sh, threshold, ordered = false)
+
+    // ---- large stratum: payloads on the bucket rows, pair
+    // cross-product streamed through the intersect inside the join.
+    // One payload shuffle, consumed TWICE: repartition by the bucket
+    // keys and cache, so both self-join sides scan one in-memory table
+    // already partitioned for the join — sorts only, no exchange
+    // (Spark planned the naive self-join with zero exchange reuse).
+    val liveL = b.join(largeKeys, keys)
     val payload = sh.select(col("doc_id"), col("shingles"),
       size(col("shingles")).as("sz"))
-    // one payload shuffle, consumed TWICE: repartition by the bucket
-    // keys and cache, so both self-join sides scan one in-memory table
-    // that is ALREADY partitioned for the join — the SMJ below needs
-    // only sorts, no exchange, and the payload-attach join runs once
-    // (Spark planned the naive self-join with zero exchange reuse:
-    // both sides recomputed the attach chain AND re-shuffled the
-    // payload rows). The cache holds colliding rows only — the
-    // singleton-bucket filter above is what keeps it a sliver of
-    // n × bands.
-    val withSh = live.join(payload, "doc_id")
+    val withSh = liveL.join(payload, "doc_id")
       .select((keys.map(col) :+ col("doc_id") :+ col("shingles") :+
         col("sz")): _*)
       .repartition(keys.map(col): _*)
@@ -713,20 +744,33 @@ object DedupOps {
         expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
           lit(1.0 + threshold) >=
           lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
-    val verified = l.join(r, keys)
+    val verifiedL = l.join(r, keys)
       .filter(col("doc_a") < col("doc_b") && lenOk && jaccOk)
       // survivors only (a sliver of the bucket cross product) pay the
       // second intersect that materializes the reported jacc
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jacc", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      // a pair surfaces once per shared band; jacc is deterministic
-      // per pair, so distinct on the full row collapses exactly
       .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .distinct()
+
+    // a pair surfaces once per (stratum, shared band); jacc is
+    // deterministic per pair — verifyJaccard computes the identical
+    // expression — so distinct on the full row collapses exactly
+    val verified = verifiedS.union(verifiedL).distinct()
     if (ordered) verified.orderBy(col("doc_a"), col("doc_b"))
     else verified
   }
+
+  /** Bucket-size boundary between [[lshVerifiedPairs]]' two verify
+    * strata. Below it, a bucket's pair count (≤ C(32,2) = 496) is the
+    * same order as its row count and true near-dup pairs recur across
+    * most of their 16 bands — the distinct-pairs form wins on both
+    * bytes and intersects. Above it, pair counts grow quadratically
+    * toward C(cap,2) while row counts stay linear — payloads-on-rows
+    * wins ~b/2×. The crossover is the pair's expected band
+    * multiplicity (≲16); 32 sits comfortably above it while keeping
+    * the small stratum's worst bucket at a few hundred pairs. */
+  val PairFormBucketMax: Int = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy keep-first. The input is the corpus
@@ -734,7 +778,7 @@ object DedupOps {
     // rows (the raw corpus has no byte-identical duplicates).
     "d1_exact_dedup" -> ((s, dir) => {
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val dup = d.withColumn("doc_id", col("doc_id") + 100000)
+      val dup = d.withColumn("doc_id", col("doc_id") + 100000000L)
       d.union(dup)
         .groupBy(md5(col("text").cast("binary")).as("content_hash"))
         .agg(min(col("doc_id")).as("keeper_id"),
@@ -775,7 +819,7 @@ object DedupOps {
       GraftFunctions.register(s)
       val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
       val cop = base.filter(col("doc_id") % 4 === 0)
-        .select((col("doc_id") + 400000).as("doc_id"),
+        .select((col("doc_id") + 400000000L).as("doc_id"),
           concat_ws(" ", expr("slice(split(text, ' '), 4, size(split(text, ' ')))"))
             .as("text"))
       val all = base.union(cop).filter(length(col("text")) >= 8)
@@ -787,9 +831,9 @@ object DedupOps {
         Seq("band", "band_key"), sh, 0.8, MaxBandBucketDefault,
         ordered = false)
       val planted = all.select(col("doc_id").as("doc_a"))
-        .filter(col("doc_a") % 4 === 0 && col("doc_a") < 400000)
+        .filter(col("doc_a") % 4 === 0 && col("doc_a") < 400000000L)
         .join(all.select(col("doc_id").as("doc_b")),
-          col("doc_b") === col("doc_a") + 400000)
+          col("doc_b") === col("doc_a") + 400000000L)
       val truth = verifyJaccard(planted, sh, 0.0, ordered = false)
       truth.join(
           detected.select(col("doc_a"), col("doc_b"),
@@ -821,7 +865,7 @@ object DedupOps {
       GraftFunctions.register(s)
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
       val all = d.union(
-        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        d.select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
       // keeper election as ONE window over the content hash — a
       // groupBy+join-back would shuffle the text-bearing table twice
       // (once to aggregate, once to join); the window does a single
@@ -946,11 +990,11 @@ object DedupOps {
       val d = load(s, dir, "documents").select(col("doc_id"))
       val third = d.filter(col("doc_id") % 3 === 0)
       val edges = d.select(col("doc_id").as("src"),
-          (col("doc_id") + 100000).as("dst"))
-        .union(third.select((col("doc_id") + 100000).as("src"),
-          (col("doc_id") + 200000).as("dst")))
-        .union(third.select((col("doc_id") + 200000).as("src"),
-          (col("doc_id") + 300000).as("dst")))
+          (col("doc_id") + 100000000L).as("dst"))
+        .union(third.select((col("doc_id") + 100000000L).as("src"),
+          (col("doc_id") + 200000000L).as("dst")))
+        .union(third.select((col("doc_id") + 200000000L).as("src"),
+          (col("doc_id") + 300000000L).as("dst")))
       connectedComponents(edges)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("size"))
@@ -1079,10 +1123,17 @@ object DedupOps {
         .filter(col("rn") <=
           col("sz") - ceil(col("sz") * 0.7).cast("int") + 1)
         .select(col("doc_id"), col("t").as("band_key"))
-      // the PPJoin length bound (0.7·|a| ≤ |b| ≤ |a|/0.7) rides the
-      // self-join condition, pruning length-mismatched prefix-mates
-      // before the intersect — shared with d2/d12/d15
-      lshVerifiedPairs(prefix, Seq("band_key"), tg, 0.7)
+      // d4 keeps the CLASSIC bucketPairs+verifyJaccard pipeline. The
+      // r12 adaptive helper measured EQUAL here (19.8 vs 19.9 s at
+      // sf10, same-window solo runs), and unlike the minhash family
+      // there is no win to buy: d4's payloads are small (≈100 trigram
+      // hashes/doc) and its prefix-posting co-occurrence multiplicity
+      // is high (a near-dup pair shares ~30 prefix tokens), so the
+      // distinct-pairs dedup already carries the day — the classic
+      // single-window-exchange shape stays as the simpler lineage.
+      // The PPJoin length bound (0.7·|a| ≤ |b| ≤ |a|/0.7) prunes
+      // inside verifyJaccard before any payload joins.
+      verifyJaccard(bucketPairs(prefix, Seq("band_key")), tg, 0.7)
     }),
 
     // Chunk-level exact dedup — the C4 "drop duplicated paragraphs"
@@ -1101,7 +1152,7 @@ object DedupOps {
       val base = load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val copies = base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 100000000L).as("doc_id"),
           slice(col("w"), 1, 40).as("w"))
       val chunks = base.union(copies)
         .select(col("doc_id"), explode(expr(
@@ -1137,7 +1188,7 @@ object DedupOps {
       val base = load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val copies = base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + 200000000L).as("doc_id"),
           slice(col("w"), 1, 30).as("w"))
       val docs = base.union(copies).filter(size(col("w")) >= 20)
         .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
@@ -1188,7 +1239,7 @@ object DedupOps {
       val base = load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val copies = base.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + 300000000L).as("doc_id"),
           concat(array(lit("zq"), lit("zr"), lit("zs")), col("w"))
             .as("w"))
       val toks = base.union(copies)
@@ -1228,7 +1279,7 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents
-        |      UNION ALL SELECT doc_id + 100000, text FROM documents) t
+        |      UNION ALL SELECT doc_id + 100000000, text FROM documents) t
         |GROUP BY 1 ORDER BY keeper_id""".stripMargin,
 
     "d10_chunk_dedup" ->
@@ -1236,7 +1287,7 @@ object DedupOps {
         |              FROM documents),
         |allw AS (SELECT doc_id, w FROM base
         |         UNION ALL
-        |         SELECT doc_id + 100000, w[1:40] FROM base
+        |         SELECT doc_id + 100000000, w[1:40] FROM base
         |         WHERE doc_id % 5 = 0),
         |chunks AS (
         |  SELECT doc_id,
@@ -1258,7 +1309,7 @@ object DedupOps {
         |              FROM documents),
         |allw AS (SELECT doc_id, w FROM base
         |         UNION ALL
-        |         SELECT doc_id + 200000, w[1:30] FROM base
+        |         SELECT doc_id + 200000000, w[1:30] FROM base
         |         WHERE doc_id % 7 = 0),
         |docs AS (SELECT doc_id, len(w) AS n_words, w FROM allw
         |         WHERE len(w) >= 20),
@@ -1292,7 +1343,7 @@ object DedupOps {
         |              FROM documents),
         |allw AS (SELECT doc_id, w FROM base
         |         UNION ALL
-        |         SELECT doc_id + 300000, ['zq', 'zr', 'zs'] || w
+        |         SELECT doc_id + 300000000, ['zq', 'zr', 'zs'] || w
         |         FROM base WHERE doc_id % 6 = 0),
         |toks AS (
         |  SELECT doc_id, i AS pos, w[i] AS word,
@@ -1323,7 +1374,7 @@ object DedupOps {
     "d12_dedup_pipeline" ->
       """WITH RECURSIVE allw AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
         |hashed AS (SELECT doc_id, md5(text) AS h FROM allw),
         |kp AS (SELECT h, MIN(doc_id) AS k FROM hashed GROUP BY h),
         |ex AS (SELECT kp.k AS src, hashed.doc_id AS dst
@@ -1436,7 +1487,7 @@ object DedupOps {
 
     "d15_lsh_recall" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
-        |cop AS (SELECT doc_id + 400000 AS doc_id,
+        |cop AS (SELECT doc_id + 400000000 AS doc_id,
         |          array_to_string(string_split(text, ' ')[4:], ' ')
         |            AS text
         |        FROM base WHERE doc_id % 4 = 0),
@@ -1467,8 +1518,8 @@ object DedupOps {
         |            / (len(a.ss) + len(b.ss)
         |               - len(list_intersect(a.ss, b.ss))) >= 0.8),
         |planted AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |            FROM d a JOIN d b ON b.doc_id = a.doc_id + 400000
-        |            WHERE a.doc_id % 4 = 0 AND a.doc_id < 400000),
+        |            FROM d a JOIN d b ON b.doc_id = a.doc_id + 400000000
+        |            WHERE a.doc_id % 4 = 0 AND a.doc_id < 400000000),
         |truth AS (SELECT p.doc_a, p.doc_b,
         |            CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
         |              / (len(a.ss) + len(b.ss)
@@ -1504,12 +1555,12 @@ object DedupOps {
 
     "d6_dup_components" ->
       """WITH RECURSIVE edges AS (
-        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |  SELECT doc_id AS a, doc_id + 100000000 AS b FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id + 200000 FROM documents
+        |  SELECT doc_id + 100000000, doc_id + 200000000 FROM documents
         |  WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 200000, doc_id + 300000 FROM documents
+        |  SELECT doc_id + 200000000, doc_id + 300000000 FROM documents
         |  WHERE doc_id % 3 = 0),
         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
         |nodes AS (SELECT DISTINCT a AS n FROM und),

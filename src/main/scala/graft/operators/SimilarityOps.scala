@@ -162,7 +162,7 @@ object SimilarityOps {
       graft.GraftFunctions.register(s)
       val base = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+      val scaled = base.select((col("vec_id") + 100000000L).as("vec_id"),
         expr("transform(embedding, x -> x * cast(1.01 as float))")
           .as("embedding"))
       val all = base.union(scaled)
@@ -366,7 +366,7 @@ object SimilarityOps {
       graft.GraftFunctions.register(s)
       val base = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+      val scaled = base.select((col("vec_id") + 100000000L).as("vec_id"),
         expr("transform(embedding, x -> x * cast(1.01 as float))")
           .as("embedding"))
       val all = base.union(scaled)
@@ -835,7 +835,7 @@ object SimilarityOps {
       """WITH allv AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000,
+        |  SELECT vec_id + 100000000,
         |         [CAST(x * CAST(1.01 AS FLOAT) AS FLOAT) for x in embedding]
         |  FROM embeddings),
         |e AS (SELECT vec_id,
@@ -901,7 +901,7 @@ object SimilarityOps {
       """WITH allv AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000,
+        |  SELECT vec_id + 100000000,
         |         [CAST(x * CAST(1.01 AS FLOAT) AS FLOAT) for x in embedding]
         |  FROM embeddings),
         |e AS (SELECT vec_id, embedding,

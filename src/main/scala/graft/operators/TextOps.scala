@@ -198,7 +198,7 @@ object TextOps {
     "t15_leakage_safe_split" -> ((s, dir) => {
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
       val all = d.union(
-          d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          d.select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
         .withColumn("h", md5(col("text")))
       // keeper election as a window min (t16's shape): one shuffle on
       // h, and the union+md5 subtree is referenced exactly once —
@@ -451,7 +451,7 @@ object TextOps {
     "t16_training_mix" -> ((s, dir) => {
       val d = load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-      val all = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+      val all = d.union(d.select((col("doc_id") + 100000000L).as("doc_id"),
         col("lang"), col("text")))
       val kept = qualityGate(all.select(col("doc_id"), col("text")))
         .filter(col("keep"))
@@ -1133,7 +1133,7 @@ object TextOps {
     "t16_training_mix" ->
       """WITH allw AS (SELECT doc_id, lang, text FROM documents
         |              UNION ALL
-        |              SELECT doc_id + 100000, lang, text FROM documents),
+        |              SELECT doc_id + 100000000, lang, text FROM documents),
         |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM allw),
         |f AS (SELECT doc_id, len(w) AS n_words,
         |        len([t for t in w if t = 'the' OR t = 'a']) AS n_stop,
@@ -1247,7 +1247,7 @@ object TextOps {
     "t15_leakage_safe_split" ->
       """WITH allw AS (SELECT doc_id, text FROM documents
         |              UNION ALL
-        |              SELECT doc_id + 100000, text FROM documents),
+        |              SELECT doc_id + 100000000, text FROM documents),
         |h AS (SELECT doc_id, md5(text) AS h FROM allw),
         |k AS (SELECT h, MIN(doc_id) AS keeper_id FROM h GROUP BY h),
         |s AS (SELECT h.h,

@@ -16,9 +16,10 @@ import graft.operators.DedupOps
   * exact Jaccard) at sf0.1 / sf1 / sf10 and reports recall@J≥0.8 next
   * to how often the cap bound and the largest band bucket seen.
   *
-  * The planted-copy id offset is scale-safe (beyond any corpus id),
-  * unlike the graded query's fixed +400000, which is correct at graded
-  * scales only. Results go to BENCH_NOTES by hand.
+  * The planted-copy id offset is scale-safe (beyond any corpus id) —
+  * and since r12 the graded query's offset is the same 4e8 class, so
+  * the two measure the same construction. Results go to BENCH_NOTES
+  * by hand.
   *
   * Run: `sbt "Test/runMain graft.bench.LshRecallProbe \
   *   /root/testdata/sf0.1 /tmp/sf1 /tmp/sf10"`.

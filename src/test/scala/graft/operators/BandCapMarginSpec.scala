@@ -36,7 +36,7 @@ class BandCapMarginSpec extends AnyFunSuite {
     * builds. */
   private def withPlantedCopies(base: DataFrame): DataFrame =
     base.union(base.filter(col("doc_id") % 4 === 0)
-      .select((col("doc_id") + 400000).as("doc_id"),
+      .select((col("doc_id") + 400000000L).as("doc_id"),
         concat_ws(" ",
           expr("slice(split(text, ' '), 4, size(split(text, ' ')))"))
           .as("text")))

@@ -25,7 +25,7 @@ object D9Diag {
 
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+    val scaled = base.select((col("vec_id") + 100000000L).as("vec_id"),
       expr("transform(embedding, x -> x * cast(1.01 as float))")
         .as("embedding"))
     val all = base.union(scaled)
