@@ -248,14 +248,20 @@ object JdbcCatalog {
       }
       // the read back OUT of Derby is the third external-engine phase
       // (VERDICT r11 ask #4: the sweep's one >100× row must be fully
-      // attributed) — the eager localCheckpoint executes the
-      // partitioned JDBC scan HERE, once, inside the timed block, so
-      // the sort below is the genuinely-Spark residual. Same rows,
-      // same single read of Derby as the lazy plan had.
+      // attributed) — persist + count executes the partitioned JDBC
+      // scan HERE, once, inside the timed block, so the sort below is
+      // the genuinely-Spark residual. Same rows, same single read of
+      // Derby as the lazy plan had. persist (not localCheckpoint):
+      // Dataset caches are released by spark.catalog.clearCache() —
+      // which the bench calls between queries — while checkpoint
+      // blocks linger until a post-GC ContextCleaner pass and would
+      // stack up to four table copies inside the measured window.
       val read = graft.PhaseLog.timed("jdbc_readback") {
-        scan(s, url, "GRAFT_ORDERS",
+        val df = scan(s, url, "GRAFT_ORDERS",
           partition = Some(("o_orderkey", 0L, 2000000L, 8)))
-          .localCheckpoint()
+          .persist()
+        df.count()
+        df
       }
       read.orderBy(col("o_orderkey"))
     })

@@ -436,7 +436,14 @@ object PartitionedSnapshotLake {
     // Crash-safe (entry-before-marker holds even for a writer that
     // dies mid-commit); a mixed fleet where a PRE-LOG writer later
     // commits into an auto-enabled lake is out of contract, the same
-    // caveat repairManifest-enabled lakes already carry.
+    // caveat repairManifest-enabled lakes already carry. NOTE the
+    // trade this makes on OBJECT STORES: a certified lake's readLatest
+    // no longer full-walks, so out-of-band [[SnapshotLake.commit]]s
+    // into a partition dir (no log entry, no usable dir mtime) stay
+    // invisible until repairManifest — previously a FRESH uncertified
+    // lake caught them via the full walk. Lakes that take out-of-band
+    // commits on s3a-class stores must schedule repairManifest (the
+    // documented limitation certified lakes have always had).
     val bornFresh = !fs.exists(new Path(root)) ||
       (!fs.exists(snapsDir(root)) &&
         !fs.listStatus(new Path(root)).exists(
@@ -867,7 +874,16 @@ object PartitionedSnapshotLake {
         if (!dirMtimesUsable(fs) || overlay.isEmpty) statAll()
         else {
           // batched: one clock-settle for the whole overlay (a 500-
-          // partition repair waits one tick once, not 500 times)
+          // partition repair waits one tick once, not 500 times).
+          // BOUNDED — this runs while HOLDING the heartbeated manifest
+          // mutex, so it must never spin on (a) a partition receiving
+          // sustained out-of-band commits (every re-stat sees a moved
+          // mtime) or (b) an FS clock stepping backward. After the
+          // attempt budget, degrade to pinning mtime−1: a pin strictly
+          // BELOW the observed mtime makes the delta test re-resolve
+          // that partition on every read until the next commit re-pins
+          // it — always correct, merely unpruned for the busy
+          // partition, which is the safe direction.
           val probe = new Path(
             new Path(snapsDir(root), "_commits"), s"clock-$token")
           def fsNow(): Long = {
@@ -877,13 +893,22 @@ object PartitionedSnapshotLake {
           try {
             var m = statAll()
             var quiet = false
-            while (!quiet) {
+            var attempts = 0
+            while (!quiet && attempts < 500) { // ≥1 s of 2 ms waits
+              attempts += 1
               val maxM = m.values.max
-              while (fsNow() <= maxM) Thread.sleep(2)
-              val m2 = statAll()
-              if (m2 == m) quiet = true else m = m2
+              var clockTries = 0
+              while (fsNow() <= maxM && clockTries < 2000) {
+                clockTries += 1; Thread.sleep(2)
+              }
+              if (clockTries >= 2000) attempts = 500 // clock stuck: bail
+              else {
+                val m2 = statAll()
+                if (m2 == m) quiet = true else m = m2
+              }
             }
-            m
+            if (quiet) m
+            else m.map { case (p, v) => p -> (v - 1) } // safe under-pin
           } finally fs.delete(probe, false)
         }
       val pins = prevPins ++ overlay.map { case (p, v) =>

@@ -661,11 +661,15 @@ object DedupOps {
     * row and the final distinct merges them. Over-cap buckets are
     * dropped LOUDLY (same BucketAudit observe() semantics as
     * [[bucketPairs]]); singleton buckets never attach anything.
-    * `banded` is cached here (size pass + two strata); callers pass
-    * the slim (doc_id, keys...) table, NOT one carrying payloads. NOT
-    * for asymmetric probes (d8's batch-vs-corpus): there the candidate
-    * list is batch-bounded and [[verifyJaccard]] alone is the right
-    * shape. */
+    * `banded` is cached here (size pass + two strata), and the large
+    * stratum caches its payload-attached rows — both registrations
+    * live until `spark.catalog.clearCache()` (the bench calls it
+    * between queries; long-lived sessions looping over corpora, e.g.
+    * a multi-scale probe, should clearCache between iterations, as
+    * LshRecallProbe does). Callers pass the slim (doc_id, keys...)
+    * table, NOT one carrying payloads. NOT for asymmetric probes
+    * (d8's batch-vs-corpus): there the candidate list is
+    * batch-bounded and [[verifyJaccard]] alone is the right shape. */
   private[graft] def lshVerifiedPairs(banded: DataFrame,
       keys: Seq[String], sh: DataFrame, threshold: Double,
       maxBucket: Int = MaxBucketDefault,

@@ -995,9 +995,16 @@ object SimilarityOps {
       .withColumn("v", expr("transform(vec, x -> cast(x as double))"))
       .select(col("doc_id"), col("cid"), col("v"))
       .cache()
+    // repartition by cid + cache: Spark plans naive self-joins with
+    // ZERO exchange reuse (the lshVerifiedPairs lesson), so without
+    // this the vector payload crosses the wire once per join side and
+    // the dropHotBuckets subtree runs twice; cached-and-prepartitioned,
+    // the SMJ needs sorts only
     val capped = DedupOps.dropHotBuckets(
-      assign.select(col("cid"), col("doc_id"), col("v")), Seq("cid"),
-      maxCluster)
+        assign.select(col("cid"), col("doc_id"), col("v")), Seq("cid"),
+        maxCluster)
+      .repartition(col("cid"))
+      .cache()
     val la = capped.select(col("cid"), col("doc_id").as("doc_a"),
       col("v").as("va"))
     val lb = capped.select(col("cid").as("cid_b"),
@@ -1378,7 +1385,19 @@ object SimilarityOps {
         .select(col("vec_id"), col("v"))
       val kChild = math.min(maxSplitK.toLong,
         math.max(2L, math.ceil(2.0 * n / hotCellThreshold).toLong)).toInt
-      val childCents = KMeans.fit(cell, "vec_id", "v", kChild, 3)
+      // fit on UNIT-NORMALIZED vectors (spherical k-means): the store
+      // assigns and probes by COSINE, and an L2 fit over raw vectors
+      // can cluster by norm instead of angle — children that no
+      // cosine assignment ever picks (phantom cells that burn probe
+      // slots) while the hot direction stays hot. Normalizing the fit
+      // input makes squared-L2 argmin ≈ cosine argmax, so children
+      // separate by direction; the remap below still assigns the
+      // ORIGINAL vectors (cosine is norm-invariant in v).
+      val unitCell = cell.select(col("vec_id"), expr(
+        """transform(v, x -> x / sqrt(aggregate(zip_with(v, v,
+          |  (a, b) -> a * b), cast(0.0 as double),
+          |  (acc, y) -> acc + y)))""".stripMargin).as("v"))
+      val childCents = KMeans.fit(unitCell, "vec_id", "v", kChild, 3)
       val childCids = (nextCid until nextCid + childCents.length).toSeq
       nextCid += childCents.length
       val childTable = spark.createDataFrame(
@@ -1392,9 +1411,17 @@ object SimilarityOps {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))))
       // step 1: children postings land under cids no probe can see yet
-      assignToCells(childTable, cell)
-        .write.mode("append").partitionBy("cid").parquet(store)
-      c -> (childCids, childCids.zip(childCents))
+      val assigned = assignToCells(childTable, cell).cache()
+      val liveChildren = assigned.groupBy(col("cid")).count()
+        .collect().map(_.getInt(0)).toSet // ≤ kChild rows
+      assigned.write.mode("append").partitionBy("cid").parquet(store)
+      assigned.unpersist()
+      // commit only children that actually received vectors: the fit
+      // can leave empty clusters, and an empty child in the centroid
+      // table would be a phantom cell burning a probe slot forever
+      val kept = childCids.zip(childCents)
+        .filter { case (cc, _) => liveChildren(cc) }
+      c -> (kept.map(_._1), kept)
     }
     // step 2 — the commit point: swap in the centroid table with the
     // hot parents replaced by their children
