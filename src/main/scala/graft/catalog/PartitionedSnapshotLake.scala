@@ -768,6 +768,16 @@ object PartitionedSnapshotLake {
     }
   }
 
+  /** Attempt budgets for [[commitManifest]]'s settled stat (the
+    * same-tick-strand closure). On exhaustion — a partition under
+    * sustained out-of-band commits, or an FS clock that never reads
+    * past the observed mtimes — the pin degrades to mtime−1 (always
+    * correct: the busy partition re-resolves on every read until the
+    * next commit re-pins it). Package-visible so the degradation spec
+    * can trigger the bail path without multi-second waits. */
+  @volatile private[catalog] var settleAttemptsMax: Int = 500
+  @volatile private[catalog] var settleClockTriesMax: Int = 2000
+
   /** TTL after which a manifest-mutex holder with no heartbeat is
     * presumed dead and its lock broken by a waiter. The mutex is held
     * for milliseconds (read previous manifest + write one small file)
@@ -894,14 +904,15 @@ object PartitionedSnapshotLake {
             var m = statAll()
             var quiet = false
             var attempts = 0
-            while (!quiet && attempts < 500) { // ≥1 s of 2 ms waits
+            while (!quiet && attempts < settleAttemptsMax) {
               attempts += 1
               val maxM = m.values.max
               var clockTries = 0
-              while (fsNow() <= maxM && clockTries < 2000) {
+              while (fsNow() <= maxM && clockTries < settleClockTriesMax) {
                 clockTries += 1; Thread.sleep(2)
               }
-              if (clockTries >= 2000) attempts = 500 // clock stuck: bail
+              if (clockTries >= settleClockTriesMax)
+                attempts = settleAttemptsMax // clock stuck: bail
               else {
                 val m2 = statAll()
                 if (m2 == m) quiet = true else m = m2

@@ -603,13 +603,34 @@ object DedupOps {
     // candidates reach millions (round-9 sf1 probe). INPUT CONTRACT:
     // shingle arrays sorted-distinct — md5_shingle60/shingle_hash64
     // emit that; d4 sort_arrays its trigram hashes.
+    //
+    // The threshold test is ONE intersect call in rearranged form —
+    // `inter·(10+t10) ≥ t10·(|a|+|b|)` ⇔ `inter/uni ≥ t` (exact
+    // integers when 10·t is integral; see lshVerifiedPairs for the
+    // boundary argument). Filtering on a computed jacc column looked
+    // equivalent but was not: Catalyst pushes the filter into the
+    // join condition and INLINES the withColumn aliases, so the
+    // intersect evaluated twice in the condition plus once in the
+    // projection (caught by DedupScaleSpec's plan pin). Survivors
+    // alone pay the second intersect that materializes jacc.
+    val t10v = math.round(threshold * 10).toInt
+    val tIntegralV =
+      math.abs(t10v / 10.0 - threshold) <= 1e-12 && t10v > 0
+    val jaccOk =
+      if (tIntegralV)
+        expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10v) >=
+          (size(col("sh_a")) + size(col("sh_b"))) * t10v
+      else
+        expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
+          lit(1.0 + threshold) >= lit(threshold) *
+          (size(col("sh_a")) + size(col("sh_b"))).cast("double")
     val verified = pre.join(a, "doc_a").join(b, "doc_b")
+      .filter(jaccOk)
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jacc",
         col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
     // ordered=false for edge-list consumers (d12): the global sort is
     // a range-partition exchange that an order-insensitive downstream

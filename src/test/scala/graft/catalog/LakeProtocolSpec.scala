@@ -72,6 +72,22 @@ class CoarseMtimeFs extends CountingLocalFs {
 }
 object CoarseMtimeFs { val Tick = 1500L }
 
+/** HDFS-like, but the manifest clock PROBE files (`clock-*`) always
+  * report mtime 0 — the "FS clock never advances past the observed
+  * mtimes" pathology that must make the settled stat BAIL (bounded)
+  * rather than spin inside the manifest mutex. */
+class FrozenClockFs extends CountingLocalFs {
+  override def getScheme: String = "frozenfs"
+  override def getUri: URI = URI.create("frozenfs:///")
+  override def getFileStatus(f: Path): FileStatus = {
+    val st = super.getFileStatus(f)
+    if (f.getName.startsWith("clock-"))
+      new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+        st.getBlockSize, 0L, st.getPath)
+    else st
+  }
+}
+
 /** Lock-protocol and at-scale contracts of the snapshot lakes that the
   * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
   * recheck, the vacuum heartbeat, the manifest mutex, and the
@@ -585,5 +601,40 @@ class LakeProtocolSpec extends AnyFunSuite {
       "same-tick strand: a version committed in the pin's own mtime " +
         "tick is invisible to readLatest — the settled-stat wait in " +
         "commitManifest regressed")
+  }
+
+  test("settled-stat DEGRADATION: when the FS clock never advances " +
+      "past the observed mtimes, commitManifest bails within its " +
+      "budget and under-pins — the commit completes and a same-tick " +
+      "follow-up version is still served") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.frozenfs.impl", classOf[FrozenClockFs].getName)
+    val dir = tmp()
+    val root = s"frozenfs://$dir"
+    def df(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("id", "ts", "val")
+    val (oldA, oldC) = (PartitionedSnapshotLake.settleAttemptsMax,
+      PartitionedSnapshotLake.settleClockTriesMax)
+    PartitionedSnapshotLake.settleClockTriesMax = 3 // bail fast
+    try {
+      val t0 = System.nanoTime()
+      PartitionedSnapshotLake.commitMerge(spark, root,
+        df((1L, "2027-04-01", "a")), "id", "ts")
+      assert((System.nanoTime() - t0) / 1e9 < 30,
+        "commitManifest spun on a frozen clock instead of bailing")
+      // log-less HDFS lake: the mtime delta is the only delta source
+      assert(new java.io.File(dir, "_snapshots/_log/_enabled").delete())
+      // the under-pin (mtime-1) must keep a same-tick follow-up
+      // version visible: the whole point of the degradation direction
+      val p = "part_date=2027-04-01"
+      SnapshotLake.commit(spark, s"$root/$p",
+        Seq((9L, java.sql.Timestamp.valueOf("2027-04-01 00:00:00"), "b"))
+          .toDF("id", "ts", "val"))
+      assert(PartitionedSnapshotLake.latestPins(spark, root)(p) == 2L,
+        "under-pin degradation lost a same-tick follow-up version")
+    } finally {
+      PartitionedSnapshotLake.settleAttemptsMax = oldA
+      PartitionedSnapshotLake.settleClockTriesMax = oldC
+    }
   }
 }

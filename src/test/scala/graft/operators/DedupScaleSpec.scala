@@ -357,6 +357,39 @@ class DedupScaleSpec extends AnyFunSuite {
       "recovery lost the store: a copy of stored doc 3 read as novel")
   }
 
+  test("lshVerifiedPairs' large-stratum join evaluates the intersect " +
+      "ONCE in the join condition (the Catalyst filter-inlining " +
+      "regression class)") {
+    // One bucket above PairFormBucketMax so the rows-form stratum
+    // engages. The r12 landing measured that writing the threshold as
+    // a post-join filter on a computed jacc column gets pushed into
+    // the join condition with the alias INLINED — the intersect
+    // evaluated twice in the condition plus once in the projection
+    // (3× the verify arithmetic at sf10). This pins the landed form:
+    // any join line carrying sorted_intersect_count carries it once.
+    graft.GraftFunctions.register(spark)
+    val docs = (1L to (DedupOps.PairFormBucketMax + 8L))
+    val banded = docs.map(i => (99L, i)).toDF("band_key", "doc_id")
+    val sh = docs.map(i =>
+        (i, Seq(i, i + 100L, i + 200L, 1000L, 1001L).sorted))
+      .toDF("doc_id", "shingles")
+    val v = DedupOps.lshVerifiedPairs(banded, Seq("band_key"), sh, 0.8,
+      ordered = false)
+    v.collect()
+    val plan = v.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("sorted_intersect_count")).toSeq
+    assert(joinLines.nonEmpty,
+      s"expected the intersect inside a join condition — did the " +
+        s"large stratum not engage?\n$plan")
+    joinLines.foreach { l =>
+      val n = "sorted_intersect_count".r.findAllIn(l).size
+      assert(n == 1,
+        s"a join condition evaluates sorted_intersect_count $n times " +
+          s"(the inlined-filter regression):\n$l")
+    }
+  }
+
   test("cap exactly at bucket size keeps the bucket") {
     val df = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("band_key", "doc_id")
     val pairs = DedupOps.bucketPairs(df, Seq("band_key"), maxBucket = 3)
