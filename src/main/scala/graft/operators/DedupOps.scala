@@ -961,12 +961,18 @@ object DedupOps {
         // native lane_matches (fused codegen loop) instead of the
         // interpreted aggregate(zip_with(...)) chain — identical
         // count, ~100× cheaper per pair (the whole cost of d11 at the
-        // round-9 sf1 probe). Explicit double division: a bare
+        // round-9 sf1 probe). The threshold runs as ONE integer test
+        // in the filter: est ≥ 0.5 ⇔ lanes ≥ 64 EXACTLY (est =
+        // round(lanes/128, 6), dyadic — rounding cannot cross 0.5) —
+        // a filter on the computed est column gets inlined into the
+        // join condition with lane_matches evaluated twice (the
+        // verifyJaccard lesson, DedupScaleSpec's plan pin). Survivors
+        // alone compute est. Explicit double division there: a bare
         // `/ 128.0` literal is DECIMAL in Spark SQL and the result
         // would stringify as 0.562500 vs the oracle's 0.5625
+        .filter(expr("lane_matches(sa, sb)") >= 64)
         .withColumn("est", expr(
           "round(lane_matches(sa, sb) / cast(128 as double), 6)"))
-        .filter(col("est") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("est"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
