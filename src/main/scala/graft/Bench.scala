@@ -182,11 +182,50 @@ object Bench {
     }
   }
 
+  /** Pull the per-query phase splits back out of a history line — the
+    * one NESTED object our writer emits, so the flat `"queries"` regex
+    * can't reach it. Brace-walk to the matching close, then reuse the
+    * flat k:v shape per query. Includes the stored `spark_residual`. */
+  private[graft] def parseHistoryPhases(
+      line: String): Map[String, Map[String, Double]] = {
+    val tag = """"phases":"""
+    val start = line.indexOf(tag + "{")
+    if (start < 0) return Map.empty
+    val open = start + tag.length
+    var depth = 0; var end = -1; var j = open
+    while (j < line.length && end < 0) {
+      line.charAt(j) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (end < 0) return Map.empty
+    val body = line.substring(open + 1, end)
+    val q = """"([^"]+)":\{([^}]*)\}""".r
+    val kv = """"([^"]+)":([-0-9.eE]+)""".r
+    q.findAllMatchIn(body).map { m =>
+      m.group(1) -> kv.findAllMatchIn(m.group(2))
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }.toMap
+  }
+
   /** The per-query regression gate: queries that got ≥ `factor`× slower
     * AND ≥ `floorSec` absolutely slower than the previous run. Returns
     * empty when the timing tags differ — numbers taken with different
     * rulers must not be diffed (the round-7 lesson). `floorSec` keeps
     * sub-second GC jitter (a 0.3 s query reading 0.5 s) from alarming.
+    *
+    * QUERIES CARRYING A PHASE SPLIT ON BOTH SIDES GATE ON THEIR
+    * `spark_residual` (r12 verdict ask #3): k1's wall total is 97.6%
+    * embedded Derby at sf10 — diffing totals lets a real Spark-plan
+    * regression hide inside ±0.7 s/round Derby noise AND lets a Derby
+    * hiccup false-flag a healthy plan. The stored residual (or
+    * total − Σphases for a live run) is the Spark-attributed share;
+    * both sides must carry a split or the query falls back to the
+    * wall-total diff (conservative: a query that GAINED a split this
+    * round has no comparable prior residual).
     *
     * `factor` is 1.8 — the MEASURED noise band of this box, not a
     * guess (r12, BENCH_NOTES "driver-vs-builder gap"): identical
@@ -204,15 +243,33 @@ object Bench {
   private[graft] def regressions(
       prevTiming: String, prev: Seq[(String, Double)],
       curTiming: String, cur: Seq[(String, Double)],
-      factor: Double = 1.8, floorSec: Double = 0.5)
+      factor: Double = 1.8, floorSec: Double = 0.5,
+      prevPhases: Map[String, Map[String, Double]] = Map.empty,
+      curPhases: Map[String, Map[String, Double]] = Map.empty)
       : Seq[(String, Double, Double)] = {
     if (prevTiming != curTiming) return Seq.empty
     val p = prev.toMap
-    cur.collect {
-      case (name, t) if p.contains(name) &&
-        t > p(name) * factor && t - p(name) > floorSec =>
-        (name, p(name), t)
-    }.sortBy { case (_, was, now) => was - now }
+    // the Spark-attributed share: the stored residual if the artifact
+    // carries one (history lines do), else total − Σ external phases
+    // (a live PhaseLog snapshot has no residual entry)
+    def sparkShare(total: Double, ph: Map[String, Double]): Double =
+      ph.getOrElse("spark_residual", math.max(0.0,
+        total - ph.iterator.collect {
+          case (k, v) if k != "spark_residual" => v
+        }.sum))
+    cur.iterator.collect {
+      case (name, t) if p.contains(name) =>
+        val (was, now) =
+          (prevPhases.get(name), curPhases.get(name)) match {
+            case (Some(pp), Some(cp)) =>
+              (sparkShare(p(name), pp), sparkShare(t, cp))
+            case _ => (p(name), t)
+          }
+        (name, was, now)
+    }.collect {
+      case (name, was, now) if now > was * factor && now - was > floorSec =>
+        (name, was, now)
+    }.toSeq.sortBy { case (_, was, now) => was - now }
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,6 +304,10 @@ object Bench {
     // GC pause)
     def measure(name: String): Unit = {
       val fn = SparkEntry.queries(name)
+      // operators that materialize internally (lshVerifiedPairs'
+      // eager checkpoint) report cap hits through BucketAudit's
+      // synchronous side channel, not the returned plan's metrics
+      val eagerBefore = graft.operators.BucketAudit.eagerOverflowed
       try {
         consume(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
         var lastDf: org.apache.spark.sql.DataFrame = null
@@ -285,11 +346,12 @@ object Bench {
         // ruler: count-v1's df.count() executes a DIFFERENT
         // QueryExecution, so lastDf's accumulators stay empty — the
         // audit is explicitly absent in A/B mode, not silently zero.
-        val overflowed = Timing != "count-v1" &&
+        val overflowed = (Timing != "count-v1" &&
           lastDf.queryExecution.observedMetrics.exists {
             case (metric, row) => metric.startsWith("bucket_overflow_") &&
               !row.isNullAt(0) && row.getLong(0) > 0
-          }
+          }) ||
+          graft.operators.BucketAudit.eagerOverflowed > eagerBefore
         if (overflowed) bucketOverflows += 1
         // dedup pipelines cache small feature tables; clear between
         // queries so storage memory never accumulates across the
@@ -320,12 +382,15 @@ object Bench {
       if (!Files.exists(histPath)) None
       else Files.readAllLines(histPath).toArray.toSeq
         .filterNot(_.toString.contains(""""filtered":true"""))
-        .flatMap(l => parseHistoryLine(l.toString))
-        .filter { case (t, s, _) => t == Timing && s == sfDir }
+        .flatMap(l => parseHistoryLine(l.toString)
+          .map { case (t, s, q) => (t, s, q, l.toString) })
+        .filter { case (t, s, _, _) => t == Timing && s == sfDir }
         .lastOption
     def gate(): Seq[(String, Double, Double)] = prevSame match {
-      case Some((prevTiming, _, prev)) =>
-        regressions(prevTiming, prev, Timing, times.toSeq)
+      case Some((prevTiming, _, prev, prevLine)) =>
+        regressions(prevTiming, prev, Timing, times.toSeq,
+          prevPhases = parseHistoryPhases(prevLine),
+          curPhases = phases.toMap)
       case None => Seq.empty
     }
     // retest-before-flag: a true regression survives an immediate
@@ -338,15 +403,19 @@ object Bench {
     if (firstPass.nonEmpty) {
       System.err.println(s"BENCH retesting ${firstPass.size} suspected " +
         s"regressions: ${firstPass.map(_._1).mkString(", ")}")
-      firstPass.foreach { case (n, _, first) =>
+      firstPass.foreach { case (n, _, _) =>
         // keep the better of the two passes — TIME AND SPLIT TOGETHER:
         // if the first pass stays the min, its phase snapshot must
         // stay too, or the residual is computed against the retest
-        // run's phase sum (the mismatch the min-run rule exists for)
+        // run's phase sum (the mismatch the min-run rule exists for).
+        // NB the gate tuple now carries the COMPARED quantity (the
+        // residual for split-carrying queries), so the wall total to
+        // restore comes from the times map, not the tuple.
+        val firstTime = times(n)
         val firstPhases = phases.get(n)
         measure(n) // min-of-3 again
-        if (first <= times.getOrElse(n, first)) {
-          times(n) = first
+        if (firstTime <= times.getOrElse(n, firstTime)) {
+          times(n) = firstTime
           firstPhases match {
             case Some(p) => phases(n) = p
             case None => phases.remove(n): Unit

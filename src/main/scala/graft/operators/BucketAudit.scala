@@ -32,6 +32,26 @@ object BucketAudit {
   private[operators] def nextMetricName(): String =
     s"bucket_overflow_${seq.incrementAndGet()}"
 
+  /** Overflow counts from operators that materialize INTERNALLY
+    * (lshVerifiedPairs' eager checkpoint): their observe() metrics
+    * live on the internal QueryExecution, invisible to callers
+    * polling the returned frame's plan, so the operator records them
+    * here SYNCHRONOUSLY right after its action. The bench diffs this
+    * around each query to keep its bucket_overflows artifact honest;
+    * the async listener still logs the warning (same QE), into its
+    * own [[totalOverflowed]] counter — the two never double-count
+    * within a counter. */
+  private val eagerTotal = new AtomicLong()
+  private[graft] def eagerOverflowed: Long = eagerTotal.get()
+  private[graft] def recordEagerOverflow(qe: QueryExecution): Long = {
+    val n = qe.observedMetrics.iterator.collect {
+      case (name, row) if name.startsWith("bucket_overflow_") &&
+        !row.isNullAt(0) => row.getLong(0)
+    }.sum
+    if (n > 0) eagerTotal.addAndGet(n): Unit
+    n
+  }
+
   /** Idempotent per-session listener registration. */
   def install(spark: SparkSession): Unit =
     if (installed.add(spark)) {

@@ -558,14 +558,23 @@ object DedupOps {
     swapStore(fs, store)
   }
 
-  /** Bands as 8-lane slices of an EXISTING (doc_id, sig) signature
-    * table — consumers that also need the full signature (d11's lane
-    * estimate) compute it once and band from it, instead of paying the
-    * 128×|shingles| minhash loop twice. */
-  def bandedFromSig(sig: DataFrame): DataFrame =
+  /** Bands as `rowsPerBand`-lane slices of an EXISTING (doc_id, sig)
+    * signature table — consumers that also need the full signature
+    * (d11's lane estimate) compute it once and band from it, instead
+    * of paying the 128×|shingles| minhash loop twice. Non-default
+    * bandings (bands·rowsPerBand ≤ the 128-lane signature) move the
+    * LSH S-curve; pair them with [[pairFormBucketMax]](bands) when
+    * feeding [[lshVerifiedPairs]], since the verify-strata boundary
+    * tracks the band count. */
+  def bandedFromSig(sig: DataFrame, bands: Int = MinhashBands,
+      rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= 128,
+      s"banding $bands x $rowsPerBand exceeds the 128-lane signature")
     sig.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0,15), b -> slice(sig, b*8+1, 8))"))
+      s"transform(sequence(0,${bands - 1}), " +
+        s"b -> slice(sig, b*$rowsPerBand+1, $rowsPerBand))"))
       .as(Seq("band", "band_key")))
+  }
 
   /** Exact Jaccard over candidate pairs: join the slim shingle table on
     * both sides of the pair list, intersect/union in one projection.
@@ -616,12 +625,22 @@ object DedupOps {
     val t10v = math.round(threshold * 10).toInt
     val tIntegralV =
       math.abs(t10v / 10.0 - threshold) <= 1e-12 && t10v > 0
+    // non-empty guard FIRST (cheap, short-circuits before the
+    // intersect): two empty arrays satisfy the rearranged threshold
+    // (0·(10+t10) ≥ t10·0) and would emit a null-jacc row the old
+    // `filter(jacc >= t)` form dropped. Unreachable from current
+    // callers (length(text) ≥ 8 ⇒ ≥ 1 shingle), but this is a generic
+    // private[graft] helper and empty arrays collide in EVERY minhash
+    // band, so a future caller would hit it at full fan-out.
+    val nonEmpty = size(col("sh_a")) + size(col("sh_b")) > 0
     val jaccOk =
       if (tIntegralV)
-        expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10v) >=
+        nonEmpty &&
+          expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10v) >=
           (size(col("sh_a")) + size(col("sh_b"))) * t10v
       else
-        expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
+        nonEmpty &&
+          expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
           lit(1.0 + threshold) >= lit(threshold) *
           (size(col("sh_a")) + size(col("sh_b"))).cast("double")
     val verified = pre.join(a, "doc_a").join(b, "doc_b")
@@ -682,22 +701,89 @@ object DedupOps {
     * row and the final distinct merges them. Over-cap buckets are
     * dropped LOUDLY (same BucketAudit observe() semantics as
     * [[bucketPairs]]); singleton buckets never attach anything.
-    * `banded` is cached here (size pass + two strata), and the large
-    * stratum caches its payload-attached rows — both registrations
-    * live until `spark.catalog.clearCache()` (the bench calls it
-    * between queries; long-lived sessions looping over corpora, e.g.
-    * a multi-scale probe, should clearCache between iterations, as
-    * LshRecallProbe does). Callers pass the slim (doc_id, keys...)
-    * table, NOT one carrying payloads. NOT for asymmetric probes
-    * (d8's batch-vs-corpus): there the candidate list is
-    * batch-bounded and [[verifyJaccard]] alone is the right shape. */
+    *
+    * SMALL CORPORA BYPASS THE STRATA ENTIRELY: the split buys its
+    * sf10 wins with fixed passes (the size count, two stratum joins,
+    * the union) that are pure overhead when the banded table is small
+    * — measured, the pure pairs form is ~2× faster at sf0.1 (80 k
+    * banded rows) and par at sf1 (800 k: 3.24 s r11-pairs vs 3.28 s
+    * r12-strata for d2) while the strata win 1.3–2.3× at sf10 (8 M).
+    * At or under `bypassMaxBandedRows` every live bucket verifies
+    * through the distinct-pairs form — same buckets, same cap, same
+    * candidate set, only WHERE a pair verifies changes.
+    *
+    * CACHE LIFECYCLE (r12 verdict ask #1): by default the result is
+    * MATERIALIZED here — computed once while the banded/payload
+    * caches are live, stored as executor-local checkpoint blocks
+    * (O(verified pairs), the operator's own output, MEMORY_AND_DISK)
+    * — and every cache this call registered is unpersisted before
+    * returning, so a long-lived session looping corpora through the
+    * dedup APIs accumulates nothing. The checkpoint blocks themselves
+    * are RDD-level storage (not catalog cache entries), freed by the
+    * ContextCleaner when the returned frame is dropped. The one trade:
+    * lineage is cut, so on a multi-executor cluster a lost executor
+    * fails the downstream job instead of recomputing — callers whose
+    * downstream outlives executor churn should write the pairs to a
+    * table (which a production dedup pass does anyway) or pass
+    * `materialize = false` to keep the full lineage, inheriting the
+    * old contract: both cache registrations live until the caller's
+    * `spark.catalog.clearCache()`.
+    *
+    * Callers pass the slim (doc_id, keys...) table, NOT one carrying
+    * payloads. NOT for asymmetric probes (d8's batch-vs-corpus):
+    * there the candidate list is batch-bounded and [[verifyJaccard]]
+    * alone is the right shape. */
   private[graft] def lshVerifiedPairs(banded: DataFrame,
       keys: Seq[String], sh: DataFrame, threshold: Double,
       maxBucket: Int = MaxBucketDefault,
       ordered: Boolean = true,
-      pairFormMax: Int = PairFormBucketMax): DataFrame = {
+      pairFormMax: Int = PairFormBucketMax,
+      materialize: Boolean = true,
+      bypassMaxBandedRows: Long = StrataBypassMaxBandedRows): DataFrame = {
     BucketAudit.install(banded.sparkSession)
     val b = banded.cache()
+    if (!materialize) {
+      // lazy form (plan specs; callers embedding the verify in a
+      // larger fault-tolerant lineage): no bypass — the decision
+      // needs a count, an action a lazy builder must not run
+      val (unordered, _) =
+        strataVerified(b, keys, sh, threshold, maxBucket, pairFormMax)
+      if (ordered) unordered.orderBy(col("doc_a"), col("doc_b"))
+      else unordered
+    } else {
+      val caches = scala.collection.mutable.ArrayBuffer[DataFrame](b)
+      try {
+        // the caching pass doubles as the bypass stat: slim rows, and
+        // the first consumer would have paid this scan anyway
+        val nBanded = b.count()
+        val unordered =
+          if (nBanded <= bypassMaxBandedRows)
+            verifyJaccard(bucketPairs(b, keys, maxBucket), sh,
+              threshold, ordered = false)
+          else {
+            val (df, withSh) =
+              strataVerified(b, keys, sh, threshold, maxBucket,
+                pairFormMax)
+            caches += withSh
+            df
+          }
+        val out = unordered.localCheckpoint(true)
+        // the observe() cap audit now lives on the INTERNAL execution,
+        // invisible to callers polling the returned frame's plan —
+        // surface it through the synchronous side channel
+        BucketAudit.recordEagerOverflow(unordered.queryExecution)
+        if (ordered) out.orderBy(col("doc_a"), col("doc_b")) else out
+      } finally caches.foreach(_.unpersist(false))
+    }
+  }
+
+  /** The bucket-size-adaptive verify PLAN over an already-cached
+    * banded table: (unordered verified pairs, the large stratum's
+    * payload-attached cache). The caller owns both unpersists —
+    * [[lshVerifiedPairs]] closes them after materializing. */
+  private def strataVerified(b: DataFrame, keys: Seq[String],
+      sh: DataFrame, threshold: Double, maxBucket: Int,
+      pairFormMax: Int): (DataFrame, DataFrame) = {
     val sizes = b.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .observe(BucketAudit.nextMetricName(),
@@ -761,12 +847,18 @@ object DedupOps {
     // Jaccard prefilter's own exactness argument. Cheap conjuncts
     // first: codegen short-circuits doc_a<doc_b and the length bound
     // before the intersect runs.
+    // sz_a+sz_b > 0 first: same empty-array escape as verifyJaccard's
+    // guard (two empties pass the rearranged compare and would emit a
+    // null-jacc row) — an integer add-and-compare, short-circuiting
+    // before the intersect
     val jaccOk =
       if (tIntegral)
-        expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10) >=
+        col("sz_a") + col("sz_b") > 0 &&
+          expr("sorted_intersect_count(sh_a, sh_b)") * (10 + t10) >=
           (col("sz_a") + col("sz_b")) * t10
       else // same one-intersect rearrangement, double domain
-        expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
+        col("sz_a") + col("sz_b") > 0 &&
+          expr("sorted_intersect_count(sh_a, sh_b)").cast("double") *
           lit(1.0 + threshold) >=
           lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
     val verifiedL = l.join(r, keys)
@@ -781,21 +873,41 @@ object DedupOps {
     // a pair surfaces once per (stratum, shared band); jacc is
     // deterministic per pair — verifyJaccard computes the identical
     // expression — so distinct on the full row collapses exactly
-    val verified = verifiedS.union(verifiedL).distinct()
-    if (ordered) verified.orderBy(col("doc_a"), col("doc_b"))
-    else verified
+    (verifiedS.union(verifiedL).distinct(), withSh)
   }
 
+  /** Banded-row count at or below which [[lshVerifiedPairs]] verifies
+    * every bucket through the distinct-pairs form (see its scaladoc
+    * for the measured crossover: pairs ~2× faster at 80 k rows, par
+    * at 800 k, strata 1.3–2.3× faster at 8 M). Worst-case pair blowup
+    * under the bypass stays bounded by the bucket cap exactly as it
+    * was for every corpus before the r12 strata landed. */
+  val StrataBypassMaxBandedRows: Long = 1000000L
+
+  /** The default banding: 128-lane minhash signatures in 16 bands of
+    * 8 ([[minhashBanded]]/[[bandedFromSig]]). */
+  val MinhashBands: Int = 16
+  val MinhashRowsPerBand: Int = 8
+
   /** Bucket-size boundary between [[lshVerifiedPairs]]' two verify
-    * strata. Below it, a bucket's pair count (≤ C(32,2) = 496) is the
-    * same order as its row count and true near-dup pairs recur across
-    * most of their 16 bands — the distinct-pairs form wins on both
-    * bytes and intersects. Above it, pair counts grow quadratically
-    * toward C(cap,2) while row counts stay linear — payloads-on-rows
-    * wins ~b/2×. The crossover is the pair's expected band
-    * multiplicity (≲16); 32 sits comfortably above it while keeping
-    * the small stratum's worst bucket at a few hundred pairs. */
-  val PairFormBucketMax: Int = 32
+    * strata, AS A FUNCTION OF THE CALLER'S BAND COUNT. Below it, a
+    * bucket's pair count is the same order as its row count and true
+    * near-dup pairs recur across most of their `bands` bands — the
+    * distinct-pairs form wins on both bytes and intersects. Above it,
+    * pair counts grow quadratically toward C(cap,2) while row counts
+    * stay linear — payloads-on-rows wins ~bucket/2×. The crossover is
+    * the pair's expected band multiplicity, which is AT MOST `bands`
+    * (a J→1 pair collides in every band): 2·bands sits comfortably
+    * above it at any banding while keeping the small stratum's worst
+    * bucket at C(2·bands, 2) pairs. A fixed 32 was only correct for
+    * the default 16-band scheme — an 8- or 32-band caller would have
+    * been silently mis-stratified. */
+  def pairFormBucketMax(bands: Int): Int = 2 * bands
+
+  /** [[pairFormBucketMax]] at the default [[MinhashBands]] banding —
+    * the boundary every 16-band call site uses (= 32, the measured
+    * r12 value). */
+  val PairFormBucketMax: Int = pairFormBucketMax(MinhashBands)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy keep-first. The input is the corpus

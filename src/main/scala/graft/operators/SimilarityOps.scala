@@ -973,6 +973,18 @@ object SimilarityOps {
     * inside the join stage — never O(pairs) payload bytes (the r11
     * sf10 diagnosis measured the per-pair re-join at ~60 GB for d9).
     *
+    * CACHE LIFECYCLE (r12 verdict ask #1): the verdict table is
+    * MATERIALIZED here — computed once while the assignment and
+    * capped-cluster caches are live, stored as executor-local
+    * checkpoint blocks (one slim row per doc, MEMORY_AND_DISK) — and
+    * both caches are unpersisted before returning, so a long-lived
+    * ingest service looping corpora through this API accumulates no
+    * catalog cache registrations. The checkpoint blocks are RDD-level
+    * storage, freed by the ContextCleaner when the returned frame is
+    * dropped; lineage is cut (the fit already collapsed it to
+    * driver-side centroids anyway — re-running the plan was never
+    * cheaper than re-running the operator).
+    *
     * @return one row per doc: (doc_id, cid, dropped) — `dropped` =
     *         a lower-id cluster-mate sits at cosine ≥ simThreshold
     */
@@ -1009,15 +1021,21 @@ object SimilarityOps {
       col("v").as("va"))
     val lb = capped.select(col("cid").as("cid_b"),
       col("doc_id").as("doc_b"), col("v").as("vb"))
-    val dropped = la.join(lb,
-        col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
-      .filter(expr("cosine_sim(va, vb)") >= simThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    assign.select(col("doc_id"), col("cid"))
-      .join(dropped.withColumn("is_dropped", lit(true)),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cid"),
-        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+    try {
+      val dropped = la.join(lb,
+          col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
+        .filter(expr("cosine_sim(va, vb)") >= simThreshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+      assign.select(col("doc_id"), col("cid"))
+        .join(dropped.withColumn("is_dropped", lit(true)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cid"),
+          coalesce(col("is_dropped"), lit(false)).as("dropped"))
+        .localCheckpoint(true)
+    } finally {
+      assign.unpersist(false)
+      capped.unpersist(false)
+    }
   }
 
   // ------------------------------------------------------------------

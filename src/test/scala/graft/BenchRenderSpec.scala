@@ -197,4 +197,65 @@ class BenchRenderSpec extends AnyFunSuite {
     // a ruler change must suppress the diff entirely (round-7 lesson)
     assert(Bench.regressions("v1", prev, "v2", cur).isEmpty)
   }
+
+  test("regression gate: split-carrying queries gate on spark_residual " +
+      "— a doubled residual under a flat total FLAGS") {
+    // k1-shaped: prev total 3.5 s = 2.7 s Derby + 0.8 s Spark. The
+    // current run's Spark share doubles to 1.6 s while a Derby
+    // speed-up keeps the WALL TOTAL FLAT — the total-diff gate is
+    // blind to exactly this real plan regression.
+    val prev = Seq("k1" -> 3.5)
+    val cur = Seq("k1" -> 3.5)
+    val prevPh = Map("k1" -> Map("derby_merge" -> 2.7,
+      "spark_residual" -> 0.8))
+    val curPh = Map("k1" -> Map("derby_merge" -> 1.9)) // live snapshot:
+    // no residual entry — the gate computes 3.5 − 1.9 = 1.6
+    val r = Bench.regressions("v2", prev, "v2", cur,
+      prevPhases = prevPh, curPhases = curPh)
+    assert(r == Seq(("k1", 0.8, 1.6)),
+      s"a doubled spark_residual under a flat wall total must flag: $r")
+  }
+
+  test("regression gate: a Derby hiccup under a flat spark_residual " +
+      "does NOT flag, and a split on only one side falls back to the " +
+      "wall-total diff") {
+    // prev 3.5 s (2.7 Derby + 0.8 Spark); cur 7.0 s — 2× on the wall —
+    // but every added second is derby_merge; the Spark share is flat
+    val prev = Seq("k1" -> 3.5, "plain" -> 1.0)
+    val cur = Seq("k1" -> 7.0, "plain" -> 3.0)
+    val prevPh = Map("k1" -> Map("derby_merge" -> 2.7,
+      "spark_residual" -> 0.8))
+    val curPh = Map("k1" -> Map("derby_merge" -> 6.2))
+    val r = Bench.regressions("v2", prev, "v2", cur,
+      prevPhases = prevPh, curPhases = curPh)
+    // k1 absorbed (residual 0.8 -> 0.8); "plain" carries no split on
+    // either side -> wall-total diff still applies (3x, +2.0 s)
+    assert(r == Seq(("plain", 1.0, 3.0)),
+      s"a Derby hiccup false-flagged (or a real total slip hid): $r")
+    // split on ONE side only (a query that gained phases this round):
+    // no comparable prior residual -> conservative total diff (7.0 vs
+    // 3.5 = 2x, +3.5 s -> flags on the wall, by design)
+    val oneSided = Bench.regressions("v2", prev, "v2", cur,
+      prevPhases = Map.empty, curPhases = curPh)
+    assert(oneSided.map(_._1).toSet == Set("k1", "plain"))
+  }
+
+  test("parseHistoryPhases round-trips the nested phases object out of " +
+      "a fullJson history line") {
+    val times = Seq("k1" -> 3.5, "q2" -> 1.0)
+    val phases = Map("k1" -> Map("derby_load" -> 1.2, "derby_merge" -> 1.5))
+    val line = Bench.fullJson(times, Seq.empty, "/sf", 0, 0,
+      phases = phases)
+    val back = Bench.parseHistoryPhases(line)
+    assert(back.keySet == Set("k1"))
+    assert(back("k1").get("derby_load").contains(1.2))
+    assert(back("k1").get("derby_merge").contains(1.5))
+    // the writer adds the residual (3.5 − 2.7, num3-rounded): the
+    // stored value is what the next round's gate compares against
+    assert(back("k1").get("spark_residual").exists(v =>
+      math.abs(v - 0.8) < 1e-9))
+    // a line with no phases object parses to empty, not a crash
+    assert(Bench.parseHistoryPhases(
+      Bench.fullJson(times, Seq.empty, "/sf", 0, 0)).isEmpty)
+  }
 }

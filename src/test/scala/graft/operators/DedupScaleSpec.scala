@@ -195,9 +195,14 @@ class DedupScaleSpec extends AnyFunSuite {
       (2L to 51L).map(i => (i, a)) ++
       (52L to 54L).map(i => (i, b))).toDF("doc_id", "embedding")
     val before = BucketAudit.totalOverflowed.get()
+    spark.catalog.clearCache()
     val res = SimilarityOps.semanticDedup(docs, "doc_id", "embedding",
         simThreshold = 0.999, targetClusterSize = 28, maxCluster = 10)
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // r12 ask #1: the API materializes its verdicts and closes its own
+    // assignment/capped caches — nothing left for a global clearCache
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semanticDedup left catalog cache registrations behind")
     // every doc is present in the output (keep/drop verdict per doc)
     assert(res.size == 55)
     // cold cluster B: all but the min id dropped
@@ -373,10 +378,15 @@ class DedupScaleSpec extends AnyFunSuite {
     val sh = docs.map(i =>
         (i, Seq(i, i + 100L, i + 200L, 1000L, 1001L).sorted))
       .toDF("doc_id", "shingles")
+    // materialize=false: the default eager form returns a checkpoint
+    // scan whose plan no longer shows the join — the pin needs the
+    // lazy strata plan (and owns the cache cleanup contract that
+    // comes with it)
     val v = DedupOps.lshVerifiedPairs(banded, Seq("band_key"), sh, 0.8,
-      ordered = false)
+      ordered = false, materialize = false)
     v.collect()
     val plan = v.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
     val joinLines = plan.linesIterator.filter(l =>
       l.contains("Join") && l.contains("sorted_intersect_count")).toSeq
     assert(joinLines.nonEmpty,
@@ -388,6 +398,99 @@ class DedupScaleSpec extends AnyFunSuite {
         s"a join condition evaluates sorted_intersect_count $n times " +
           s"(the inlined-filter regression):\n$l")
     }
+  }
+
+  test("lshVerifiedPairs (default, materializing) leaves no catalog " +
+      "cache registrations — strata and bypass paths alike") {
+    graft.GraftFunctions.register(spark)
+    // bucket 99: 40 docs (> PairFormBucketMax -> large stratum), docs
+    // 1 and 2 identical; bucket 5: an identical pair (small stratum)
+    val big = (1L to (DedupOps.PairFormBucketMax + 8L))
+    val banded = (big.map(i => (99L, i)) ++ Seq((5L, 41L), (5L, 42L)))
+      .toDF("band_key", "doc_id")
+    val sh = (big.map { i =>
+        val base = if (i <= 2) 0L else i // docs 1,2 share a set
+        (i, Seq(base, base + 100L, base + 200L, 1000L, 1001L).sorted)
+      } ++ Seq(41L, 42L).map(i => (i, Seq(7L, 8L, 9L, 10L, 11L))))
+      .toDF("doc_id", "shingles")
+    spark.catalog.clearCache()
+    def run(bypass: Long): Set[(Long, Long)] =
+      DedupOps.lshVerifiedPairs(banded, Seq("band_key"), sh, 0.8,
+          ordered = false, bypassMaxBandedRows = bypass)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strata = run(0L) // nBanded > 0 -> the two-strata path
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the strata path left catalog cache registrations behind")
+    val bypassed = run(Long.MaxValue) // the pairs-form bypass
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the bypass path left catalog cache registrations behind")
+    assert(strata == bypassed, "the bypass changed the verified pair set")
+    assert(strata == Set((1L, 2L), (41L, 42L)),
+      s"expected one pair per stratum, got $strata")
+  }
+
+  test("empty shingle arrays never verify (the 0 >= 0 rearrangement " +
+      "escape, both verify forms)") {
+    graft.GraftFunctions.register(spark)
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val shE2 = Seq((1L, Seq.empty[Long]), (2L, Seq.empty[Long]))
+      .toDF("doc_id", "shingles")
+    // per-pair form: integral (0.8) and non-integral (0.75) thresholds
+    assert(DedupOps.verifyJaccard(pairs, shE2, 0.8).count() == 0)
+    assert(DedupOps.verifyJaccard(pairs, shE2, 0.75).count() == 0)
+    // rows form: a bucket of empty-shingle docs collides in EVERY
+    // band — each pair must be rejected inside the join condition
+    // before a null-jacc row can surface
+    val docs = (1L to (DedupOps.PairFormBucketMax + 8L))
+    val banded = docs.map(i => (7L, i)).toDF("band_key", "doc_id")
+    val shE = docs.map(i => (i, Seq.empty[Long])).toDF("doc_id", "shingles")
+    assert(DedupOps.lshVerifiedPairs(banded, Seq("band_key"), shE, 0.8,
+      ordered = false, bypassMaxBandedRows = 0L).count() == 0)
+  }
+
+  test("non-default banding: pairFormBucketMax(bands) and any forced " +
+      "stratification verify the same pair set (8 bands of 16)") {
+    graft.GraftFunctions.register(spark)
+    // 60 distinct docs; 10 isolated identical pairs (small buckets);
+    // one 20-doc identical cluster (bucket size 20 > pairFormBucketMax
+    // (8 bands) = 16 -> the large stratum genuinely engages)
+    val loner = (0L until 60L).map { i =>
+      (i, (0 until 40).map(w => s"w${(i * 7 + w * 3) % 9973}q$w")
+        .mkString(" "))
+    }
+    val pairsFix = (0L until 10L).flatMap { i =>
+      val t = (0 until 40).map(w => s"p${i}x${(w * 5) % 83}y$w")
+        .mkString(" ")
+      Seq((3000L + i, t), (4000L + i, t))
+    }
+    val clusterText = (0 until 40).map(w => s"cl${(w * 11) % 71}z$w")
+      .mkString(" ")
+    val cluster = (0L until 20L).map(i => (5000L + i, clusterText))
+    val df = (loner ++ pairsFix ++ cluster).toDF("doc_id", "text")
+    val sh = df.filter(length(col("text")) >= 8)
+      .withColumn("shingles", expr("md5_shingle60(text)"))
+      .select(col("doc_id"), col("shingles"))
+    val sig = sh.select(col("doc_id"),
+      expr("minhash_sig(transform(shingles, x -> shiftright(x, 32)))")
+        .as("sig"))
+    val banded8 = DedupOps.bandedFromSig(sig, bands = 8, rowsPerBand = 16)
+    def pairsAt(pfm: Int): Set[(Long, Long)] =
+      DedupOps.lshVerifiedPairs(banded8, Seq("band", "band_key"), sh,
+          0.8, ordered = false, pairFormMax = pfm,
+          bypassMaxBandedRows = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the classic single-stratum distinct-pairs form
+    val truth = DedupOps.verifyJaccard(
+        DedupOps.bucketPairs(banded8, Seq("band", "band_key")), sh, 0.8,
+        ordered = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 10 + 190, // the identical pairs + C(20,2)
+      s"fixture produced only ${truth.size} verified pairs — vacuous")
+    assert(pairsAt(DedupOps.pairFormBucketMax(8)) == truth)
+    assert(pairsAt(Int.MaxValue) == truth) // everything small-stratum
+    assert(pairsAt(1) == truth)            // everything large-stratum
+    assert(DedupOps.pairFormBucketMax(8) == 16 &&
+      DedupOps.PairFormBucketMax == DedupOps.pairFormBucketMax(16))
   }
 
   test("cap exactly at bucket size keeps the bucket") {
