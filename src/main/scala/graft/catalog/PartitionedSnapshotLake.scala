@@ -183,6 +183,76 @@ object PartitionedSnapshotLake {
     Some(fresh.groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).max })
   }
 
+  /** Last [[outOfBandVersions]] result surfaced by a commitMerge or
+    * vacuum WARN — a test/ops hook mirroring BucketAudit's counter
+    * (the log line alone is not assertable). Empty = the last check
+    * was clean. */
+  @volatile private[catalog] var lastOutOfBandWarning
+      : Map[String, Seq[Long]] = Map.empty
+
+  /** Out-of-band-commit detector for CERTIFIED lakes (r12 verdict ask
+    * #6): every in-contract [[commitMerge]] writes a log entry BEFORE
+    * (and re-asserts it AFTER) its commit marker, so a marker NEWER
+    * than the latest manifest pin with NO log entry can only be an
+    * out-of-band [[SnapshotLake.commit]] into the partition dir —
+    * exactly the class the certified O(1) object-store read path
+    * cannot see (the documented [[commitMerge]] birth-certificate
+    * trade). Versions at or under the pin are excluded by design:
+    * log entries are pruned once a manifest covers them, so lifetime
+    * marker-vs-entry counts would false-alarm on every mature lake.
+    * Cost: one manifest read + one log listing + one `_commits`
+    * listing per checked partition. Dangling entries (entry, no
+    * marker — a crashed writer) are the vacuum-swept case, not this
+    * one. */
+  private[catalog] def outOfBandVersions(spark: SparkSession,
+      root: String, parts: Seq[String]): Map[String, Seq[Long]] = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(logEnabledMarker(root))) return Map.empty
+    val pins: Map[String, Long] = latestSnapshot(spark, root)
+      .map(s => manifest(spark, root, s)).getOrElse(Map.empty)
+    val logged: Map[String, Set[Long]] = fs.listStatus(logDir(root))
+      .toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        val at = n.lastIndexOf('@')
+        if (at <= 0 || n.startsWith("_")) None
+        else n.drop(at + 1).toLongOption.map(v => (n.take(at), v))
+      }
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
+    parts.flatMap { p =>
+      val commits = new Path(partRoot(root, p), "_commits")
+      if (!fs.exists(commits)) None
+      else {
+        val pin = pins.getOrElse(p, 0L)
+        val entries = logged.getOrElse(p, Set.empty)
+        val bad = fs.listStatus(commits).toSeq
+          .flatMap(st => st.getPath.getName.toLongOption)
+          .filter(v => v > pin && !entries.contains(v))
+          .sorted
+        if (bad.isEmpty) None else Some(p -> bad)
+      }
+    }.toMap
+  }
+
+  /** Run [[outOfBandVersions]] best-effort and WARN naming the remedy
+    * — never fails the surrounding commit/vacuum for a diagnostic. */
+  private def warnOutOfBand(spark: SparkSession, root: String,
+      parts: Seq[String]): Unit =
+    try {
+      val missing = outOfBandVersions(spark, root, parts)
+      lastOutOfBandWarning = missing
+      if (missing.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"certified lake at $root carries marker'd versions with NO " +
+            "commit-log entry (an out-of-band SnapshotLake.commit into " +
+            "the partition dir?): " +
+            missing.toSeq.sortBy(_._1)
+              .map { case (p, vs) => s"$p v${vs.mkString(",v")}" }
+              .mkString("; ") +
+            " — invisible to the O(1) object-store read path until " +
+            "repairManifest(spark, root) re-certifies the log")
+    } catch { case _: java.io.IOException => () }
+
   /** Partition directory names present on disk (committed or not). */
   def partitions(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsFor(spark, root)
@@ -463,6 +533,11 @@ object PartitionedSnapshotLake {
       .map(r => if (r.isNullAt(0)) DefaultPart
                 else s"part_date=${r.getString(0)}").toSeq
 
+    // staleness detector (r12 ask #6): against the PRE-commit state —
+    // this merge's own versions don't exist yet, so anything newer
+    // than the pins without a log entry is an out-of-band commit
+    warnOutOfBand(spark, root, affected)
+
     // current state of ONLY the affected partitions
     val existing = affected.flatMap { p =>
       SnapshotLake.latestVersion(spark, partRoot(root, p))
@@ -577,6 +652,11 @@ object PartitionedSnapshotLake {
     val fs = fsFor(spark, root)
     val snaps = snapshots(spark, root)
     if (snaps.isEmpty) return
+    // staleness detector (r12 ask #6) over the WHOLE lake — vacuum
+    // already pays O(partitions) listings, one more _commits pass is
+    // in its cost class and this is the natural scheduled checkpoint
+    // for "did anything commit out-of-band since the last manifest"
+    warnOutOfBand(spark, root, partitions(spark, root))
     // every age this sweep computes (lock TTLs, manifest supersession,
     // marker supersession, tmp-dir staleness) compares against
     // FS-STAMPED mtimes, so "now" must come from the same clock: a
@@ -778,6 +858,18 @@ object PartitionedSnapshotLake {
   @volatile private[catalog] var settleAttemptsMax: Int = 500
   @volatile private[catalog] var settleClockTriesMax: Int = 2000
 
+  /** Wall-clock ceiling for the WHOLE settle loop (r12 advice): the
+    * attempt budgets alone admit a worst case of tens of minutes
+    * holding the heartbeated manifest mutex (settleAttemptsMax
+    * attempts × up to settleClockTriesMax·2 ms of clock waits each)
+    * under sustained out-of-band commits on a coarse-mtime
+    * filesystem — blocking every other committer. Elapsed time past
+    * this ceiling trips the SAME safe under-pin degrade (mtime−1 ⇒
+    * the busy partition re-resolves on every read until the next
+    * commit re-pins it), so no committer waits behind a settle for
+    * more than ~this plus one clock wait. */
+  @volatile private[catalog] var settleWallBudgetMs: Long = 5000L
+
   /** TTL after which a manifest-mutex holder with no heartbeat is
     * presumed dead and its lock broken by a waiter. The mutex is held
     * for milliseconds (read previous manifest + write one small file)
@@ -901,18 +993,26 @@ object PartitionedSnapshotLake {
             fs.getFileStatus(probe).getModificationTime
           }
           try {
+            val t0 = System.nanoTime()
+            def overBudget(): Boolean =
+              (System.nanoTime() - t0) / 1000000L > settleWallBudgetMs
             var m = statAll()
             var quiet = false
             var attempts = 0
-            while (!quiet && attempts < settleAttemptsMax) {
+            while (!quiet && attempts < settleAttemptsMax &&
+                !overBudget()) {
               attempts += 1
               val maxM = m.values.max
               var clockTries = 0
-              while (fsNow() <= maxM && clockTries < settleClockTriesMax) {
+              while (fsNow() <= maxM &&
+                  clockTries < settleClockTriesMax && !overBudget()) {
                 clockTries += 1; Thread.sleep(2)
               }
-              if (clockTries >= settleClockTriesMax)
-                attempts = settleAttemptsMax // clock stuck: bail
+              // bail (clock stuck, or the WALL budget elapsed — the
+              // iteration budgets can't bound a loop whose every
+              // re-stat sees a moved mtime) → the under-pin below
+              if (clockTries >= settleClockTriesMax || overBudget())
+                attempts = settleAttemptsMax
               else {
                 val m2 = statAll()
                 if (m2 == m) quiet = true else m = m2

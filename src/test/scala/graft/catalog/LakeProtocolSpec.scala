@@ -88,6 +88,26 @@ class FrozenClockFs extends CountingLocalFs {
   }
 }
 
+/** HDFS-like, but every PARTITION-DIR stat reports a strictly newer
+  * mtime than the one before — the settled stat's view of SUSTAINED
+  * out-of-band commits: every re-stat observes movement, the
+  * iteration budgets never converge, and only the wall-clock budget
+  * can end the settle. */
+class BusyDirFs extends CountingLocalFs {
+  override def getScheme: String = "busyfs"
+  override def getUri: URI = URI.create("busyfs:///")
+  override def getFileStatus(f: Path): FileStatus = {
+    val st = super.getFileStatus(f)
+    if (st.isDirectory && f.getName.startsWith("part_date="))
+      new FileStatus(st.getLen, true, st.getReplication,
+        st.getBlockSize,
+        st.getModificationTime + BusyDirFs.bumps.incrementAndGet(),
+        st.getPath)
+    else st
+  }
+}
+object BusyDirFs { val bumps = new AtomicLong(0) }
+
 /** Lock-protocol and at-scale contracts of the snapshot lakes that the
   * black-box [[graft.SnapshotLakeSpec]] cannot reach: the claim ABA
   * recheck, the vacuum heartbeat, the manifest mutex, and the
@@ -635,6 +655,71 @@ class LakeProtocolSpec extends AnyFunSuite {
     } finally {
       PartitionedSnapshotLake.settleAttemptsMax = oldA
       PartitionedSnapshotLake.settleClockTriesMax = oldC
+    }
+  }
+
+  test("out-of-band commits into a CERTIFIED lake are detected and " +
+      "warned on the next commitMerge; in-contract commits stay silent") {
+    val root = tmp()
+    def merge(id: Long, v: String) =
+      PartitionedSnapshotLake.commitMerge(spark, root,
+        Seq((id, "2027-06-01", v)).toDF("id", "ts", "val"), "id", "ts")
+    merge(1L, "a") // born through commitMerge -> certified at birth
+    merge(2L, "b") // in-contract: detector must stay SILENT
+    assert(PartitionedSnapshotLake.lastOutOfBandWarning.isEmpty,
+      "an in-contract commit false-flagged as out-of-band")
+    // OUT-OF-BAND: a direct SnapshotLake.commit into the partition dir
+    // writes a marker but no log entry — the class the certified
+    // object-store read path cannot see (USAGE.md's repairManifest
+    // caveat, now surfaced by the engine itself)
+    val p = "part_date=2027-06-01"
+    SnapshotLake.commit(spark, s"$root/$p",
+      Seq((9L, "2027-06-01", "c")).toDF("id", "ts", "val")) // v3
+    merge(3L, "d") // next commitMerge touching the partition: WARNs
+    val missing = PartitionedSnapshotLake.lastOutOfBandWarning
+    assert(missing.get(p).exists(_ == Seq(3L)),
+      s"the out-of-band v3 went undetected: $missing")
+    // this merge's manifest pinned v4 >= v3: the orphan is covered,
+    // the data is served, and the follow-up check is clean again
+    merge(4L, "e")
+    assert(PartitionedSnapshotLake.lastOutOfBandWarning.isEmpty,
+      "the detector kept warning after a manifest covered the orphan")
+  }
+
+  test("settled-stat WALL budget: under sustained out-of-band commits " +
+      "(every re-stat sees a moved mtime) the settle ends on elapsed " +
+      "time, not iteration counts, and under-pins safely") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.busyfs.impl", classOf[BusyDirFs].getName)
+    val dir = tmp()
+    val root = s"busyfs://$dir"
+    val (oldA, oldW) = (PartitionedSnapshotLake.settleAttemptsMax,
+      PartitionedSnapshotLake.settleWallBudgetMs)
+    // iteration budgets effectively unbounded: ONLY the wall budget
+    // can end this settle — the r12-advice scenario where attempt
+    // counts alone admitted minutes inside the manifest mutex
+    PartitionedSnapshotLake.settleAttemptsMax = Int.MaxValue
+    PartitionedSnapshotLake.settleWallBudgetMs = 300L
+    try {
+      val t0 = System.nanoTime()
+      PartitionedSnapshotLake.commitMerge(spark, root,
+        Seq((1L, "2027-05-01", "a")).toDF("id", "ts", "val"),
+        "id", "ts")
+      assert((System.nanoTime() - t0) / 1e9 < 30,
+        "the settle ignored its wall budget under a busy partition dir")
+      // log-less lake: the mtime delta (and thus the under-pin) is
+      // the only freshness source readLatest has
+      assert(new java.io.File(dir, "_snapshots/_log/_enabled").delete())
+      val p = "part_date=2027-05-01"
+      SnapshotLake.commit(spark, s"$root/$p",
+        Seq((9L, java.sql.Timestamp.valueOf("2027-05-01 00:00:00"), "b"))
+          .toDF("id", "ts", "val"))
+      assert(PartitionedSnapshotLake.latestPins(spark, root)(p) == 2L,
+        "wall-budget under-pin lost a follow-up version on the busy " +
+          "partition")
+    } finally {
+      PartitionedSnapshotLake.settleAttemptsMax = oldA
+      PartitionedSnapshotLake.settleWallBudgetMs = oldW
     }
   }
 }
