@@ -718,7 +718,11 @@ object DedupOps {
     * (O(verified pairs), the operator's own output, MEMORY_AND_DISK)
     * — and every cache this call registered is unpersisted before
     * returning, so a long-lived session looping corpora through the
-    * dedup APIs accumulates nothing. The checkpoint blocks themselves
+    * dedup APIs accumulates nothing. A banded table the CALLER
+    * already cached is used as-is and stays registered (unpersisting
+    * it here would drop the caller's entry — CacheManager keys by
+    * plan); pre-caching it is the intended warm path for loops that
+    * verify many batches against one banding. The checkpoint blocks themselves
     * are RDD-level storage (not catalog cache entries), freed by the
     * ContextCleaner when the returned frame is dropped. The one trade:
     * lineage is cut, so on a multi-executor cluster a lost executor
@@ -741,7 +745,16 @@ object DedupOps {
       materialize: Boolean = true,
       bypassMaxBandedRows: Long = StrataBypassMaxBandedRows): DataFrame = {
     BucketAudit.install(banded.sparkSession)
-    val b = banded.cache()
+    // respect a CALLER-OWNED cache: cache() on a plan the caller
+    // already cached returns the caller's entry, and unpersisting it
+    // here would silently drop THEIR registration (CacheManager keys
+    // by plan, not by Dataset handle). A pre-cached banded table is
+    // also the legitimate warm-reuse path for probe loops.
+    val callerCached = banded.sparkSession.sharedState.cacheManager
+      .lookupCachedData(
+        banded.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
+    val b = if (callerCached) banded else banded.cache()
     if (!materialize) {
       // lazy form (plan specs; callers embedding the verify in a
       // larger fault-tolerant lineage): no bypass — the decision
@@ -751,7 +764,8 @@ object DedupOps {
       if (ordered) unordered.orderBy(col("doc_a"), col("doc_b"))
       else unordered
     } else {
-      val caches = scala.collection.mutable.ArrayBuffer[DataFrame](b)
+      val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      if (!callerCached) caches += b
       try {
         // the caching pass doubles as the bypass stat: slim rows, and
         // the first consumer would have paid this scan anyway
@@ -761,10 +775,10 @@ object DedupOps {
             verifyJaccard(bucketPairs(b, keys, maxBucket), sh,
               threshold, ordered = false)
           else {
-            val (df, withSh) =
+            val (df, strataCaches) =
               strataVerified(b, keys, sh, threshold, maxBucket,
                 pairFormMax)
-            caches += withSh
+            caches ++= strataCaches
             df
           }
         val out = unordered.localCheckpoint(true)
@@ -778,17 +792,26 @@ object DedupOps {
   }
 
   /** The bucket-size-adaptive verify PLAN over an already-cached
-    * banded table: (unordered verified pairs, the large stratum's
-    * payload-attached cache). The caller owns both unpersists —
-    * [[lshVerifiedPairs]] closes them after materializing. */
+    * banded table: (unordered verified pairs, the caches this builder
+    * registered — the bucket-size table and the large stratum's
+    * payload-attached rows). The caller owns every unpersist —
+    * [[lshVerifiedPairs]] closes them after materializing; the lazy
+    * contract leaves them for the caller's clearCache. */
   private def strataVerified(b: DataFrame, keys: Seq[String],
       sh: DataFrame, threshold: Double, maxBucket: Int,
-      pairFormMax: Int): (DataFrame, DataFrame) = {
+      pairFormMax: Int): (DataFrame, Seq[DataFrame]) = {
+    // the size table is SLIM ((keys, bsz) — one row per distinct
+    // bucket) but its groupBy subtree feeds BOTH stratum key sets and
+    // rides inside both b-joins: uncached, Spark re-evaluates the
+    // 10M-row aggregation once per appearance (the zero-exchange-
+    // reuse lesson — measured as part of the r13 sf10 cold-cost
+    // decomposition). Cache it for the duration of the verify.
     val sizes = b.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .observe(BucketAudit.nextMetricName(),
         sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
           .as("overflowed_buckets"))
+      .cache()
     val smallMax = math.min(pairFormMax, maxBucket)
     val smallKeys = sizes
       .filter(col("bsz") >= 2 && col("bsz") <= smallMax)
@@ -873,7 +896,7 @@ object DedupOps {
     // a pair surfaces once per (stratum, shared band); jacc is
     // deterministic per pair — verifyJaccard computes the identical
     // expression — so distinct on the full row collapses exactly
-    (verifiedS.union(verifiedL).distinct(), withSh)
+    (verifiedS.union(verifiedL).distinct(), Seq(sizes, withSh))
   }
 
   /** Banded-row count at or below which [[lshVerifiedPairs]] verifies

@@ -93,6 +93,7 @@ class FrozenClockFs extends CountingLocalFs {
   * out-of-band commits: every re-stat observes movement, the
   * iteration budgets never converge, and only the wall-clock budget
   * can end the settle. */
+// (registered under the `busyfs` scheme via fs.busyfs.impl)
 class BusyDirFs extends CountingLocalFs {
   override def getScheme: String = "busyfs"
   override def getUri: URI = URI.create("busyfs:///")

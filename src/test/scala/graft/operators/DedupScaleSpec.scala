@@ -427,6 +427,22 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(strata == bypassed, "the bypass changed the verified pair set")
     assert(strata == Set((1L, 2L), (41L, 42L)),
       s"expected one pair per stratum, got $strata")
+    // a CALLER-OWNED banded cache survives the call (unpersisting it
+    // would drop the caller's registration — CacheManager keys by
+    // plan, not handle) and the result is unchanged
+    val mine = banded.cache()
+    mine.count()
+    val warm = DedupOps.lshVerifiedPairs(mine, Seq("band_key"), sh, 0.8,
+        ordered = false, bypassMaxBandedRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warm == strata)
+    assert(spark.sharedState.cacheManager
+        .lookupCachedData(
+          mine.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isDefined,
+      "lshVerifiedPairs unpersisted a cache the CALLER owned")
+    mine.unpersist(true)
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("empty shingle arrays never verify (the 0 >= 0 rearrangement " +
