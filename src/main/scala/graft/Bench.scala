@@ -404,17 +404,28 @@ object Bench {
       System.err.println(s"BENCH retesting ${firstPass.size} suspected " +
         s"regressions: ${firstPass.map(_._1).mkString(", ")}")
       firstPass.foreach { case (n, _, _) =>
-        // keep the better of the two passes — TIME AND SPLIT TOGETHER:
-        // if the first pass stays the min, its phase snapshot must
-        // stay too, or the residual is computed against the retest
-        // run's phase sum (the mismatch the min-run rule exists for).
-        // NB the gate tuple now carries the COMPARED quantity (the
-        // residual for split-carrying queries), so the wall total to
-        // restore comes from the times map, not the tuple.
+        // keep the better of the two passes — TIME AND SPLIT TOGETHER
+        // (if a pass's time is kept, its phase snapshot must be kept
+        // with it, or the residual is computed against the other
+        // run's phase sum) — where "better" means the smaller
+        // COMPARED QUANTITY: the spark_residual when both passes
+        // carry a split (keeping by wall total would let Derby noise
+        // discard a retest that showed an old-normal residual —
+        // false-confirming exactly the box-load class the retest
+        // exists to absorb), the wall total otherwise.
+        def residualOf(t: Double, ph: Option[Map[String, Double]]) =
+          ph.map(p => math.max(0.0, t - p.values.sum))
         val firstTime = times(n)
         val firstPhases = phases.get(n)
         measure(n) // min-of-3 again
-        if (firstTime <= times.getOrElse(n, firstTime)) {
+        val keepFirst = (times.get(n),
+            residualOf(firstTime, firstPhases),
+            times.get(n).flatMap(t => residualOf(t, phases.get(n)))) match {
+          case (None, _, _) => true // retest errored: keep the first
+          case (Some(_), Some(r1), Some(r2)) => r1 <= r2
+          case (Some(t2), _, _) => firstTime <= t2
+        }
+        if (keepFirst) {
           times(n) = firstTime
           firstPhases match {
             case Some(p) => phases(n) = p

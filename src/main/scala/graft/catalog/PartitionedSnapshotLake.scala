@@ -208,7 +208,8 @@ object PartitionedSnapshotLake {
       root: String, parts: Seq[String]): Map[String, Seq[Long]] = {
     val fs = fsFor(spark, root)
     if (!fs.exists(logEnabledMarker(root))) return Map.empty
-    val pins: Map[String, Long] = latestSnapshot(spark, root)
+    val before = latestSnapshot(spark, root)
+    val pins: Map[String, Long] = before
       .map(s => manifest(spark, root, s)).getOrElse(Map.empty)
     val logged: Map[String, Set[Long]] = fs.listStatus(logDir(root))
       .toSeq
@@ -219,7 +220,7 @@ object PartitionedSnapshotLake {
         else n.drop(at + 1).toLongOption.map(v => (n.take(at), v))
       }
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
-    parts.flatMap { p =>
+    val missing = parts.flatMap { p =>
       val commits = new Path(partRoot(root, p), "_commits")
       if (!fs.exists(commits)) None
       else {
@@ -232,6 +233,18 @@ object PartitionedSnapshotLake {
         if (bad.isEmpty) None else Some(p -> bad)
       }
     }.toMap
+    // concurrent-prune re-check (the latestPins lesson, applied to the
+    // diagnostic): an in-contract commit landing between the manifest
+    // read and the listings (entry → marker → newer manifest → entry
+    // pruned) would read as "marker with no entry". Pruning only
+    // happens after a newer snapshot marker exists, so an unchanged
+    // latestSnapshot proves the (manifest, log) pair was consistent;
+    // a moved one makes THIS pass unreliable — skip it (best-effort
+    // diagnostic, the next commit/vacuum re-checks) rather than
+    // false-flag a healthy writer.
+    if (missing.nonEmpty && latestSnapshot(spark, root) != before)
+      Map.empty
+    else missing
   }
 
   /** Run [[outOfBandVersions]] best-effort and WARN naming the remedy
@@ -251,7 +264,13 @@ object PartitionedSnapshotLake {
               .mkString("; ") +
             " — invisible to the O(1) object-store read path until " +
             "repairManifest(spark, root) re-certifies the log")
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // NonFatal, not just IOException: a concurrent vacuum can
+      // delete the snapshot between our listing and the manifest
+      // read (manifestWithTimes require → IllegalArgumentException),
+      // and a best-effort diagnostic must never fail the data path
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Partition directory names present on disk (committed or not). */
   def partitions(spark: SparkSession, root: String): Seq[String] = {

@@ -932,6 +932,18 @@ object DedupOps {
     * r12 value). */
   val PairFormBucketMax: Int = pairFormBucketMax(MinhashBands)
 
+  /** The GRADED d2 chain, shared with the PlanSpec native-codegen pin
+    * so the pin inspects the artifact being graded (the default form
+    * returns a checkpoint scan whose plan hides the chain — the spec
+    * passes materialize = false to see it). */
+  private[graft] def d2Chain(s: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docsWithHashedShingles(s, dir)
+    lshVerifiedPairs(minhashBanded(sh), Seq("band", "band_key"),
+      sh, 0.8, MaxBandBucketDefault, materialize = materialize)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy keep-first. The input is the corpus
     // unioned with a re-keyed copy of itself so the dedup actually drops
@@ -954,12 +966,7 @@ object DedupOps {
     // pipeline in SQL, so the compare checks the operator's defined
     // LSH semantics — including its (rare) false negatives — rather
     // than hoping LSH recall matches an exact all-pairs answer.
-    "d2_minhash_lsh" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val sh = docsWithHashedShingles(s, dir)
-      lshVerifiedPairs(minhashBanded(sh), Seq("band", "band_key"),
-        sh, 0.8, MaxBandBucketDefault)
-    }),
+    "d2_minhash_lsh" -> ((s, dir) => d2Chain(s, dir)),
 
     // LSH recall evaluation — the d-family analog of v10's ANN recall:
     // grade the minhash index against PLANTED ground truth instead of

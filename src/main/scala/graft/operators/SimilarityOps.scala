@@ -1265,11 +1265,20 @@ object SimilarityOps {
     val postings = spark.read.parquet(store)
       .filter(col("cid").isin(cells: _*)) // partition-pruned scan
       .select(col("cid"), col("vec_id").as("n_id"), col("v").as("vb"))
-      .distinct() // replayed appends are rank-neutral, drop them early
+      .distinct() // same-cell replays, dropped before the join
     val joined = postings.join(broadcast(probes), Seq("cid"))
     val scored = (if (excludeSelf) joined.filter(col("q_id") =!= col("n_id"))
       else joined)
       .withColumn("r", expr("round(cosine_sim(va, vb), 6)"))
+      // CROSS-cell duplicates collapse too (one candidate per
+      // (q_id, n_id), its best score): a vector served from two
+      // probed cells — mergeColdCells' crash window copies a cold
+      // cell's rows into a LIVE survivor cell before the table swap —
+      // must fill ONE top-k slot, not two. Same-cell duplicates died
+      // in the distinct above; this agg is over probe candidates
+      // (≤ probed rows × queries), and its (q_id, n_id) exchange is
+      // the one the rank window's q_id partitioning builds on.
+      .groupBy(col("q_id"), col("n_id")).agg(max(col("r")).as("r"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("r").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(wk))
@@ -1384,33 +1393,73 @@ object SimilarityOps {
   private def sweepUnreferencedCells(
       fs: org.apache.hadoop.fs.FileSystem, store: String,
       centroidPath: String, live: Set[Int], debrisAllowance: Int,
-      force: Boolean): Unit = {
+      perRefAllowance: Int, force: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val cidDirs = fs.listStatus(new Path(store)).toSeq
       .filter(_.getPath.getName.startsWith("cid="))
       .flatMap(st => st.getPath.getName.stripPrefix("cid=").toIntOption
         .map(_ -> st.getPath))
     val (refDirs, unrefDirs) = cidDirs.partition { case (c, _) => live(c) }
-    // mass-delete guard (r12 advice): debris from ONE interrupted
-    // split is small and rides on a mostly-referenced store; a table
-    // matching nothing, or dwarfed by the unreferenced set, is a
-    // wrong/stale centroidPath — refuse rather than delete the store
+    // mass-delete guard (r12 advice): debris from ONE interrupted run
+    // rides on a mostly-referenced store and is bounded by the run's
+    // own fan-out — the allowance scales with the REFERENCED count
+    // (a multi-hot-cell crash leaves up to hot·maxSplitK children, so
+    // a fixed bound would block the very re-run the sweep enables)
+    // but stays proportional, so a wrong/stale centroidPath that
+    // coincidentally matches a few cells of a big store still
+    // refuses. A table matching NOTHING always refuses.
+    val allowed = math.max(debrisAllowance.toLong,
+      refDirs.size.toLong * perRefAllowance)
     if (!force && unrefDirs.nonEmpty &&
-      (refDirs.isEmpty ||
-        unrefDirs.size > math.max(debrisAllowance, refDirs.size)))
+      (refDirs.isEmpty || unrefDirs.size.toLong > allowed))
       throw new IllegalStateException(
         s"store maintenance: centroid table at $centroidPath " +
           s"references ${refDirs.size} of ${cidDirs.size} cid= dirs " +
-          s"at $store (${unrefDirs.size} unreferenced) — far beyond " +
-          "one run's debris. Wrong or stale centroidPath? NOTHING " +
-          "was deleted; re-run with force=true only after verifying " +
-          "the pair.")
+          s"at $store (${unrefDirs.size} unreferenced, allowance " +
+          s"$allowed) — far beyond one run's debris. Wrong or stale " +
+          "centroidPath? NOTHING was deleted; re-run with force=true " +
+          "only after verifying the pair.")
     unrefDirs.foreach { case (_, p) =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"store maintenance: sweeping unreferenced ${p.getName} at " +
           s"$store (interrupted-run debris)")
       fs.delete(p, true)
     }
+  }
+
+  /** Shared maintenance preamble for [[splitHotCells]] /
+    * [[mergeColdCells]]: heal interrupted swaps, bail on a missing
+    * store or table, load the centroid table to the driver, run the
+    * guarded unreferenced-cell sweep, and count per-cell rows. None =
+    * nothing to maintain (missing pair, or the sweep emptied the
+    * store). Keeping this in ONE place keeps the two entry points'
+    * recovery behavior from diverging. */
+  private def maintenanceEntry(spark: SparkSession, store: String,
+      centroidPath: String, debrisAllowance: Int, perRefAllowance: Int,
+      force: Boolean)
+      : Option[(org.apache.hadoop.fs.FileSystem,
+        Map[Int, Seq[Double]], Map[Int, Long])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    DedupOps.recoverStoreSwap(fs, store)
+    DedupOps.recoverStoreSwap(fs, centroidPath)
+    if (!fs.exists(new Path(store)) ||
+      !fs.exists(new Path(centroidPath))) return None
+    val liveRows = spark.read.parquet(centroidPath)
+      .select(col("cid").cast("int").as("cid"), col("cv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap // ≤ nlist
+    sweepUnreferencedCells(fs, store, centroidPath, liveRows.keySet,
+      debrisAllowance, perRefAllowance, force)
+    // a sweep can legitimately empty the store (a force'd sweep with
+    // a fresh table) — nothing left to maintain then
+    if (!fs.listStatus(new Path(store)).exists(
+      _.getPath.getName.startsWith("cid="))) return None
+    val counts = spark.read.parquet(store)
+      .groupBy(col("cid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
+    Some((fs, liveRows, counts))
   }
 
   /** (cid, cv) single-partition frame from driver-side centroid rows
@@ -1432,29 +1481,14 @@ object SimilarityOps {
       centroidPath: String, hotCellThreshold: Long = 1000000L,
       maxSplitK: Int = 64, force: Boolean = false): Map[Int, Seq[Int]] = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(store)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    DedupOps.recoverStoreSwap(fs, store)
-    DedupOps.recoverStoreSwap(fs, centroidPath)
-    if (!fs.exists(new Path(store)) ||
-      !fs.exists(new Path(centroidPath))) return Map.empty
-    val cent = spark.read.parquet(centroidPath)
-      .select(col("cid").cast("int").as("cid"), col("cv"))
-    val liveRows = cent.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap // ≤ nlist
-    // entry sweep: a cid= dir the centroid table does not reference is
-    // debris from an interrupted earlier split (children appended but
-    // never committed, or a committed split's dead hot dirs) — roll it
-    // away so a re-run starts from a consistent (table, store) pair
-    sweepUnreferencedCells(fs, store, centroidPath, liveRows.keySet,
-      debrisAllowance = 2 * maxSplitK, force = force)
-    // a sweep can legitimately empty the store (a force'd sweep with a
-    // fresh table) — an empty store has nothing hot
-    if (!fs.listStatus(new Path(store)).exists(
-      _.getPath.getName.startsWith("cid="))) return Map.empty
-    val counts = spark.read.parquet(store)
-      .groupBy(col("cid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
+    // shared preamble: swap recovery, guarded debris sweep (one
+    // interrupted split leaves ≤ hot·(maxSplitK+1) unreferenced
+    // dirs, hence the per-referenced allowance), per-cell counts
+    val entry = maintenanceEntry(spark, store, centroidPath,
+      debrisAllowance = 2 * maxSplitK, perRefAllowance = maxSplitK + 1,
+      force = force)
+    if (entry.isEmpty) return Map.empty
+    val (fs, liveRows, counts) = entry.get
     val hot = counts.filter { case (c, n) =>
       n > hotCellThreshold && liveRows.contains(c) }
     if (hot.isEmpty) return Map.empty
@@ -1531,9 +1565,12 @@ object SimilarityOps {
     * [[splitHotCells]], leaning on the store's replay contract:
     *  1. cold postings are COPIED (appended) into their target cells
     *     first — visible immediately, but only as duplicates of rows
-    *     the cold cells still serve, and duplicates are
-    *     top-k-neutral by the replay contract (probes `distinct`
-    *     with vec_id tiebreak);
+    *     the cold cells still serve, and duplicates are top-k-neutral
+    *     EVEN ACROSS CELLS: [[probeVectorStore]] collapses candidates
+    *     per (query, vec_id) before ranking, so a vector served from
+    *     both its cold cell and its target cell fills one slot
+    *     (spec-pinned — the crash window between steps 1 and 2 is a
+    *     probe a query can actually take);
     *  2. the survivor centroid table swaps in via the rename-aside
     *     protocol — the atomic flip after which no probe or
     *     assignment can see the cold cids;
@@ -1553,24 +1590,11 @@ object SimilarityOps {
       centroidPath: String, coldCellThreshold: Long,
       force: Boolean = false): Map[Int, Seq[Int]] = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(store)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    DedupOps.recoverStoreSwap(fs, store)
-    DedupOps.recoverStoreSwap(fs, centroidPath)
-    if (!fs.exists(new Path(store)) ||
-      !fs.exists(new Path(centroidPath))) return Map.empty
-    val liveRows = spark.read.parquet(centroidPath)
-      .select(col("cid").cast("int").as("cid"), col("cv"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap // ≤ nlist
-    sweepUnreferencedCells(fs, store, centroidPath, liveRows.keySet,
-      debrisAllowance = 2 * KMeans.TwoLevelMinK, force = force)
-    // a sweep can legitimately empty the store; nothing to merge then
-    if (!fs.listStatus(new Path(store)).exists(
-      _.getPath.getName.startsWith("cid="))) return Map.empty
-    val counts = spark.read.parquet(store)
-      .groupBy(col("cid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
+    val entry = maintenanceEntry(spark, store, centroidPath,
+      debrisAllowance = 2 * KMeans.TwoLevelMinK, perRefAllowance = 8,
+      force = force)
+    if (entry.isEmpty) return Map.empty
+    val (fs, liveRows, counts) = entry.get
     val cold = liveRows.keySet
       .map(c => c -> counts.getOrElse(c, 0L))
       .filter(_._2 < coldCellThreshold).toMap
@@ -1584,31 +1608,40 @@ object SimilarityOps {
       return Map.empty
     }
     val survTable = centroidFrame(spark, survivors.toSeq)
-    // step 1: copy each cold cell's rows into their nearest surviving
-    // cell (partition-pruned read of the cold cell only)
-    val moved = cold.keys.toSeq.sorted.map { c =>
-      if (counts.getOrElse(c, 0L) == 0L) c -> Seq.empty[Int]
+    // step 1: ONE partition-pruned read over every row-bearing cold
+    // cell, ONE assignment pass, ONE append — maintenance cost scales
+    // with cold ROWS, never with the cold-CELL count (a drifted store
+    // can carry hundreds of cold cells, and a per-cell loop would run
+    // hundreds of sequential jobs). The original cid rides along as
+    // src_cid so the per-cell target report needs no extra pass.
+    graft.GraftFunctions.register(spark)
+    val withRows = cold.filter(_._2 > 0L).keys.toSeq.sorted
+    val moved: Map[Int, Seq[Int]] =
+      if (withRows.isEmpty) Map.empty
       else {
-        val cell = spark.read.parquet(store)
-          .filter(col("cid") === c)
-          .select(col("vec_id"), col("v"))
-        val assigned = assignToCells(survTable, cell).cache()
-        val targets = assigned.select(col("cid")).distinct()
-          .collect().map(_.getInt(0)).toSeq.sorted // ≤ survivors rows
-        assigned.write.mode("append").partitionBy("cid").parquet(store)
+        val (cids, cvs) = centroidArrays(survTable)
+        val coldRows = spark.read.parquet(store)
+          .filter(col("cid").isin(withRows: _*))
+          .select(col("cid").as("src_cid"), col("vec_id"), col("v"))
+        val assigned = withCosArgmaxCid(coldRows, cids, cvs).cache()
+        val targets = assigned.groupBy(col("src_cid"))
+          .agg(collect_set(col("cid")).as("t"))
+          .collect() // ≤ cold cells rows
+          .map(r => r.getInt(0) -> r.getSeq[Int](1).sorted.toSeq).toMap
+        assigned.select(col("cid"), col("vec_id"), col("v"))
+          .write.mode("append").partitionBy("cid").parquet(store)
         assigned.unpersist()
-        c -> targets
+        targets
       }
-    }
     // step 2 — the commit point: swap in the survivor table
     val next = new Path(centroidPath + ".next")
     fs.delete(next, true)
-    centroidFrame(spark, survivors.toSeq).write.parquet(next.toString)
+    survTable.write.parquet(next.toString)
     DedupOps.swapStore(fs, centroidPath)
     // step 3: the cold directories are dead (their cids left the
     // table) — delete; a crash here leaves debris the entry sweep
     // removes next time
     cold.keySet.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
-    moved.toMap
+    cold.keys.map(c => c -> moved.getOrElse(c, Seq.empty)).toMap
   }
 }

@@ -120,20 +120,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup signatures use the native codegen expressions, not HOFs") {
     // the graded d2 materializes internally since r13 (its returned
-    // frame is a checkpoint scan) — pin the LAZY form of the same
-    // chain, which carries the full signature pipeline in-plan
-    graft.GraftFunctions.register(spark)
-    import org.apache.spark.sql.functions.{col, expr, length}
-    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 8)
-      .withColumn("shingles", expr("md5_shingle60(text)"))
-      .select(col("doc_id"), col("shingles"))
-    val d2 = graft.operators.DedupOps.lshVerifiedPairs(
-        graft.operators.DedupOps.minhashBanded(sh),
-        Seq("band", "band_key"), sh, 0.8,
-        graft.operators.DedupOps.MaxBandBucketDefault,
-        materialize = false)
+    // frame is a checkpoint scan) — pin ITS OWN chain in lazy form,
+    // through the builder the graded query itself calls, so a drift
+    // in the graded artifact can't hide behind a spec-local replica
+    val d2 = graft.operators.DedupOps
+      .d2Chain(spark, sfDir, materialize = false)
       .queryExecution.optimizedPlan.toString
     spark.catalog.clearCache() // the lazy form's caches are caller-owned
     assert(d2.contains("minhash_sig") && d2.contains("md5_shingle60"),

@@ -272,6 +272,29 @@ class VectorStoreSpec extends AnyFunSuite {
         "not reference (interrupted-split debris)")
   }
 
+  test("a vector served from TWO probed cells (mergeColdCells' crash " +
+      "window: copy appended, table not yet swapped) fills ONE top-k " +
+      "slot") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecdup")
+    val store = s"$dir/store"
+    SimilarityOps.extendVectorStore(store, centroids, vecs(0L to 15L))
+    // plant the crash state: vec 0 (cell 0) copied into LIVE cell 1
+    vecs(Seq(0L)).withColumn("cid", lit(1))
+      .select(col("cid"), col("vec_id"), col("v"))
+      .write.mode("append").partitionBy("cid").parquet(store)
+    // query leans axis 0; its second-ranked cell ties to cid 1 — both
+    // copies of vec 0 are probe candidates
+    val q = vecs(Seq(100L))
+    val got = SimilarityOps.probeVectorStore(store, centroids, q,
+        k = 3, nprobe = 2, excludeSelf = false)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).distinct.length == got.length,
+      s"a cross-cell duplicate filled multiple top-k slots: $got")
+    assert(got.map(_._2).contains(0L),
+      s"the duplicated vector must still be served once: $got")
+  }
+
   test("entry-sweep mass-delete guard (r12 advice): a wrong/stale " +
       "centroid table refuses to sweep — nothing deleted — on both " +
       "maintenance entry points; force overrides") {
