@@ -520,11 +520,30 @@ object DedupOps {
     * store is missing but a fully-written replacement (`store.next` /
     * `store.migrating`) exists, roll FORWARD (the replacement was
     * complete before the old store was touched); if only `store.old`
-    * remains, roll BACK. Idempotent, cheap (a few exists calls). */
+    * remains, roll BACK. When the store EXISTS alongside a lingering
+    * `store.old`, the swap COMPLETED and only its final delete crashed
+    * (the one state that leaves both — swapStore deletes any old aside
+    * at entry, and the aside only reappears after the new store has
+    * fully renamed in): drop the aside, or a crashed compact's final
+    * delete doubles the store's footprint until the NEXT swap happens
+    * to run (found by StoreMaintCrashFuzzSpec's kill at that delete).
+    * A coexisting `store.next` is NOT touched — it is either an
+    * in-progress writer's staging or a crashed pre-swap build, and the
+    * owning maintenance op deletes and rebuilds it itself. Idempotent,
+    * cheap (a few exists calls). */
   private[operators] def recoverStoreSwap(
       fs: org.apache.hadoop.fs.FileSystem, store: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(store)
-    if (fs.exists(cur)) return
+    if (fs.exists(cur)) {
+      val old = new org.apache.hadoop.fs.Path(store + ".old")
+      if (fs.exists(old)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropping completed-swap aside $old (a crashed swap's " +
+            "final delete)")
+        fs.delete(old, true): Unit
+      }
+      return
+    }
     Seq(store + ".next", store + ".migrating", store + ".old")
       .map(new org.apache.hadoop.fs.Path(_))
       .find(fs.exists)

@@ -1456,11 +1456,23 @@ object SimilarityOps {
     // a fresh table) — nothing left to maintain then
     if (!fs.listStatus(new Path(store)).exists(
       _.getPath.getName.startsWith("cid="))) return None
-    val counts = spark.read.parquet(store)
-      .groupBy(col("cid")).count()
+    val counts = cellCountsFrame(spark, store)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
     Some((fs, liveRows, counts))
   }
+
+  /** Per-cell row counts for the maintenance entry. `cid` is the
+    * store's PARTITION column, so this groupBy-count prunes the read
+    * schema to ZERO data columns — the scan is parquet-METADATA-bound
+    * (row counts from footers + partition values from paths; the
+    * vector bytes are never decoded), O(files) not O(rows) at any
+    * store size. That property is what keeps the maintenance pair's
+    * entry cost independent of the store's data volume, so it is
+    * plan-pinned (VectorStoreSpec: empty ReadSchema) rather than left
+    * to Catalyst's discretion. */
+  private[operators] def cellCountsFrame(spark: SparkSession,
+      store: String): DataFrame =
+    spark.read.parquet(store).groupBy(col("cid")).count()
 
   /** (cid, cv) single-partition frame from driver-side centroid rows
     * — the model-sized table both maintenance ops stage and swap. */

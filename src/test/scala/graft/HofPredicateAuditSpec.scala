@@ -24,7 +24,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * condition stays linear.
   */
 class HofPredicateAuditSpec extends AnyFunSuite {
-  private lazy val spark = SharedSpark.spark
 
   /** Queries allowed to keep a HOF inside a predicate, with why the
     * shape is linear-safe at scale. */
@@ -48,14 +47,12 @@ class HofPredicateAuditSpec extends AnyFunSuite {
     }
 
   test("every filter/join predicate containing a HOF is justified") {
-    val dir = "/root/testdata/sf0.001"
-    // jdbc/ingest queries do real (cheap) side work at plan-build time;
-    // that is fine here — the audit reads plans, not results
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val where =
-          try offenders(fn(spark, dir).queryExecution.optimizedPlan)
-          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+    // plans come from the shared one-pass build (QueryPlanCache) —
+    // jdbc/ingest side work and the eager dedup executions run once
+    // per suite run, not once per sweep
+    val flagged = QueryPlanCache.all.toSeq.sortBy(_._1).flatMap {
+      case (name, qe) =>
+        val where = offenders(qe.optimizedPlan)
         if (where.isEmpty) None else Some(name -> where.mkString("; "))
     }
     val unjustified = flagged.filterNot { case (n, _) => justified.contains(n) }
@@ -89,12 +86,9 @@ class HofPredicateAuditSpec extends AnyFunSuite {
     }.flatten
 
   test("no group-invariant HOF is evaluated per generated row") {
-    val dir = "/root/testdata/sf0.001"
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val where =
-          try generatorOffenders(fn(spark, dir).queryExecution.optimizedPlan)
-          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+    val flagged = QueryPlanCache.all.toSeq.sortBy(_._1).flatMap {
+      case (name, qe) =>
+        val where = generatorOffenders(qe.optimizedPlan)
         if (where.isEmpty) None else Some(name -> where.mkString("; "))
     }
     assert(flagged.isEmpty,

@@ -10,13 +10,13 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.queryExecution.executedPlan.toString
-  }
+  // all per-name plans come from the shared build (one analysis+
+  // optimization pass per query for the whole suite run — see
+  // QueryPlanCache); conf-sensitive cases below build their own frames
+  private def plan(name: String): String = QueryPlanCache.executed(name)
 
   test("no query plans a cartesian product") {
-    SparkEntry.queries.keys.foreach { name =>
+    QueryPlanCache.all.keys.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") || name == "v1_ann_bruteforce",
         s"$name plans a cartesian product")
@@ -298,10 +298,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("v9: metadata predicate is pushed to the candidate parquet scan " +
       "(pre-filter, not post-top-k filter)") {
-    // another suite may have left the embeddings table cached in the
-    // shared session — an InMemoryTableScan would hide the parquet
-    // scan's PushedFilters from this audit
-    spark.catalog.clearCache()
+    // QueryPlanCache builds every plan against a CLEARED session cache
+    // (an InMemoryTableScan left by another query would hide the
+    // parquet scan's PushedFilters from this audit)
     val p = plan("v9_filtered_ann")
     assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
       || p.contains("EqualTo(label,3)"),

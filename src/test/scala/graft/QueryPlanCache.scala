@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.QueryExecution
+
+/** ONE QueryExecution per SparkEntry query at sf0.001, built lazily on
+  * first touch and shared by every suite-wide plan audit (PlanSpec's
+  * cartesian sweep and per-query pins, both HofPredicateAuditSpec
+  * sweeps). Before this cache each sweep rebuilt all 151 plans itself
+  * — three ~32 s passes of identical analysis/optimization (and, for
+  * the eager dedup queries, identical side execution) dominated the
+  * default suite's wall clock. Both the optimized and the executed
+  * plan derive lazily from the same QueryExecution, so the audits stay
+  * bit-identical to what they asserted before; they just stop paying
+  * for the build three times.
+  *
+  * Read-only by contract: suites that test CONF-SENSITIVE planning
+  * (broadcast thresholds, AQE toggles) must build their own frames —
+  * a cached plan reflects the session confs at first touch.
+  *
+  * Each plan is built and FORCED (executedPlan) against a CLEARED
+  * session cache — the bench's between-queries contract. Two reasons:
+  * a leftover InMemoryRelation from another suite (or from an earlier
+  * query in this very loop — several dedup queries cache feature
+  * tables) would substitute an InMemoryTableScan for the parquet scan
+  * and silently blind the pushdown/pruning pins that read these plans;
+  * and QueryExecution plans lazily, so without the eager force the
+  * cache-substitution would happen at whatever later moment a test
+  * first reads the plan, under whatever cache state happens to be
+  * live then — nondeterministic audits. */
+object QueryPlanCache {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val all: Map[String, QueryExecution] = {
+    val spark = SharedSpark.spark
+    GraftFunctions.register(spark)
+    val built = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val qe =
+          try {
+            val q = fn(spark, sfDir).queryExecution
+            q.executedPlan // force analyze→cache-substitute→optimize→plan NOW
+            q
+          } catch { case e: Throwable =>
+            throw new IllegalStateException(s"$name failed to plan", e) }
+        name -> qe
+    }.toMap
+    spark.catalog.clearCache() // leave the shared session clean
+    built
+  }
+
+  def optimized(name: String): org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan = all(name).optimizedPlan
+
+  def executed(name: String): String = all(name).executedPlan.toString
+}

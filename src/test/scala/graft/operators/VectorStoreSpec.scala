@@ -137,6 +137,33 @@ class VectorStoreSpec extends AnyFunSuite {
       s"probeCells plans a shuffle/broadcast exchange:\n$probePlan")
   }
 
+  test("the maintenance counts pass is parquet-METADATA-bound: zero " +
+      "data columns in the scan's ReadSchema, raw-row semantics " +
+      "(replays counted, like the scan it replaces)") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("veccounts")
+    val store = s"$dir/store"
+    SimilarityOps.extendVectorStore(store, centroids, vecs(0L to 15L))
+    SimilarityOps.extendVectorStore(store, centroids, vecs(Seq(4L, 8L)))
+    val counts = SimilarityOps.cellCountsFrame(spark, store)
+    // the scale pin: grouping on the PARTITION column must prune the
+    // read schema to struct<> — footers + partition paths only, the
+    // vector bytes never decoded, O(files) at any store size. If a
+    // future store schema change makes cid a data column, this fails
+    // and the maintenance entry is suddenly O(rows).
+    val scan = counts.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<>"),
+      s"maintenance counts read data columns — entry cost is no " +
+        s"longer metadata-bound:\n${scan.take(3000)}")
+    // raw-row semantics: the replayed appends (4, 8) count twice —
+    // same numbers the full groupBy scan produced, and what the
+    // hot/cold thresholds are calibrated against (a replayed row costs
+    // a probe the same as a distinct one)
+    val got = counts.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 6L, 1 -> 4L, 2 -> 4L, 3 -> 4L),
+      s"per-cell counts wrong: $got")
+  }
+
   test("compactVectorStore collapses per-cell small files, preserves " +
       "probe results byte-for-byte, and flags a planted hot cell") {
     graft.GraftFunctions.register(spark)
