@@ -473,7 +473,8 @@ object DedupOps {
       targetFiles: Int = 0): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    recoverStoreSwap(fs, store) // heal an interrupted earlier swap
+    // writer entry: heal an interrupted swap AND reclaim a stale aside
+    recoverStoreSwap(fs, store, dropAside = true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return // no-op
     val corpus = spark.read.parquet(store)
     if (!corpus.columns.contains("bh"))
@@ -521,25 +522,32 @@ object DedupOps {
     * `store.migrating`) exists, roll FORWARD (the replacement was
     * complete before the old store was touched); if only `store.old`
     * remains, roll BACK. When the store EXISTS alongside a lingering
-    * `store.old`, the swap COMPLETED and only its final delete crashed
-    * (the one state that leaves both — swapStore deletes any old aside
-    * at entry, and the aside only reappears after the new store has
-    * fully renamed in): drop the aside, or a crashed compact's final
-    * delete doubles the store's footprint until the NEXT swap happens
-    * to run (found by StoreMaintCrashFuzzSpec's kill at that delete).
-    * A coexisting `store.next` is NOT touched — it is either an
-    * in-progress writer's staging or a crashed pre-swap build, and the
-    * owning maintenance op deletes and rebuilds it itself. Idempotent,
-    * cheap (a few exists calls). */
+    * `store.old`, the aside is always STALE residue — left by a crash
+    * at swapStore's final delete, or by an earlier roll-forward heal
+    * here (rename `.next` in, `.old` stays behind); after a compact
+    * that residue is a full copy of the store, doubling its footprint
+    * until the next swap happens to run (found by
+    * StoreMaintCrashFuzzSpec's kill at that delete). WRITER entry
+    * points pass `dropAside = true` to reclaim it; READ paths (the
+    * store probes) keep the default false so healing from a probe
+    * never mutates the store — a read-only principal must be able to
+    * probe past a crashed compact's debris (the roll-forward renames
+    * below only ever fire when the store path itself is GONE, where a
+    * probe would fail anyway). A coexisting `store.next` is never
+    * touched when the store is present — it is an in-progress writer's
+    * staging or a crashed pre-swap build, and the owning maintenance
+    * op deletes and rebuilds it itself. Idempotent, cheap (a few
+    * exists calls). */
   private[operators] def recoverStoreSwap(
-      fs: org.apache.hadoop.fs.FileSystem, store: String): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, store: String,
+      dropAside: Boolean = false): Unit = {
     val cur = new org.apache.hadoop.fs.Path(store)
     if (fs.exists(cur)) {
       val old = new org.apache.hadoop.fs.Path(store + ".old")
-      if (fs.exists(old)) {
+      if (dropAside && fs.exists(old)) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"dropping completed-swap aside $old (a crashed swap's " +
-            "final delete)")
+          s"dropping stale swap aside $old (a crashed swap's final " +
+            "delete, or a prior roll-forward's leftover)")
         fs.delete(old, true): Unit
       }
       return
@@ -562,7 +570,8 @@ object DedupOps {
   def migrateStore(spark: SparkSession, store: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    recoverStoreSwap(fs, store) // heal an interrupted earlier swap
+    // writer entry: heal an interrupted swap AND reclaim a stale aside
+    recoverStoreSwap(fs, store, dropAside = true)
     val old = spark.read.parquet(store)
     if (old.columns.contains("bh")) return
     require(old.columns.contains("band") &&

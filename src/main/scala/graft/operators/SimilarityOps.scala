@@ -1216,7 +1216,9 @@ object SimilarityOps {
       vecCol: String = "v"): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-    DedupOps.recoverStoreSwap(fs, store) // heal an interrupted compact
+    // ingest is a writer: heal an interrupted compact and reclaim a
+    // stale swap aside (probes keep the read-only default)
+    DedupOps.recoverStoreSwap(fs, store, dropAside = true)
     assignToCells(centroids, batch, idCol, vecCol)
       .write.mode("append").partitionBy("cid").parquet(store)
   }
@@ -1310,7 +1312,7 @@ object SimilarityOps {
       hotCellThreshold: Long = 1000000L): Map[Int, Long] = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    DedupOps.recoverStoreSwap(fs, store)
+    DedupOps.recoverStoreSwap(fs, store, dropAside = true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return Map.empty
     val corpus = spark.read.parquet(store)
       .select(col("cid"), col("vec_id"), col("v"))
@@ -1442,8 +1444,8 @@ object SimilarityOps {
     import org.apache.hadoop.fs.Path
     val fs = new Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    DedupOps.recoverStoreSwap(fs, store)
-    DedupOps.recoverStoreSwap(fs, centroidPath)
+    DedupOps.recoverStoreSwap(fs, store, dropAside = true)
+    DedupOps.recoverStoreSwap(fs, centroidPath, dropAside = true)
     if (!fs.exists(new Path(store)) ||
       !fs.exists(new Path(centroidPath))) return None
     val liveRows = spark.read.parquet(centroidPath)

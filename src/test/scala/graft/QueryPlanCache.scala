@@ -49,8 +49,5 @@ object QueryPlanCache {
     built
   }
 
-  def optimized(name: String): org.apache.spark.sql.catalyst.plans
-      .logical.LogicalPlan = all(name).optimizedPlan
-
   def executed(name: String): String = all(name).executedPlan.toString
 }
