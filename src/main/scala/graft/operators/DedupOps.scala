@@ -304,14 +304,20 @@ object DedupOps {
     * scan share directly (BENCH_NOTES), and the hash layout cuts that
     * share's bytes ~5× vs storing the band arrays.
     *
-    * @return (doc_id, is_dup) for every batch doc */
+    * @return (doc_id, is_dup) for every batch doc — MATERIALIZED
+    *         (executor-local checkpoint of the batch-sized verdict),
+    *         so consuming it downstream never re-runs the banding or
+    *         the store probe; see the in-body comment for the
+    *         double-evaluation this closes and the lineage trade */
   def probeAndExtend(store: String, batch: DataFrame): DataFrame =
     probeAndExtendImpl(store, batch, MaxBroadcastBandRows)
 
   /** package-visible so plan specs can inject the broadcast ceiling
-    * and drive the shuffle-join fallback without a 4M-row batch */
+    * and drive the shuffle-join fallback without a 4M-row batch, or
+    * pass `materialize = false` to inspect the live join plan */
   private[operators] def probeAndExtendImpl(store: String,
-      batch: DataFrame, maxBroadcastBandRows: Long): DataFrame = {
+      batch: DataFrame, maxBroadcastBandRows: Long,
+      materialize: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val sh = batch.filter(length(col("text")) >= 8)
@@ -369,10 +375,26 @@ object DedupOps {
       .filter(col("doc_id") =!= col("min_id"))
       .select(col("doc_id")).distinct()
     val hits = storeHits.union(batchHits).distinct()
-    val verdict = batch.select(col("doc_id"))
+    val verdictLazy = batch.select(col("doc_id"))
       .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hit"), lit(false)).as("is_dup"))
+    // materialize the verdict ONCE, while `bands` is cached, before
+    // the append consumes it: the verdict's tree (banding → store
+    // probe → batch window → join-back) used to be evaluated twice
+    // per micro-batch — once inside this call feeding the append's
+    // novel-doc filter, then AGAIN from scratch when the caller
+    // consumed the returned lazy frame after bands.unpersist() below
+    // (dedupToLake's lake merge re-ran the whole banding). The
+    // checkpoint is batch-sized ((doc_id, bool) rows, executor-local
+    // MEMORY_AND_DISK, freed by the ContextCleaner with the frame);
+    // lineage is cut, which is the right trade in a foreachBatch body
+    // — an executor lost mid-batch fails the batch and the source
+    // checkpoint replays it (the at-least-once contract this operator
+    // already documents). Plan specs pass materialize = false to see
+    // the join shape instead of a checkpoint scan.
+    val verdict =
+      if (materialize) verdictLazy.localCheckpoint(true) else verdictLazy
     // admit the novel docs into the store for the NEXT batch
     bands.join(verdict.filter(!col("is_dup")).select(col("doc_id")),
         "doc_id")

@@ -26,10 +26,14 @@ class StoreProbePlanSpec extends AnyFunSuite {
         (2L, "an entirely different document about spark engines"))
         .toDF("doc_id", "text")).collect()
 
-    val verdict = DedupOps.probeAndExtend(store,
+    // materialize = false: the default eagerly checkpoints the verdict
+    // and the returned plan is a checkpoint scan — this spec needs the
+    // LIVE join shape
+    val verdict = DedupOps.probeAndExtendImpl(store,
       Seq((3L, "the quick brown fox jumps over the lazy dog"),
         (4L, "fresh novel content matching nothing at all"))
-        .toDF("doc_id", "text"))
+        .toDF("doc_id", "text"),
+      DedupOps.MaxBroadcastBandRows, materialize = false)
     verdict.collect() // finalize the adaptive plan
     val plan = verdict.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
@@ -54,7 +58,7 @@ class StoreProbePlanSpec extends AnyFunSuite {
     DedupOps.probeAndExtend(store, docs).collect() // seed
     val verdict = DedupOps.probeAndExtendImpl(store,
       docs.withColumn("doc_id", col("doc_id") + 100),
-      maxBroadcastBandRows = 1L)
+      maxBroadcastBandRows = 1L, materialize = false)
     // the CONTRACT: over the ceiling, OUR broadcast hint must be
     // absent from the plan (Spark may still pick broadcast from size
     // stats — that's fine, it isn't a forced driver collect). The
@@ -77,8 +81,9 @@ class StoreProbePlanSpec extends AnyFunSuite {
     val docs = Seq((30L, "some words repeated here for shingling fine"))
       .toDF("doc_id", "text")
     DedupOps.probeAndExtend(store, docs).collect() // seed
-    val verdict = DedupOps.probeAndExtend(store,
-      docs.withColumn("doc_id", col("doc_id") + 1))
+    val verdict = DedupOps.probeAndExtendImpl(store,
+      docs.withColumn("doc_id", col("doc_id") + 1),
+      DedupOps.MaxBroadcastBandRows, materialize = false)
     val hints = verdict.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
