@@ -266,7 +266,19 @@ object DedupOps {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents stopped at maxIter=$maxIter without " +
           "converging — labels may split components; raise maxIter")
-    (labels, i)
+    // cache-lifecycle contract (the r13 rule every returning API
+    // follows): the FINAL round's persist must not outlive the call —
+    // a long-lived service running CC per corpus would accumulate one
+    // node-sized registration per call. The labels are already
+    // materialized (the convergence probe scanned them), so the eager
+    // checkpoint just copies slim (node, label) rows out of the cache
+    // and the registration closes. Lineage is cut, which is the right
+    // trade HERE (unlike the per-round flatten above, which keeps RDD
+    // lineage for executor recovery): recomputing the returned labels
+    // would mean re-running every round from the edge source anyway.
+    val out = labels.localCheckpoint(true)
+    labelsHandle.unpersist()
+    (out, i)
   }
 
   /** The buckets [[bucketPairs]] dropped: key columns + "overflowed"

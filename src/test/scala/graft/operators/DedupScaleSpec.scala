@@ -70,8 +70,13 @@ class DedupScaleSpec extends AnyFunSuite {
       (20L, 21L),                                      // pair
       (30L, 31L), (31L, 32L), (30L, 32L))              // triangle
       .toDF("src", "dst")
+    spark.catalog.clearCache()
     val labels = DedupOps.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r13 lifecycle rule: every returning API closes its own caches —
+    // the FINAL round's label persist must not outlive the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents left catalog cache registrations behind")
     assert((10L to 14L).forall(labels(_) == 10L))
     assert(labels(20L) == 20L && labels(21L) == 20L)
     assert((30L to 32L).forall(labels(_) == 30L))
