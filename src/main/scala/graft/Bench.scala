@@ -272,6 +272,30 @@ object Bench {
     }.toSeq.sortBy { case (_, was, now) => was - now }
   }
 
+  /** The retest keep-rule: keep the FIRST (flagged) pass only when it
+    * is better on the SAME quantity the gate compared for this query —
+    * `residualGated` = the gate diffed spark_residuals (prev history
+    * AND the flagged pass both carried a phase split); otherwise the
+    * wall total, including for a query that GAINED its split this
+    * round (it was wall-gated, and keeping a worse wall because its
+    * residual looked smaller would re-confirm at the final gate the
+    * very number the retest just beat). A retest that errored keeps
+    * the first pass unconditionally. */
+  private[graft] def keepFirstPass(firstTime: Double,
+      firstPhases: Option[Map[String, Double]],
+      retestTime: Option[Double],
+      retestPhases: Option[Map[String, Double]],
+      residualGated: Boolean): Boolean = {
+    def residualOf(t: Double, ph: Option[Map[String, Double]]) =
+      ph.map(p => math.max(0.0, t - p.values.sum))
+    (retestTime, residualOf(firstTime, firstPhases),
+        retestTime.flatMap(t => residualOf(t, retestPhases))) match {
+      case (None, _, _) => true // retest errored: keep the first
+      case (Some(_), Some(r1), Some(r2)) if residualGated => r1 <= r2
+      case (Some(t2), _, _) => firstTime <= t2
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -346,12 +370,17 @@ object Bench {
         // ruler: count-v1's df.count() executes a DIFFERENT
         // QueryExecution, so lastDf's accumulators stay empty — the
         // audit is explicitly absent in A/B mode, not silently zero.
-        val overflowed = (Timing != "count-v1" &&
-          lastDf.queryExecution.observedMetrics.exists {
+        // the eager side channel sits INSIDE the same ruler guard: the
+        // count-v1 contract is "audit explicitly absent in A/B mode",
+        // and letting eager queries (d2's internal materialization)
+        // populate the column while lazy ones stay silently zero would
+        // make it neither absent nor complete under that ruler
+        val overflowed = Timing != "count-v1" &&
+          (lastDf.queryExecution.observedMetrics.exists {
             case (metric, row) => metric.startsWith("bucket_overflow_") &&
               !row.isNullAt(0) && row.getLong(0) > 0
-          }) ||
-          graft.operators.BucketAudit.eagerOverflowed > eagerBefore
+          } ||
+          graft.operators.BucketAudit.eagerOverflowed > eagerBefore)
         if (overflowed) bucketOverflows += 1
         // dedup pipelines cache small feature tables; clear between
         // queries so storage memory never accumulates across the
@@ -386,10 +415,13 @@ object Bench {
           .map { case (t, s, q) => (t, s, q, l.toString) })
         .filter { case (t, s, _, _) => t == Timing && s == sfDir }
         .lastOption
+    val prevPhases = prevSame
+      .map { case (_, _, _, line) => parseHistoryPhases(line) }
+      .getOrElse(Map.empty)
     def gate(): Seq[(String, Double, Double)] = prevSame match {
-      case Some((prevTiming, _, prev, prevLine)) =>
+      case Some((prevTiming, _, prev, _)) =>
         regressions(prevTiming, prev, Timing, times.toSeq,
-          prevPhases = parseHistoryPhases(prevLine),
+          prevPhases = prevPhases,
           curPhases = phases.toMap)
       case None => Seq.empty
     }
@@ -407,24 +439,24 @@ object Bench {
         // keep the better of the two passes — TIME AND SPLIT TOGETHER
         // (if a pass's time is kept, its phase snapshot must be kept
         // with it, or the residual is computed against the other
-        // run's phase sum) — where "better" means the smaller
-        // COMPARED QUANTITY: the spark_residual when both passes
-        // carry a split (keeping by wall total would let Derby noise
-        // discard a retest that showed an old-normal residual —
-        // false-confirming exactly the box-load class the retest
-        // exists to absorb), the wall total otherwise.
-        def residualOf(t: Double, ph: Option[Map[String, Double]]) =
-          ph.map(p => math.max(0.0, t - p.values.sum))
+        // run's phase sum) — where "better" means the smaller of the
+        // SAME QUANTITY THE GATE COMPARED for this query: the
+        // spark_residual only when the gate itself gated on residuals
+        // (prev history AND the flagged pass both carry a split —
+        // keeping by wall there would let Derby noise discard a
+        // retest that showed an old-normal residual), the wall total
+        // otherwise. A query that gained its split THIS round was
+        // wall-gated, so its retest must keep by wall too: keeping a
+        // worse wall because its residual looked smaller would
+        // re-confirm at the final gate() the very number the retest
+        // just beat.
         val firstTime = times(n)
         val firstPhases = phases.get(n)
+        val residualGated =
+          prevPhases.contains(n) && firstPhases.nonEmpty
         measure(n) // min-of-3 again
-        val keepFirst = (times.get(n),
-            residualOf(firstTime, firstPhases),
-            times.get(n).flatMap(t => residualOf(t, phases.get(n)))) match {
-          case (None, _, _) => true // retest errored: keep the first
-          case (Some(_), Some(r1), Some(r2)) => r1 <= r2
-          case (Some(t2), _, _) => firstTime <= t2
-        }
+        val keepFirst = keepFirstPass(firstTime, firstPhases,
+          times.get(n), phases.get(n), residualGated)
         if (keepFirst) {
           times(n) = firstTime
           firstPhases match {

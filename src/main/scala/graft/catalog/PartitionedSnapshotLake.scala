@@ -211,6 +211,21 @@ object PartitionedSnapshotLake {
     val before = latestSnapshot(spark, root)
     val pins: Map[String, Long] = before
       .map(s => manifest(spark, root, s)).getOrElse(Map.empty)
+    // LISTING ORDER IS LOAD-BEARING: markers FIRST, log entries
+    // SECOND. In-contract commits write entry-before-marker, so any
+    // marker visible in the first listing had its entry on disk
+    // before it — a log listing taken AFTER the marker listing must
+    // contain that entry (unless pruned, which the latestSnapshot
+    // re-check below catches). The reverse order would race a
+    // concurrent healthy writer: entry lands after our log listing,
+    // marker lands before our _commits listing → false out-of-band
+    // WARN on an in-contract commit.
+    val markers: Map[String, Seq[Long]] = parts.flatMap { p =>
+      val commits = new Path(partRoot(root, p), "_commits")
+      if (!fs.exists(commits)) None
+      else Some(p -> fs.listStatus(commits).toSeq
+        .flatMap(st => st.getPath.getName.toLongOption))
+    }.toMap
     val logged: Map[String, Set[Long]] = fs.listStatus(logDir(root))
       .toSeq
       .flatMap { st =>
@@ -220,18 +235,11 @@ object PartitionedSnapshotLake {
         else n.drop(at + 1).toLongOption.map(v => (n.take(at), v))
       }
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
-    val missing = parts.flatMap { p =>
-      val commits = new Path(partRoot(root, p), "_commits")
-      if (!fs.exists(commits)) None
-      else {
-        val pin = pins.getOrElse(p, 0L)
-        val entries = logged.getOrElse(p, Set.empty)
-        val bad = fs.listStatus(commits).toSeq
-          .flatMap(st => st.getPath.getName.toLongOption)
-          .filter(v => v > pin && !entries.contains(v))
-          .sorted
-        if (bad.isEmpty) None else Some(p -> bad)
-      }
+    val missing = markers.flatMap { case (p, vers) =>
+      val pin = pins.getOrElse(p, 0L)
+      val entries = logged.getOrElse(p, Set.empty)
+      val bad = vers.filter(v => v > pin && !entries.contains(v)).sorted
+      if (bad.isEmpty) None else Some(p -> bad)
     }.toMap
     // concurrent-prune re-check (the latestPins lesson, applied to the
     // diagnostic): an in-contract commit landing between the manifest

@@ -991,7 +991,8 @@ object SimilarityOps {
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
       simThreshold: Double, targetClusterSize: Int = 200,
       maxCluster: Int = DedupOps.MaxBucketDefault,
-      fitIters: Int = 4): DataFrame = {
+      fitIters: Int = 4,
+      materialize: Boolean = true): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
     val n = docs.count()
     val k = math.max(2,
@@ -1021,7 +1022,7 @@ object SimilarityOps {
       col("v").as("va"))
     val lb = capped.select(col("cid").as("cid_b"),
       col("doc_id").as("doc_b"), col("v").as("vb"))
-    try {
+    val verdictLazy = {
       val dropped = la.join(lb,
           col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
         .filter(expr("cosine_sim(va, vb)") >= simThreshold)
@@ -1031,11 +1032,19 @@ object SimilarityOps {
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("cid"),
           coalesce(col("is_dropped"), lit(false)).as("dropped"))
-        .localCheckpoint(true)
-    } finally {
-      assign.unpersist(false)
-      capped.unpersist(false)
     }
+    if (!materialize) {
+      // the lazy form exists for PLAN AUDITS (the materialized return
+      // is a checkpoint scan that hides the verify join from the
+      // suite-wide sweeps) — it inherits the old cache contract: both
+      // registrations live until the caller's clearCache
+      verdictLazy
+    } else
+      try verdictLazy.localCheckpoint(true)
+      finally {
+        assign.unpersist(false)
+        capped.unpersist(false)
+      }
   }
 
   // ------------------------------------------------------------------
@@ -1277,9 +1286,15 @@ object SimilarityOps {
       // probed cells — mergeColdCells' crash window copies a cold
       // cell's rows into a LIVE survivor cell before the table swap —
       // must fill ONE top-k slot, not two. Same-cell duplicates died
-      // in the distinct above; this agg is over probe candidates
-      // (≤ probed rows × queries), and its (q_id, n_id) exchange is
-      // the one the rank window's q_id partitioning builds on.
+      // in the distinct above. The explicit q_id repartition makes
+      // this agg and the rank window below share ONE exchange:
+      // HashPartitioning(q_id) satisfies the agg's
+      // ClusteredDistribution(q_id, n_id) — subset-key partitioning
+      // co-locates equal pairs — AND the window's q_id clustering,
+      // where the groupBy's own HashPartitioning(q_id, n_id) would
+      // NOT satisfy the window and Catalyst would plan a second
+      // shuffle of the candidate set (plan-pinned below).
+      .repartition(col("q_id"))
       .groupBy(col("q_id"), col("n_id")).agg(max(col("r")).as("r"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("r").desc, col("n_id"))
@@ -1598,6 +1613,20 @@ object SimilarityOps {
     * remain — there is nothing to merge INTO; raise the threshold or
     * refit instead.
     *
+    * CHUNKED so a crash can always re-run: at most
+    * [[MaxColdPerMergePass]] cold cells retire per table swap (rows
+    * still assign straight to their FINAL survivor — never to another
+    * cold cell — so no row moves twice), and the call loops passes
+    * until no cold cell remains. The bound exists for the guarded
+    * entry sweep's sake: a crash between a pass's table swap and its
+    * dir deletes leaves that pass's cold dirs unreferenced, and an
+    * UNCHUNKED merge of a heavily-drifted store (say 185 cold of 200
+    * cells) would leave more debris than the sweep's allowance —
+    * `max(2·TwoLevelMinK, 8·survivors)` — classifying its own re-run
+    * as a wrong-table mass delete and refusing it. 64 per pass sits
+    * under the allowance floor at ANY survivor count, so "the re-run
+    * completes over the debris" holds unconditionally.
+    *
     * @return cold cid → the surviving cids its rows moved to (empty
     *         Seq = the cell had no rows, it was simply dropped) */
   def mergeColdCells(spark: SparkSession, store: String,
@@ -1621,15 +1650,29 @@ object SimilarityOps {
           "the threshold or refit the quantizer")
       return Map.empty
     }
+    // this pass retires the lowest-cid cold cells up to the debris
+    // bound; the rest wait for the next pass (scaladoc: the bound
+    // keeps a crashed pass's unreferenced dirs inside the entry
+    // sweep's allowance at any survivor count)
+    val slice = cold.keys.toSeq.sorted.take(MaxColdPerMergePass)
+    val sliceSet = slice.toSet
+    val morePasses = cold.size > slice.length
+    if (morePasses)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"mergeColdCells: ${cold.size} cold cells at $store — " +
+          s"retiring ${slice.length} this pass, looping for the rest")
     val survTable = centroidFrame(spark, survivors.toSeq)
     // step 1: ONE partition-pruned read over every row-bearing cold
-    // cell, ONE assignment pass, ONE append — maintenance cost scales
-    // with cold ROWS, never with the cold-CELL count (a drifted store
-    // can carry hundreds of cold cells, and a per-cell loop would run
-    // hundreds of sequential jobs). The original cid rides along as
-    // src_cid so the per-cell target report needs no extra pass.
+    // cell of the pass, ONE assignment pass, ONE append — maintenance
+    // cost scales with cold ROWS, never with the cold-CELL count (a
+    // drifted store can carry hundreds of cold cells, and a per-cell
+    // loop would run hundreds of sequential jobs). Assignment targets
+    // are the TRUE survivors even when chunked — a sliced cell's rows
+    // land in their final cell, never in a cold cell awaiting a later
+    // pass. The original cid rides along as src_cid so the per-cell
+    // target report needs no extra pass.
     graft.GraftFunctions.register(spark)
-    val withRows = cold.filter(_._2 > 0L).keys.toSeq.sorted
+    val withRows = slice.filter(c => cold(c) > 0L)
     val moved: Map[Int, Seq[Int]] =
       if (withRows.isEmpty) Map.empty
       else {
@@ -1647,15 +1690,30 @@ object SimilarityOps {
         assigned.unpersist()
         targets
       }
-    // step 2 — the commit point: swap in the survivor table
+    // step 2 — the commit point: swap in the table minus THIS pass's
+    // cold cells (later passes' cold cells stay live until their own
+    // swap retires them)
     val next = new Path(centroidPath + ".next")
     fs.delete(next, true)
-    survTable.write.parquet(next.toString)
+    centroidFrame(spark,
+        liveRows.filterNot { case (c, _) => sliceSet(c) }.toSeq)
+      .write.parquet(next.toString)
     DedupOps.swapStore(fs, centroidPath)
-    // step 3: the cold directories are dead (their cids left the
-    // table) — delete; a crash here leaves debris the entry sweep
-    // removes next time
-    cold.keySet.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
-    cold.keys.map(c => c -> moved.getOrElse(c, Seq.empty)).toMap
+    // step 3: the pass's cold directories are dead (their cids left
+    // the table) — delete; a crash here leaves ≤ MaxColdPerMergePass
+    // dirs the entry sweep removes next time
+    slice.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
+    val thisPass =
+      slice.map(c => c -> moved.getOrElse(c, Seq.empty)).toMap
+    if (!morePasses) thisPass
+    else thisPass ++ mergeColdCells(spark, store, centroidPath,
+      coldCellThreshold, force)
   }
+
+  /** Cold cells retired per [[mergeColdCells]] table swap — must stay
+    * at or under the entry sweep's allowance FLOOR
+    * (2·[[KMeans.TwoLevelMinK]]) so one crashed pass's unreferenced
+    * debris always classifies as debris regardless of how few
+    * survivors remain. */
+  val MaxColdPerMergePass: Int = KMeans.TwoLevelMinK
 }

@@ -240,6 +240,32 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(oneSided.map(_._1).toSet == Set("k1", "plain"))
   }
 
+  test("retest keep-rule follows the gate's compared quantity: a " +
+      "wall-gated query keeps by wall even when both passes carry a " +
+      "split; a residual-gated query keeps by residual") {
+    // the query GAINED its split this round (prev history had no
+    // phases) -> the gate compared wall totals -> the retest must keep
+    // by wall too. First pass 7.0 s (residual 0.8) was a box-load
+    // artifact; retest reads old-normal 3.6 s but a LARGER residual
+    // 0.9 — keeping the first because 0.8 <= 0.9 would hand the final
+    // gate the very 7.0 s wall the retest just disproved.
+    val ph1 = Some(Map("derby_merge" -> 6.2)) // residual 7.0-6.2 = 0.8
+    val ph2 = Some(Map("derby_merge" -> 2.7)) // residual 3.6-2.7 = 0.9
+    assert(!Bench.keepFirstPass(7.0, ph1, Some(3.6), ph2,
+      residualGated = false),
+      "wall-gated retest kept a worse wall because its residual was " +
+        "smaller")
+    // residual-gated (prev history carried the split): Derby noise on
+    // the retest's wall must NOT discard a first pass whose residual
+    // is smaller
+    assert(Bench.keepFirstPass(3.5, Some(Map("derby_merge" -> 3.1)),
+      Some(3.2), Some(Map("derby_merge" -> 2.3)), residualGated = true),
+      "residual-gated retest kept by wall") // 0.4 <= 0.9
+    // retest errored: keep the first unconditionally
+    assert(Bench.keepFirstPass(7.0, ph1, None, None,
+      residualGated = false))
+  }
+
   test("parseHistoryPhases round-trips the nested phases object out of " +
       "a fullJson history line") {
     val times = Seq("k1" -> 3.5, "q2" -> 1.0)

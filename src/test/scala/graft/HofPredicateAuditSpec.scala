@@ -49,8 +49,11 @@ class HofPredicateAuditSpec extends AnyFunSuite {
   test("every filter/join predicate containing a HOF is justified") {
     // plans come from the shared one-pass build (QueryPlanCache) —
     // jdbc/ingest side work and the eager dedup executions run once
-    // per suite run, not once per sweep
-    val flagged = QueryPlanCache.all.toSeq.sortBy(_._1).flatMap {
+    // per suite run, not once per sweep; auditOnly adds the lazy
+    // twins of internally-materializing queries (their graded plans
+    // are checkpoint scans)
+    val flagged = (QueryPlanCache.all ++ QueryPlanCache.auditOnly)
+      .toSeq.sortBy(_._1).flatMap {
       case (name, qe) =>
         val where = offenders(qe.optimizedPlan)
         if (where.isEmpty) None else Some(name -> where.mkString("; "))
@@ -86,7 +89,8 @@ class HofPredicateAuditSpec extends AnyFunSuite {
     }.flatten
 
   test("no group-invariant HOF is evaluated per generated row") {
-    val flagged = QueryPlanCache.all.toSeq.sortBy(_._1).flatMap {
+    val flagged = (QueryPlanCache.all ++ QueryPlanCache.auditOnly)
+      .toSeq.sortBy(_._1).flatMap {
       case (name, qe) =>
         val where = generatorOffenders(qe.optimizedPlan)
         if (where.isEmpty) None else Some(name -> where.mkString("; "))

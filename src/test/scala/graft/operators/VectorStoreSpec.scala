@@ -137,6 +137,27 @@ class VectorStoreSpec extends AnyFunSuite {
       s"probeCells plans a shuffle/broadcast exchange:\n$probePlan")
   }
 
+  test("probeVectorStore plans exactly TWO shuffles: the postings " +
+      "distinct and ONE q_id exchange shared by the dup-collapse agg " +
+      "and the rank window") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecplan")
+    val store = s"$dir/store"
+    SimilarityOps.extendVectorStore(store, centroids, vecs(0L to 15L))
+    val probe = SimilarityOps.probeVectorStore(store, centroids,
+      vecs(Seq(100L)), k = 3, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size
+    // 2 = the postings distinct + the explicit q_id repartition;
+    // HashPartitioning(q_id) satisfies BOTH the (q_id, n_id) agg's
+    // clustered distribution (subset keys) and the window's — a third
+    // exchange here means the agg re-grew its own (q_id, n_id)
+    // shuffle and the window shuffles the candidates AGAIN
+    assert(shuffles == 2,
+      s"probe plans $shuffles shuffles (want 2):\n${plan.take(4000)}")
+  }
+
   test("the maintenance counts pass is parquet-METADATA-bound: zero " +
       "data columns in the scan's ReadSchema, raw-row semantics " +
       "(replays counted, like the scan it replaces)") {
@@ -501,5 +522,50 @@ class VectorStoreSpec extends AnyFunSuite {
     // a second merge pass is a no-op (warm cells all hold ≥2 rows)
     assert(SimilarityOps.mergeColdCells(spark, store, centPath,
       coldCellThreshold = 2L).isEmpty)
+  }
+
+  test("mergeColdCells chunks past MaxColdPerMergePass: more cold " +
+      "cells than one pass's debris bound all retire, rows go straight " +
+      "to final survivors, the table ends minimal") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecchunk")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    val nCells = SimilarityOps.MaxColdPerMergePass + 8 // 72 > one pass
+    val d = nCells
+    def axisVec(axis: Int, lead: Double): Seq[Double] = {
+      val a = Array.fill(d)(0.01); a(axis) = lead; a.toSeq
+    }
+    val cents = (0 until nCells).map(c =>
+      (c, Seq.tabulate(d)(i => if (i == c) 1.0 else 0.0)))
+      .toDF("cid", "cv")
+    cents.coalesce(1).write.parquet(centPath)
+    // cell 0: 10 rows (the only survivor at threshold 5); cells
+    // 1..71: one row each — 71 cold cells, two merge passes needed
+    val rows = (0L until 10L).map(i => (i, axisVec(0, 1.0 + 0.01 * i))) ++
+      (1 until nCells).map(c => (100L + c, axisVec(c, 1.0)))
+    SimilarityOps.extendVectorStore(store,
+      spark.read.parquet(centPath), rows.toDF("vec_id", "v"))
+    val merged = SimilarityOps.mergeColdCells(spark, store, centPath,
+      coldCellThreshold = 5L)
+    // every cold cell retired in ONE call (the loop), each mapped to
+    // the single true survivor — never to another cold cell awaiting
+    // a later pass
+    assert(merged.keySet == (1 until nCells).toSet,
+      s"chunked merge missed cold cells: ${merged.keySet.size} of " +
+        s"${nCells - 1}")
+    assert(merged.values.forall(_ == Seq(0)),
+      s"a cold row was routed through a non-survivor: " +
+        s"${merged.filterNot(_._2 == Seq(0))}")
+    val table = spark.read.parquet(centPath)
+      .select("cid").collect().map(_.getInt(0)).toSet
+    assert(table == Set(0), s"table should end at the survivor: $table")
+    val served = spark.read.parquet(store)
+    assert(served.count() == rows.size.toLong &&
+      served.select("vec_id").distinct().count() == rows.size.toLong,
+      "the chunked merge lost or duplicated rows")
+    assert(served.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(0),
+      "rows remain outside the survivor cell")
   }
 }
