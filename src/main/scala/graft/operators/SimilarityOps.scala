@@ -1273,10 +1273,17 @@ object SimilarityOps {
       java.util.Arrays.asList(probeRows: _*), probeDf.schema)
     val cells = probeRows
       .map(r => r.getInt(r.fieldIndex("cid"))).distinct.toSeq // ≤ nlist
+    // NO distinct here: same-cell replays collapse in the (q_id, n_id)
+    // max-agg below along with cross-cell duplicates — an early
+    // distinct would shuffle every PAYLOAD-carrying posting row over
+    // (cid, n_id, vb) just to drop the rare replay, where the late
+    // collapse shuffles only slim (q_id, n_id, r) rows and the
+    // postings stream map-side through the broadcast join without
+    // ever crossing an exchange. A replayed row costs one extra
+    // cosine; duplicates are the exception, payload bytes are not.
     val postings = spark.read.parquet(store)
       .filter(col("cid").isin(cells: _*)) // partition-pruned scan
       .select(col("cid"), col("vec_id").as("n_id"), col("v").as("vb"))
-      .distinct() // same-cell replays, dropped before the join
     val joined = postings.join(broadcast(probes), Seq("cid"))
     val scored = (if (excludeSelf) joined.filter(col("q_id") =!= col("n_id"))
       else joined)
@@ -1285,8 +1292,9 @@ object SimilarityOps {
       // (q_id, n_id), its best score): a vector served from two
       // probed cells — mergeColdCells' crash window copies a cold
       // cell's rows into a LIVE survivor cell before the table swap —
-      // must fill ONE top-k slot, not two. Same-cell duplicates died
-      // in the distinct above. The explicit q_id repartition makes
+      // must fill ONE top-k slot, not two — and same-cell REPLAYS
+      // collapse here too (identical r), which is why the postings
+      // scan carries no distinct. The explicit q_id repartition makes
       // this agg and the rank window below share ONE exchange:
       // HashPartitioning(q_id) satisfies the agg's
       // ClusteredDistribution(q_id, n_id) — subset-key partitioning
