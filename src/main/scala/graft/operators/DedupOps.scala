@@ -523,9 +523,15 @@ object DedupOps {
       else math.max(1L, bytes / (128L * 1024 * 1024)).toInt
     val tmp = new org.apache.hadoop.fs.Path(store + ".next")
     fs.delete(tmp, true)
+    // ONE shuffle, not two: hash-repartition on bh into the target
+    // file count, then dedup in place — HashPartitioning(bh) satisfies
+    // dropDuplicates' ClusteredDistribution(doc_id, bh) (subset keys),
+    // so no second exchange follows; the old distinct().repartition(n)
+    // form shuffled the whole store twice. bh is itself a hash, so the
+    // n output files stay size-balanced.
     corpus.select(col("doc_id"), col("bh"))
-      .distinct()
-      .repartition(n)
+      .repartition(n, col("bh"))
+      .dropDuplicates(Seq("doc_id", "bh"))
       .write.parquet(tmp.toString)
     swapStore(fs, store)
   }

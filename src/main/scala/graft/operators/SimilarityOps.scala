@@ -1337,11 +1337,7 @@ object SimilarityOps {
       .getFileSystem(spark.sessionState.newHadoopConf())
     DedupOps.recoverStoreSwap(fs, store, dropAside = true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return Map.empty
-    val corpus = spark.read.parquet(store)
-      .select(col("cid"), col("vec_id"), col("v"))
-      .distinct()
-      .repartition(col("cid")) // all of a cell's rows → one task → one file
-      .cache()
+    val corpus = compactedCorpusFrame(spark, store).cache()
     val counts = corpus.groupBy(col("cid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist rows
     val tmp = new org.apache.hadoop.fs.Path(store + ".next")
@@ -1485,6 +1481,21 @@ object SimilarityOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
     Some((fs, liveRows, counts))
   }
+
+  /** The compaction rewrite frame: ONE payload shuffle, not two. The
+    * cid repartition comes FIRST (all of a cell's rows → one task →
+    * one output file) and the replay dedup runs IN PLACE after it —
+    * HashPartitioning(cid) satisfies dropDuplicates'
+    * ClusteredDistribution(cid, vec_id) (subset keys), so no second
+    * exchange follows; the old distinct().repartition(cid) form
+    * crossed every payload row over the wire twice. Plan-pinned
+    * (VectorStoreSpec: exactly one Exchange). */
+  private[operators] def compactedCorpusFrame(spark: SparkSession,
+      store: String): DataFrame =
+    spark.read.parquet(store)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .repartition(col("cid"))
+      .dropDuplicates(Seq("cid", "vec_id"))
 
   /** Per-cell row counts for the maintenance entry. `cid` is the
     * store's PARTITION column, so this groupBy-count prunes the read

@@ -159,6 +159,22 @@ class VectorStoreSpec extends AnyFunSuite {
       s"probe plans $shuffles shuffles (want 1):\n${plan.take(4000)}")
   }
 
+  test("the compaction rewrite plans ONE payload shuffle: cid " +
+      "repartition first, replay dedup in place behind it") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("veccompactplan")
+    val store = s"$dir/store"
+    SimilarityOps.extendVectorStore(store, centroids, vecs(0L to 15L))
+    val plan = SimilarityOps.compactedCorpusFrame(spark, store)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size
+    assert(shuffles == 1,
+      s"compaction rewrite plans $shuffles payload shuffles (want 1 — " +
+        s"dedup must run in place behind the cid exchange):\n" +
+        plan.take(4000))
+  }
+
   test("the maintenance counts pass is parquet-METADATA-bound: zero " +
       "data columns in the scan's ReadSchema, raw-row semantics " +
       "(replays counted, like the scan it replaces)") {
