@@ -215,6 +215,87 @@ class StoreMaintCrashFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled crash points through a CHUNKED (two-pass) merge: " +
+      "every kill point — including between the two table swaps — " +
+      "restarts to brute-force parity and the re-run retires every " +
+      "cold cell", graft.SlowTest) {
+    withFailFs {
+      // one unique axis per cell; survivor cell 0 carries 12 rows,
+      // cells 1..nCold one row each — nCold > MaxColdPerMergePass
+      // forces two passes (two swaps), so the mutation-count probe
+      // spans BOTH commit points and the sampled kills land on either
+      // side of the inter-pass boundary
+      val nCold = SimilarityOps.MaxColdPerMergePass + 4
+      val d = nCold + 1
+      def axis(c: Int, id: Long): (Long, Seq[Double]) = {
+        val a = Array.fill(d)(0.01)
+        a(c) = 1.0 + 0.001 * (id % 7)
+        (id, a.toSeq)
+      }
+      val corpus = (0L until 12L).map(i => axis(0, i)) ++
+        (1 to nCold).map(c => axis(c, 1000L + c))
+      def freshChunkStore(): (String, String) = {
+        FaultInjectingFs.disarm()
+        val dir = tmp()
+        val store = s"failfs://$dir/store"
+        val centPath = s"failfs://$dir/centroids"
+        import spark.implicits._
+        (0 to nCold).map(c =>
+            (c, Seq.tabulate(d)(i => if (i == c) 1.0 else 0.0)))
+          .toDF("cid", "cv").coalesce(1).write.parquet(centPath)
+        SimilarityOps.extendVectorStore(store,
+          spark.read.parquet(centPath), corpus.toDF("vec_id", "v"))
+        (store, centPath)
+      }
+      def merge(store: String, centPath: String) =
+        SimilarityOps.mergeColdCells(spark, store, centPath,
+          coldCellThreshold = 5L)
+      // query leaning the survivor axis with a tilt toward axis 7 (a
+      // cold cell retired in pass 1) — its top-5 mixes survivor rows
+      // and a moved row, so a lost cold row or a dup-filled slot
+      // changes the answer
+      val q = (900L, {
+        val a = Array.fill(d)(0.01); a(0) = 1.0; a(7) = 0.6; a.toSeq
+      })
+      val expect = brute(corpus, q._2, 5)
+
+      val (pStore, pCent) = freshChunkStore()
+      FaultInjectingFs.arm(Long.MaxValue)
+      val cleanMoved = merge(pStore, pCent)
+      val total = FaultInjectingFs.ops.get()
+      FaultInjectingFs.disarm()
+      assert(cleanMoved.keySet == (1 to nCold).toSet,
+        s"clean chunked merge must retire all $nCold cold cells, " +
+          s"got ${cleanMoved.keySet.size}")
+      assert(total > 20, s"chunked-merge probe saw only $total mutations")
+      val points = killPoints(total, 0xc4a5b2L)
+      info(s"clean chunked merge = $total mutations (2 passes); " +
+        s"kill points: ${points.mkString(", ")}")
+
+      points.foreach { k =>
+        val (store, centPath) = freshChunkStore()
+        FaultInjectingFs.arm(k)
+        val crashed =
+          try { merge(store, centPath); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        FaultInjectingFs.disarm()
+        val clue = s"chunked merge kill@$k (crashed=$crashed)"
+
+        assert(restartProbe(store, centPath, q, 5) == expect,
+          s"$clue: restarted probe diverged from brute force")
+
+        merge(store, centPath) // liveness across the pass boundary
+        assert(liveCids(centPath) == Set(0),
+          s"$clue: re-run left cold cids in the table: " +
+            liveCids(centPath))
+        assert(restartProbe(store, centPath, q, 5) == expect,
+          s"$clue: post-recovery probe diverged")
+        assert(storedIds(store) == corpus.map(_._1).toSet,
+          s"$clue: corpus rows lost or invented")
+      }
+    }
+  }
+
   test("sampled crash points through mergeColdCells: duplicates stay " +
       "top-k-neutral at every point, the re-run folds the cold cells, " +
       "rows are conserved", graft.SlowTest) {
