@@ -1484,18 +1484,23 @@ object SimilarityOps {
 
   /** The compaction rewrite frame: ONE payload shuffle, not two. The
     * cid repartition comes FIRST (all of a cell's rows → one task →
-    * one output file) and the replay dedup runs IN PLACE after it —
-    * HashPartitioning(cid) satisfies dropDuplicates'
-    * ClusteredDistribution(cid, vec_id) (subset keys), so no second
-    * exchange follows; the old distinct().repartition(cid) form
-    * crossed every payload row over the wire twice. Plan-pinned
-    * (VectorStoreSpec: exactly one Exchange). */
+    * one output file) and the FULL-ROW distinct runs IN PLACE after
+    * it — HashPartitioning(cid) satisfies distinct's
+    * ClusteredDistribution over all three columns (subset keys), so
+    * no second exchange follows; the old distinct().repartition(cid)
+    * form crossed every payload row over the wire twice. Full-row,
+    * not (cid, vec_id): a same-id row whose PAYLOAD differs (an
+    * updated vector re-ingested under its old id) must survive like
+    * it always has — the probe's max-collapse serves the better
+    * score, and a key-narrowed dedup here would delete one of the two
+    * versions arbitrarily. Plan-pinned (VectorStoreSpec: exactly one
+    * Exchange). */
   private[operators] def compactedCorpusFrame(spark: SparkSession,
       store: String): DataFrame =
     spark.read.parquet(store)
       .select(col("cid"), col("vec_id"), col("v"))
       .repartition(col("cid"))
-      .dropDuplicates(Seq("cid", "vec_id"))
+      .distinct()
 
   /** Per-cell row counts for the maintenance entry. `cid` is the
     * store's PARTITION column, so this groupBy-count prunes the read

@@ -9,11 +9,20 @@ import graft.GraftFunctions
   * changes: the probe's postings used to cross TWO payload exchanges
   * (an early distinct + the window's shuffle of scored candidates) and
   * the compact rewrite crossed the store twice (distinct + cid
-  * repartition). Times probeVectorStore and compactVectorStore on a
+  * repartition). Times probeVectorStore (min of 3) and
+  * compactVectorStore (ONCE per invocation — a second in-process
+  * compact would measure the degenerate already-compacted, replay-free
+  * store; A/B compact across alternated invocations instead) on a
   * store big enough for the wire cost to show (1.5 M × 64-dim rows,
-  * several hundred MB of payload), min of 3. The same main runs
-  * unmodified on the pre-change tree for the A/B. Numbers go to
-  * BENCH_NOTES by hand.
+  * several hundred MB of payload). The store is REBUILT every run:
+  * the compact mutates it, so reusing a workdir would silently
+  * measure a one-file-per-cell store with no replay tail. The same
+  * main runs unmodified on the pre-change tree for the A/B.
+  * Methodology caveat recorded with the numbers: the first probe run
+  * is JIT-cold and writes its shuffle files fresh, but the store
+  * pages are BUILD-WARM in the page cache (sync flushes dirty pages,
+  * it does not evict) — "cold" here means cold JIT + fresh shuffle,
+  * not cold disk. Numbers go to BENCH_NOTES by hand.
   *
   * Run (no sbt lock, after Test/compile):
   *   /tmp/benchrun.sh graft.operators.ProbeDiag [workdir]
@@ -48,6 +57,8 @@ object ProbeDiag {
     val centPath = s"$work/centroids"
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // rebuild unconditionally: the compact below mutates the store
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(centPath))) {
       (0 until NList).map(c =>
           (c, Seq.tabulate(Dim)(i => if (i == c) 1.0 else 0.0)))
@@ -87,10 +98,9 @@ object ProbeDiag {
     })
     println(f"PROBEDIAG probe min ${probeTimes.min}%.2f s")
 
-    val compactTimes = (1 to 2).map(i => timed(s"compactVectorStore run$i") {
+    timed("compactVectorStore (once — replay tail + small files)") {
       SimilarityOps.compactVectorStore(spark, store): Unit
-    })
-    println(f"PROBEDIAG compact min ${compactTimes.min}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -232,7 +232,13 @@ class StoreMaintCrashFuzzSpec extends AnyFunSuite {
         a(c) = 1.0 + 0.001 * (id % 7)
         (id, a.toSeq)
       }
-      val corpus = (0L until 12L).map(i => axis(0, i)) ++
+      // survivor cell 0 carries SIX rows (just over the cold line) so
+      // a k=10 probe MUST fill four slots with moved cold rows — a
+      // kill that loses or duplicates one of those rows changes the
+      // probe answer, not just the later row-count audit (a 12-row
+      // survivor cell would fill all of top-5 by itself and make the
+      // parity assertion vacuous for moved rows)
+      val corpus = (0L until 6L).map(i => axis(0, i)) ++
         (1 to nCold).map(c => axis(c, 1000L + c))
       def freshChunkStore(): (String, String) = {
         FaultInjectingFs.disarm()
@@ -251,13 +257,18 @@ class StoreMaintCrashFuzzSpec extends AnyFunSuite {
         SimilarityOps.mergeColdCells(spark, store, centPath,
           coldCellThreshold = 5L)
       // query leaning the survivor axis with a tilt toward axis 7 (a
-      // cold cell retired in pass 1) — its top-5 mixes survivor rows
-      // and a moved row, so a lost cold row or a dup-filled slot
-      // changes the answer
+      // cold cell retired in pass 1): top-10 = the 6 survivor rows +
+      // the axis-7 moved row + 3 more moved rows — moved rows are
+      // load-bearing in the parity check at every kill point
       val q = (900L, {
         val a = Array.fill(d)(0.01); a(0) = 1.0; a(7) = 0.6; a.toSeq
       })
-      val expect = brute(corpus, q._2, 5)
+      val topK = 10
+      val expect = brute(corpus, q._2, topK)
+      // the corpus must actually put moved rows inside top-k, or the
+      // parity assertions silently stop covering the merge
+      assert(expect.count { case (_, id) => id >= 1000L } >= 4,
+        s"fuzz corpus no longer places moved rows in top-$topK: $expect")
 
       val (pStore, pCent) = freshChunkStore()
       FaultInjectingFs.arm(Long.MaxValue)
@@ -281,14 +292,14 @@ class StoreMaintCrashFuzzSpec extends AnyFunSuite {
         FaultInjectingFs.disarm()
         val clue = s"chunked merge kill@$k (crashed=$crashed)"
 
-        assert(restartProbe(store, centPath, q, 5) == expect,
+        assert(restartProbe(store, centPath, q, topK) == expect,
           s"$clue: restarted probe diverged from brute force")
 
         merge(store, centPath) // liveness across the pass boundary
         assert(liveCids(centPath) == Set(0),
           s"$clue: re-run left cold cids in the table: " +
             liveCids(centPath))
-        assert(restartProbe(store, centPath, q, 5) == expect,
+        assert(restartProbe(store, centPath, q, topK) == expect,
           s"$clue: post-recovery probe diverged")
         assert(storedIds(store) == corpus.map(_._1).toSet,
           s"$clue: corpus rows lost or invented")
