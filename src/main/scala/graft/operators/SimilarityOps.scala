@@ -1740,4 +1740,49 @@ object SimilarityOps {
     * debris always classifies as debris regardless of how few
     * survivors remain. */
   val MaxColdPerMergePass: Int = KMeans.TwoLevelMinK
+
+  /** What one [[maintainVectorStore]] cycle did: the hot cells the
+    * compaction audit flagged (cid → rows), the splits performed
+    * (hot cid → children), and the cold cells folded away
+    * (cold cid → surviving targets). */
+  case class StoreMaintenanceReport(hot: Map[Int, Long],
+      split: Map[Int, Seq[Int]], merged: Map[Int, Seq[Int]])
+
+  /** ONE maintenance cycle for a streaming IVF store — the call an
+    * ingest job makes between batches instead of sequencing the three
+    * primitives by hand. Order is load-bearing:
+    *
+    *  1. [[compactVectorStore]] FIRST — collapses each cell's
+    *     per-batch append files to ~one and drops replayed rows, so
+    *     the split that follows reads one file per hot cell and the
+    *     hot/cold thresholds judge DISTINCT rows, not replay-inflated
+    *     counts (a replay-heavy cell could otherwise split
+    *     spuriously). Its audit yields the hot-cell report for free.
+    *  2. [[splitHotCells]] — refit each over-threshold cell into
+    *     children (each landing near half the threshold, so a split
+    *     never creates merge work for step 3).
+    *  3. [[mergeColdCells]] LAST — folds drifted/under-threshold
+    *     cells (and phantom empties) into their nearest survivors,
+    *     ending the cycle with every live cell inside
+    *     [coldCellThreshold, hotCellThreshold].
+    *
+    * Each primitive keeps its own crash contract (rename-aside swaps,
+    * guarded entry sweep, chunked merge passes), so a crash anywhere
+    * in the cycle recovers by simply CALLING THIS AGAIN — the
+    * re-entered primitives heal their predecessors' debris. Same
+    * non-concurrency contract as the primitives: no concurrent store
+    * writers. */
+  def maintainVectorStore(spark: SparkSession, store: String,
+      centroidPath: String, hotCellThreshold: Long = 1000000L,
+      coldCellThreshold: Long = 0L, maxSplitK: Int = 64,
+      force: Boolean = false): StoreMaintenanceReport = {
+    val hot = compactVectorStore(spark, store, hotCellThreshold)
+    val split = splitHotCells(spark, store, centroidPath,
+      hotCellThreshold, maxSplitK, force)
+    val merged =
+      if (coldCellThreshold <= 0L) Map.empty[Int, Seq[Int]]
+      else mergeColdCells(spark, store, centroidPath,
+        coldCellThreshold, force)
+    StoreMaintenanceReport(hot, split, merged)
+  }
 }

@@ -541,6 +541,92 @@ class VectorStoreSpec extends AnyFunSuite {
       coldCellThreshold = 2L).isEmpty)
   }
 
+  test("maintainVectorStore runs one compact→split→merge cycle: " +
+      "replays dropped, the hot cell split, cold cells folded, probe " +
+      "parity with global brute force before and after") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("vecmaint")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    centroids.coalesce(1).write.parquet(centPath)
+    def cents = spark.read.parquet(centPath)
+    // hot cell 0: the split test's two-sub-cluster shape (40 rows);
+    // cells 1-3 one vector each (cold at threshold 3); plus a replayed
+    // append the compact must drop before the thresholds judge counts
+    val hotVecs = (0L until 40L).map { id =>
+      val tilt = if (id % 2 == 0) 0.3 + 0.001 * (id % 7)
+        else -0.3 - 0.001 * (id % 7)
+      (id, Seq(1.0 + 0.01 * (id % 11), tilt, 0.02, 0.02))
+    }
+    val singles = Seq(101L, 102L, 103L).map { id =>
+      val axis = (id % 4).toInt
+      val base = Array.fill(4)(0.05 + 0.001 * (id % 7))
+      base(axis) = 1.0 + 0.01 * (id % 11)
+      (id, base.toSeq)
+    }
+    val corpus = hotVecs ++ singles
+    SimilarityOps.extendVectorStore(store, cents, corpus.toDF("vec_id", "v"))
+    SimilarityOps.extendVectorStore(store, cents,
+      hotVecs.take(8).toDF("vec_id", "v")) // replay tail
+
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def brute(qv: Seq[Double], k: Int): Seq[(Int, Long)] =
+      corpus.map { case (id, v) => (id, cos6(qv, v)) }
+        .sortBy { case (id, r) => (-r, id) }
+        .take(k).zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
+    def probeAll(qv: Seq[Double], k: Int): Seq[(Int, Long)] = {
+      val n = cents.count().toInt
+      SimilarityOps.probeVectorStore(store, cents,
+          Seq((9000L, qv)).toDF("vec_id", "v"), k = k, nprobe = n,
+          excludeSelf = false)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    }
+    // q0: the even sub-cluster (split coverage); q1: axis 1 — its
+    // top-1 is the MERGED vector 101, so the fold is load-bearing
+    val q0 = Seq(1.0, 0.31, 0.02, 0.02)
+    val q1 = Seq(0.1, 1.0, 0.1, 0.1)
+    assert(probeAll(q0, 5) == brute(q0, 5) &&
+      probeAll(q1, 3) == brute(q1, 3), "pre-maintenance parity broken")
+
+    val report = SimilarityOps.maintainVectorStore(spark, store,
+      centPath, hotCellThreshold = 30L, coldCellThreshold = 3L,
+      maxSplitK = 2)
+    // compact judged DISTINCT rows (48 raw appends, 40 distinct) and
+    // flagged the hot cell at its deduped count
+    assert(report.hot == Map(0 -> 40L),
+      s"audit should flag cell 0 at 40 distinct rows: ${report.hot}")
+    assert(report.split == Map(0 -> Seq(4, 5)),
+      s"split should produce children (4, 5): ${report.split}")
+    assert(report.merged.keySet == Set(1, 2, 3) &&
+      report.merged.values.forall(t => t.nonEmpty &&
+        t.toSet.subsetOf(Set(4, 5))),
+      s"cold cells must fold into the children: ${report.merged}")
+    // post-state: only the children live, every threshold satisfied,
+    // rows conserved (replays gone), parity holds on both queries
+    val live = cents.select("cid").collect().map(_.getInt(0)).toSet
+    assert(live == Set(4, 5), s"post-cycle table: $live")
+    val counts = spark.read.parquet(store).groupBy("cid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(4, 5) &&
+      counts.values.forall(n => n >= 3L && n <= 30L),
+      s"post-cycle cells violate the thresholds: $counts")
+    assert(spark.read.parquet(store).count() == corpus.size.toLong,
+      "replays survived the cycle or rows were lost")
+    assert(probeAll(q0, 5) == brute(q0, 5) &&
+      probeAll(q1, 3) == brute(q1, 3), "post-maintenance parity broken")
+    // a second cycle on the settled store is a no-op
+    val again = SimilarityOps.maintainVectorStore(spark, store,
+      centPath, hotCellThreshold = 30L, coldCellThreshold = 3L,
+      maxSplitK = 2)
+    assert(again.hot.isEmpty && again.split.isEmpty &&
+      again.merged.isEmpty, s"settled store re-maintained: $again")
+  }
+
   test("mergeColdCells chunks past MaxColdPerMergePass: more cold " +
       "cells than one pass's debris bound all retire, rows go straight " +
       "to final survivors, the table ends minimal") {
