@@ -407,10 +407,20 @@ object DedupOps {
     // the join shape instead of a checkpoint scan.
     val verdict =
       if (materialize) verdictLazy.localCheckpoint(true) else verdictLazy
-    // admit the novel docs into the store for the NEXT batch
-    bands.join(verdict.filter(!col("is_dup")).select(col("doc_id")),
-        "doc_id")
-      .write.mode("append").parquet(store)
+    // admit the novel docs into the store for the NEXT batch.
+    // materialize=false SKIPS the append (r13 advice): the lazy form
+    // exists for PLAN AUDITS only, and its returned tree re-evaluates
+    // the store probe when the caller finally consumes it — after an
+    // append, every novel doc would join its own just-appended bh rows
+    // and flip to is_dup=true (the "dup OF ITSELF" reading is the
+    // documented contract for REPLAYED docs across batches, not for a
+    // frame consumed within the batch that admitted them). Skipping
+    // the append keeps the lazy frame value-correct AND keeps a plan
+    // audit from mutating store state as a side effect.
+    if (materialize)
+      bands.join(verdict.filter(!col("is_dup")).select(col("doc_id")),
+          "doc_id")
+        .write.mode("append").parquet(store)
     bands.unpersist()
     verdict
   }

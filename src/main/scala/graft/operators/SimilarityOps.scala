@@ -1013,38 +1013,59 @@ object SimilarityOps {
     // this the vector payload crosses the wire once per join side and
     // the dropHotBuckets subtree runs twice; cached-and-prepartitioned,
     // the SMJ needs sorts only
-    val capped = DedupOps.dropHotBuckets(
-        assign.select(col("cid"), col("doc_id"), col("v")), Seq("cid"),
-        maxCluster)
-      .repartition(col("cid"))
-      .cache()
-    val la = capped.select(col("cid"), col("doc_id").as("doc_a"),
-      col("v").as("va"))
-    val lb = capped.select(col("cid").as("cid_b"),
-      col("doc_id").as("doc_b"), col("v").as("vb"))
-    val verdictLazy = {
-      val dropped = la.join(lb,
-          col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
-        .filter(expr("cosine_sim(va, vb)") >= simThreshold)
-        .select(col("doc_b").as("doc_id")).distinct()
-      assign.select(col("doc_id"), col("cid"))
-        .join(dropped.withColumn("is_dropped", lit(true)),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cid"),
-          coalesce(col("is_dropped"), lit(false)).as("dropped"))
-    }
-    if (!materialize) {
-      // the lazy form exists for PLAN AUDITS (the materialized return
-      // is a checkpoint scan that hides the verify join from the
-      // suite-wide sweeps) — it inherits the old cache contract: both
-      // registrations live until the caller's clearCache
-      verdictLazy
-    } else
-      try verdictLazy.localCheckpoint(true)
-      finally {
-        assign.unpersist(false)
-        capped.unpersist(false)
+    // the CONSTRUCTION of the capped table and the verify join sits
+    // inside the cleanup scope too (r13 advice): an analysis error
+    // while building the join (a bad idCol/vecCol surfaces here, not
+    // at assign time) must not leak the `assign`/`capped` cache
+    // registrations the materialize=true contract promises to close.
+    // materialize=false SUCCESS still leaves both live by design —
+    // only the failure path unpersists unconditionally.
+    var capped: DataFrame = null
+    var ok = false
+    try {
+      capped = DedupOps.dropHotBuckets(
+          assign.select(col("cid"), col("doc_id"), col("v")), Seq("cid"),
+          maxCluster)
+        .repartition(col("cid"))
+        .cache()
+      val la = capped.select(col("cid"), col("doc_id").as("doc_a"),
+        col("v").as("va"))
+      val lb = capped.select(col("cid").as("cid_b"),
+        col("doc_id").as("doc_b"), col("v").as("vb"))
+      val verdictLazy = {
+        val dropped = la.join(lb,
+            col("cid") === col("cid_b") && col("doc_a") < col("doc_b"))
+          .filter(expr("cosine_sim(va, vb)") >= simThreshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+        assign.select(col("doc_id"), col("cid"))
+          .join(dropped.withColumn("is_dropped", lit(true)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cid"),
+            coalesce(col("is_dropped"), lit(false)).as("dropped"))
       }
+      val out =
+        if (!materialize) {
+          // the lazy form exists for PLAN AUDITS (the materialized
+          // return is a checkpoint scan that hides the verify join from
+          // the suite-wide sweeps) — it inherits the old cache contract:
+          // both registrations live until the caller's clearCache
+          verdictLazy
+        } else
+          try verdictLazy.localCheckpoint(true)
+          finally {
+            assign.unpersist(false)
+            capped.unpersist(false)
+          }
+      ok = true
+      out
+    } finally if (!ok) {
+      // construction (or the checkpoint) failed — close every cache
+      // this call registered regardless of the materialize flag
+      // (unpersist is idempotent, so the materialize=true inner
+      // finally having already run is harmless)
+      assign.unpersist(false)
+      if (capped != null) capped.unpersist(false)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -1656,23 +1677,49 @@ object SimilarityOps {
   def mergeColdCells(spark: SparkSession, store: String,
       centroidPath: String, coldCellThreshold: Long,
       force: Boolean = false): Map[Int, Seq[Int]] = {
+    // flat accumulator loop, NOT recursion (r13 advice): a
+    // pathologically drifted store can carry thousands of cold cells
+    // = dozens of sequential passes, and a non-tail `thisPass ++
+    // recurse` both stacks frames linearly and makes the pass
+    // structure harder to reason about under crash-retry. Each pass
+    // still re-enters maintenanceEntry deliberately — the swap heal /
+    // guarded sweep / fresh counts are the crash contract, and their
+    // cost is bounded metadata work per pass, never O(store rows).
+    val acc = scala.collection.mutable.Map.empty[Int, Seq[Int]]
+    var more = true
+    while (more) {
+      val (thisPass, morePasses) = mergeColdCellsPass(spark, store,
+        centroidPath, coldCellThreshold, force)
+      acc ++= thisPass
+      more = morePasses
+    }
+    acc.toMap
+  }
+
+  /** One chunked [[mergeColdCells]] pass: retire up to
+    * [[MaxColdPerMergePass]] cold cells behind one table swap.
+    * Returns (cold cid → targets for THIS pass, whether cold cells
+    * remain for another pass). */
+  private def mergeColdCellsPass(spark: SparkSession, store: String,
+      centroidPath: String, coldCellThreshold: Long,
+      force: Boolean): (Map[Int, Seq[Int]], Boolean) = {
     import org.apache.hadoop.fs.Path
     val entry = maintenanceEntry(spark, store, centroidPath,
       debrisAllowance = 2 * KMeans.TwoLevelMinK, perRefAllowance = 8,
       force = force)
-    if (entry.isEmpty) return Map.empty
+    if (entry.isEmpty) return (Map.empty, false)
     val (fs, liveRows, counts) = entry.get
     val cold = liveRows.keySet
       .map(c => c -> counts.getOrElse(c, 0L))
       .filter(_._2 < coldCellThreshold).toMap
-    if (cold.isEmpty) return Map.empty
+    if (cold.isEmpty) return (Map.empty, false)
     val survivors = liveRows.filterNot { case (c, _) => cold.contains(c) }
     if (survivors.isEmpty) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"mergeColdCells: every cell of $store is under " +
           s"$coldCellThreshold rows — nothing to merge into; raise " +
           "the threshold or refit the quantizer")
-      return Map.empty
+      return (Map.empty, false)
     }
     // this pass retires the lowest-cid cold cells up to the debris
     // bound; the rest wait for the next pass (scaladoc: the bound
@@ -1729,9 +1776,7 @@ object SimilarityOps {
     slice.foreach(c => fs.delete(new Path(store, s"cid=$c"), true))
     val thisPass =
       slice.map(c => c -> moved.getOrElse(c, Seq.empty)).toMap
-    if (!morePasses) thisPass
-    else thisPass ++ mergeColdCells(spark, store, centroidPath,
-      coldCellThreshold, force)
+    (thisPass, morePasses)
   }
 
   /** Cold cells retired per [[mergeColdCells]] table swap — must stay
@@ -1771,18 +1816,30 @@ object SimilarityOps {
     * in the cycle recovers by simply CALLING THIS AGAIN — the
     * re-entered primitives heal their predecessors' debris. Same
     * non-concurrency contract as the primitives: no concurrent store
-    * writers. */
+    * writers ([[graft.catalog.WriterLease]] enforces it).
+    *
+    * `coldCellThreshold` (r13 verdict ask #6 — the old `0` default
+    * silently skipped the merge leg of a "complete cycle"):
+    *  - the DEFAULT (−1) DERIVES `hotCellThreshold / 100` (floor 1),
+    *    so the cycle is complete out of the box — a cell under 1% of
+    *    the hot bound is burning an nprobe slot on noise;
+    *  - `0` explicitly DISABLES the merge leg (the only leg that
+    *    moves rows between live cells — a caller wanting append-only
+    *    cell contents opts out here);
+    *  - any positive value is used as-is. */
   def maintainVectorStore(spark: SparkSession, store: String,
       centroidPath: String, hotCellThreshold: Long = 1000000L,
-      coldCellThreshold: Long = 0L, maxSplitK: Int = 64,
+      coldCellThreshold: Long = -1L, maxSplitK: Int = 64,
       force: Boolean = false): StoreMaintenanceReport = {
+    val coldEff =
+      if (coldCellThreshold < 0L) math.max(1L, hotCellThreshold / 100L)
+      else coldCellThreshold
     val hot = compactVectorStore(spark, store, hotCellThreshold)
     val split = splitHotCells(spark, store, centroidPath,
       hotCellThreshold, maxSplitK, force)
     val merged =
-      if (coldCellThreshold <= 0L) Map.empty[Int, Seq[Int]]
-      else mergeColdCells(spark, store, centroidPath,
-        coldCellThreshold, force)
+      if (coldEff <= 0L) Map.empty[Int, Seq[Int]]
+      else mergeColdCells(spark, store, centroidPath, coldEff, force)
     StoreMaintenanceReport(hot, split, merged)
   }
 }

@@ -30,7 +30,47 @@ import org.apache.spark.sql.execution.QueryExecution
 object QueryPlanCache {
   private val sfDir = "/root/testdata/sf0.001"
 
-  lazy val all: Map[String, QueryExecution] = {
+  /** Conf keys that change plan shape and that OTHER suites mutate
+    * (BucketedJoinSpec / SortedIntersectSpec / AqeSkewSpec toggle
+    * broadcast thresholds and AQE knobs). The cache freezes all plans
+    * at first lazy touch, so a mid-test failure in one of those suites
+    * — or an unlucky order under parallel execution — could otherwise
+    * bake non-default confs into every suite-wide plan pin. The
+    * builder UNSETS each key (falling back to the session's
+    * builder-config / Spark default, the canonical planning state the
+    * pins were written against) for the duration of the build, then
+    * restores whatever was live, in a finally. */
+  private val planConfKeys = Seq(
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.join.preferSortMergeJoin")
+
+  private def withCanonicalConfs[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val saved = planConfKeys.map(k => k -> spark.conf.getOption(k))
+    // unset = fall back to the SparkConf/builder value, which IS the
+    // canonical default (SharedSpark sets shuffle.partitions=4 at
+    // builder time, so unset lands back on 4, not 200)
+    saved.foreach { case (k, _) =>
+      try spark.conf.unset(k)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) =>
+        try spark.conf.unset(k)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+  }
+
+  lazy val all: Map[String, QueryExecution] = withCanonicalConfs(
+      SharedSpark.spark) {
     val spark = SharedSpark.spark
     GraftFunctions.register(spark)
     val built = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -59,7 +99,8 @@ object QueryPlanCache {
     * machinery d12/d15 embed too; the semanticDedup lazy form covers
     * the library API's verify join (the graded d9 is an inline lazy
     * chain, already visible in [[all]]). */
-  lazy val auditOnly: Map[String, QueryExecution] = {
+  lazy val auditOnly: Map[String, QueryExecution] = withCanonicalConfs(
+      SharedSpark.spark) {
     val spark = SharedSpark.spark
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._

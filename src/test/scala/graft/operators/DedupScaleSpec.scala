@@ -71,11 +71,18 @@ class DedupScaleSpec extends AnyFunSuite {
       (30L, 31L), (31L, 32L), (30L, 32L))              // triangle
       .toDF("src", "dst")
     spark.catalog.clearCache()
+    // delta-scoped lifecycle assertion (r13 advice): only meaningful
+    // when the shared session's cache is empty GOING IN — build.sbt
+    // pins Test/parallelExecution := false, so after the clearCache
+    // above that is always true today; if parallel suites ever arrive,
+    // the guard degrades this check to a no-op instead of failing the
+    // test for another suite's live cache.
+    val emptyBefore = spark.sharedState.cacheManager.isEmpty
     val labels = DedupOps.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // r13 lifecycle rule: every returning API closes its own caches —
     // the FINAL round's label persist must not outlive the call
-    assert(spark.sharedState.cacheManager.isEmpty,
+    assert(!emptyBefore || spark.sharedState.cacheManager.isEmpty,
       "connectedComponents left catalog cache registrations behind")
     assert((10L to 14L).forall(labels(_) == 10L))
     assert(labels(20L) == 20L && labels(21L) == 20L)

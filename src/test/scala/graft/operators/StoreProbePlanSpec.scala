@@ -73,6 +73,38 @@ class StoreProbePlanSpec extends AnyFunSuite {
     assert(v == Map(110L -> true, 111L -> true, 112L -> true))
   }
 
+  test("materialize=false neither appends to the store nor flips " +
+      "novel docs to dups when consumed after the call") {
+    graft.GraftFunctions.register(spark)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_planstore4").resolve("bands").toString
+    DedupOps.probeAndExtend(store,
+      Seq((40L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")).collect() // seed
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def storeDocs: Set[Long] = spark.read.parquet(store)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(storeDocs == Set(40L))
+    val verdict = DedupOps.probeAndExtendImpl(store,
+      Seq((41L, "the quick brown fox jumps over the lazy dog"),
+        (42L, "a wholly novel sentence about nothing stored before"))
+        .toDF("doc_id", "text"),
+      DedupOps.MaxBroadcastBandRows, materialize = false)
+    // the lazy frame is a PLAN-AUDIT escape hatch: it must not mutate
+    // store state as a side effect, and consuming it post-call must
+    // give the same values the materialized form would have — the old
+    // append made doc 42 join its own just-appended rows and read
+    // is_dup=true on a frame claiming it was novel
+    val v = verdict.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v == Map(41L -> true, 42L -> false),
+      s"lazy verdict values wrong: $v")
+    assert(storeDocs == Set(40L),
+      "materialize=false appended to the store")
+    fs.delete(new org.apache.hadoop.fs.Path(store), true): Unit
+  }
+
   test("an in-cap batch DOES carry the broadcast hint (the contract " +
       "the over-cap test suppresses)") {
     graft.GraftFunctions.register(spark)

@@ -627,6 +627,44 @@ class VectorStoreSpec extends AnyFunSuite {
       again.merged.isEmpty, s"settled store re-maintained: $again")
   }
 
+  test("maintainVectorStore cold-leg default: unset derives " +
+      "hotCellThreshold/100 (floor 1) and the merge leg RUNS; " +
+      "explicit 0 disables it") {
+    graft.GraftFunctions.register(spark)
+    // derived case: hot=300 → derived cold = max(1, 3) = 3; cells 1-3
+    // hold one vector each (under 3 → cold), cell 0 holds 5 (safe)
+    val dir = java.nio.file.Files.createTempDirectory("vecmaintdflt")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    centroids.coalesce(1).write.parquet(centPath)
+    def cents = spark.read.parquet(centPath)
+    val corpus = vecs(Seq(0L, 4L, 8L, 12L, 16L, // cell 0: 5 rows
+      101L, 102L, 103L)) // cells 1, 2, 3: one row each
+    SimilarityOps.extendVectorStore(store, cents, corpus)
+    val report = SimilarityOps.maintainVectorStore(spark, store,
+      centPath, hotCellThreshold = 300L) // coldCellThreshold UNSET
+    assert(report.merged.keySet == Set(1, 2, 3),
+      s"derived default should fold the 1-row cells: ${report.merged}")
+    assert(cents.select("cid").collect().map(_.getInt(0)).toSet
+      == Set(0), "only the populated cell should survive")
+    assert(spark.read.parquet(store).count() == corpus.count(),
+      "rows lost in the default-derived merge")
+
+    // explicit-0 case: same shape, merge leg must NOT run
+    val dir2 = java.nio.file.Files.createTempDirectory("vecmaintoff")
+    val store2 = s"$dir2/store"
+    val centPath2 = s"$dir2/centroids"
+    centroids.coalesce(1).write.parquet(centPath2)
+    SimilarityOps.extendVectorStore(store2,
+      spark.read.parquet(centPath2), corpus)
+    val off = SimilarityOps.maintainVectorStore(spark, store2,
+      centPath2, hotCellThreshold = 300L, coldCellThreshold = 0L)
+    assert(off.merged.isEmpty, s"explicit 0 still merged: ${off.merged}")
+    assert(spark.read.parquet(centPath2).select("cid").collect()
+      .map(_.getInt(0)).toSet == Set(0, 1, 2, 3),
+      "explicit 0 must leave the table untouched")
+  }
+
   test("mergeColdCells chunks past MaxColdPerMergePass: more cold " +
       "cells than one pass's debris bound all retire, rows go straight " +
       "to final survivors, the table ends minimal") {
