@@ -1,0 +1,221 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Single-writer lease for the MUTABLE stores (the streaming IVF
+  * vector store and the dedup signature store) — the lock-CAS
+  * primitive the snapshot lake has had since its commit protocol
+  * ([[SnapshotLake.atomicCreate]]), applied to the stores whose
+  * no-concurrent-writer contract was previously prose only (r13
+  * verdict ask #2). Every writer entry point
+  * ([[graft.operators.SimilarityOps.extendVectorStore]],
+  * `compactVectorStore`, `splitHotCells`, `mergeColdCells`,
+  * `maintainVectorStore`, [[graft.operators.DedupOps.compactStore]])
+  * claims `<store>.writer.lease` (a SIBLING of the store path, so the
+  * rename-aside store swaps never move it) for the duration of the
+  * call and releases it on every exit.
+  *
+  * Why a lease and not nothing: the stores' crash contracts
+  * (rename-aside swaps, guarded sweeps, replay-tolerant appends) make
+  * any SINGLE writer safe to kill anywhere, but two CONCURRENT
+  * writers can interleave destructively — e.g. two compacts both
+  * read the corpus, both write `.next`, and the second swap silently
+  * discards every row the first admitted after its read. The
+  * documented remedy was "run maintenance from the ingest job between
+  * batches"; this lease turns that prose into a checked invariant
+  * that fails LOUDLY ([[ConcurrentWriterException]]) instead of
+  * corrupting quietly.
+  *
+  * Protocol:
+  *  - CLAIM: atomic create-if-absent of the lease file (O_CREAT|O_EXCL
+  *    on file://, namenode-atomic `create(overwrite=false)` on
+  *    HDFS-likes — the lake's primitive, shared).
+  *  - HOLD: a daemon heartbeat refreshes the lease mtime every
+  *    [[SnapshotLake.heartbeatIntervalMs]] (30 s production), so a
+  *    long-running LIVE writer never looks stale.
+  *  - CONFLICT: a claim against a FRESH lease (mtime younger than
+  *    `staleMs`) throws [[ConcurrentWriterException]] naming the
+  *    holder — the caller must not proceed and must not retry blindly.
+  *  - TAKEOVER: a lease whose mtime is older than `staleMs` (default
+  *    [[DefaultStaleLeaseMs]], 10 min — 20 missed heartbeats) belongs
+  *    to a CRASHED holder. Reclaim is race-safe without delete-CAS:
+  *    the contender RENAMES the stale lease to a uuid tombstone
+  *    (atomic; exactly one contender's rename succeeds), deletes the
+  *    tombstone, and retries the claim — the losing contender's
+  *    rename fails and its re-claim then sees the winner's fresh
+  *    lease. Same hazard-horizon caveat as the lake's vacuum: a
+  *    process FROZEN longer than `staleMs` (STW pause, SIGSTOP) can
+  *    lose its lease while still alive; that bound is inherent to
+  *    lease-style locks. The stores' crash contracts make the
+  *    takeover itself safe — everything a crashed writer left behind
+  *    is debris the re-entered primitives heal.
+  *  - SAME-PROCESS RESTART: a failed call whose release delete ALSO
+  *    failed (one filesystem fault takes both — the kill-point fuzz's
+  *    exact shape) leaves a fresh-mtime lease; within this process an
+  *    in-memory registry is the ground truth, so the restart reclaims
+  *    immediately instead of waiting out the horizon. Cross-process
+  *    restarts still wait — they have no shared memory to consult.
+  *  - REENTRANT per thread: [[graft.operators.SimilarityOps
+  *    .maintainVectorStore]] claims once and the three primitives it
+  *    sequences re-enter without touching the filesystem (a
+  *    thread-local held-set keyed by the store string).
+  *
+  * READERS NEVER LOCK — probes stay zero-coordination, exactly like
+  * the lake's readers; the probe-side safety against an in-flight
+  * maintenance writer is the rename-aside swap plus the per-(q,id)
+  * candidate collapse, both spec-pinned in VectorStoreSpec. */
+object WriterLease {
+
+  /** A live concurrent writer holds the store's lease. The caller
+    * must back off (or crash) — proceeding would interleave two
+    * writers on a store whose contract is single-writer. */
+  class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Takeover horizon: a lease this stale (no heartbeat for 20
+    * production beat intervals) is a crashed holder's residue. */
+  val DefaultStaleLeaseMs: Long = 10L * 60 * 1000
+
+  /** Claim attempts before giving up — each non-throwing retry means
+    * the observed lease VANISHED or went stale between stat and act
+    * (a racing release/takeover), so a tiny bound suffices; exceeding
+    * it means the filesystem is misbehaving, which must surface. */
+  private val MaxClaimAttempts = 5
+
+  def leasePath(store: String): Path = new Path(store + ".writer.lease")
+
+  /** Store keys this THREAD currently holds — the reentrancy set.
+    * Keyed by the store string as passed (all call sites of one store
+    * pass the same path string through the public API). */
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
+  /** Stores whose lease is held by a live call SOMEWHERE in this
+    * process (any thread) — the in-process ground truth the on-disk
+    * mtime horizon only approximates across processes. */
+  private val liveInProcess =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Stores where THIS process created a lease file that may still be
+    * on disk: set at claim, cleared only when the release delete is
+    * KNOWN to have removed the file. A fresh lease at a marked store
+    * with no [[liveInProcess]] holder is OUR OWN crashed call's debris
+    * — the fault that killed the writer body also killed the release
+    * delete in the finally (exactly what the maintenance kill-point
+    * fuzz injects, and what a mid-batch filesystem brown-out does in
+    * production) — and a SAME-PROCESS restart may reclaim it
+    * immediately instead of waiting out the cross-process horizon. */
+  private val mayHaveOrphan =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run `body` holding the store's writer lease; claim on entry,
+    * heartbeat while running, release on every exit. Reentrant within
+    * the owning thread. Throws [[ConcurrentWriterException]] if a
+    * LIVE writer (fresh lease) holds the store. */
+  def withLease[T](fs: FileSystem, store: String, what: String,
+      staleMs: Long = DefaultStaleLeaseMs)(body: => T): T = {
+    val mine = held.get()
+    if (mine.contains(store)) return body // reentrant hold
+    val lease = leasePath(store)
+    claim(fs, lease, store, what, staleMs)
+    mine += store
+    liveInProcess.put(store, Thread.currentThread())
+    try SnapshotLake.withLockHeartbeat(fs, lease)(body)
+    finally {
+      mine -= store
+      liveInProcess.remove(store)
+      // release: clear the orphan marker ONLY once the file is known
+      // gone — a delete that itself fails (the crash being simulated,
+      // or a real FS brown-out) must leave the marker so a restart in
+      // this process can reclaim without the horizon wait
+      try {
+        fs.delete(lease, false)
+        if (!fs.exists(lease)) mayHaveOrphan.remove(store): Unit
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def claim(fs: FileSystem, lease: Path, store: String,
+      what: String, staleMs: Long): Unit = {
+    var attempt = 0
+    while (attempt < MaxClaimAttempts) {
+      attempt += 1
+      if (SnapshotLake.atomicCreate(fs, lease)) {
+        // the marker precedes the (best-effort, failure-prone) stamp
+        // write: any exit from here on may leave the file behind
+        mayHaveOrphan.add(store)
+        // we own the file — stamp holder info for the loser's error
+        // message (best-effort: the CLAIM is the empty file's
+        // existence, not this content)
+        try {
+          val stamp = s"$what pid=${ProcessHandle.current().pid()} " +
+            s"host=${java.net.InetAddress.getLocalHost.getHostName}"
+          val out = fs.create(lease, true)
+          out.write(stamp.getBytes("UTF-8"))
+          out.close()
+        } catch { case _: java.io.IOException => () }
+        return
+      }
+      // lease exists (or just vanished): stat it; a vanished lease is
+      // a racing release — loop straight back to the claim
+      val st =
+        try Some(fs.getFileStatus(lease))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.foreach { s =>
+        val age = System.currentTimeMillis() - s.getModificationTime
+        // in-process orphan: OUR process left this file (marker set)
+        // and no live call holds it — reclaim without the horizon
+        // wait; a lease held by a live call in this process (any
+        // thread) always refuses, regardless of the marker
+        val ourOrphan = !liveInProcess.containsKey(store) &&
+          mayHaveOrphan.contains(store)
+        if (age <= staleMs && !ourOrphan) {
+          val holder =
+            try {
+              val in = fs.open(lease)
+              try {
+                val buf = new Array[Byte](256)
+                val n = in.read(buf)
+                if (n > 0) new String(buf, 0, n, "UTF-8") else "(unstamped)"
+              } finally in.close()
+            } catch { case _: java.io.IOException => "(unreadable)" }
+          throw new ConcurrentWriterException(
+            s"store writer lease $lease is held by a LIVE writer " +
+              s"[$holder] (age ${age} ms ≤ stale horizon ${staleMs} " +
+              s"ms); refusing to run '$what' concurrently — the " +
+              "mutable stores are single-writer")
+        }
+        // stale (or our own orphan): reclaim via atomic
+        // rename-to-tombstone; exactly one contender wins the rename,
+        // the loser loops and then sees the winner's fresh lease
+        // (→ ConcurrentWriterException)
+        val tomb = new Path(lease.getParent,
+          lease.getName + ".stale." + java.util.UUID.randomUUID())
+        val won =
+          try fs.rename(lease, tomb)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          // the file we may have left behind is gone — clear the
+          // marker NOW, or a third process's fresh lease arriving
+          // before our re-claim could be mistaken for our orphan
+          mayHaveOrphan.remove(store)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            if (ourOrphan)
+              s"reclaimed this process's orphaned writer lease $lease " +
+                s"(a failed call's release could not delete it) for " +
+                s"'$what'"
+            else
+              s"reclaimed stale writer lease $lease (age ${age} ms > " +
+                s"${staleMs} ms — crashed holder) for '$what'")
+          fs.delete(tomb, false): Unit
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"could not claim writer lease $lease after $MaxClaimAttempts " +
+        "attempts — the lease keeps vanishing/appearing, which points " +
+        "at filesystem misbehavior, not contention")
+  }
+}

@@ -517,6 +517,13 @@ object DedupOps {
       targetFiles: Int = 0): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(fs, store, "compactStore") {
+      compactStoreHeld(spark, store, fs, targetFiles)
+    }
+  }
+
+  private def compactStoreHeld(spark: SparkSession, store: String,
+      fs: org.apache.hadoop.fs.FileSystem, targetFiles: Int): Unit = {
     // writer entry: heal an interrupted swap AND reclaim a stale aside
     recoverStoreSwap(fs, store, dropAside = true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return // no-op
@@ -620,6 +627,13 @@ object DedupOps {
   def migrateStore(spark: SparkSession, store: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(fs, store, "migrateStore") {
+      migrateStoreHeld(spark, store, fs)
+    }
+  }
+
+  private def migrateStoreHeld(spark: SparkSession, store: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     // writer entry: heal an interrupted swap AND reclaim a stale aside
     recoverStoreSwap(fs, store, dropAside = true)
     val old = spark.read.parquet(store)

@@ -1246,11 +1246,15 @@ object SimilarityOps {
       vecCol: String = "v"): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-    // ingest is a writer: heal an interrupted compact and reclaim a
-    // stale swap aside (probes keep the read-only default)
-    DedupOps.recoverStoreSwap(fs, store, dropAside = true)
-    assignToCells(centroids, batch, idCol, vecCol)
-      .write.mode("append").partitionBy("cid").parquet(store)
+    // ingest is a writer: claim the single-writer lease (two streams
+    // appending to one store would race the maintenance swaps), heal
+    // an interrupted compact, and reclaim a stale swap aside (probes
+    // keep the read-only default)
+    graft.catalog.WriterLease.withLease(fs, store, "extendVectorStore") {
+      DedupOps.recoverStoreSwap(fs, store, dropAside = true)
+      assignToCells(centroids, batch, idCol, vecCol)
+        .write.mode("append").partitionBy("cid").parquet(store)
+    }
   }
 
   /** Top-`k` neighbors per query vector, scanning ONLY the `nprobe`
@@ -1356,6 +1360,14 @@ object SimilarityOps {
       hotCellThreshold: Long = 1000000L): Map[Int, Long] = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(fs, store, "compactVectorStore") {
+      compactVectorStoreHeld(spark, store, fs, hotCellThreshold)
+    }
+  }
+
+  private def compactVectorStoreHeld(spark: SparkSession, store: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      hotCellThreshold: Long): Map[Int, Long] = {
     DedupOps.recoverStoreSwap(fs, store, dropAside = true)
     if (!fs.exists(new org.apache.hadoop.fs.Path(store))) return Map.empty
     val corpus = compactedCorpusFrame(spark, store).cache()
@@ -1554,6 +1566,17 @@ object SimilarityOps {
   def splitHotCells(spark: SparkSession, store: String,
       centroidPath: String, hotCellThreshold: Long = 1000000L,
       maxSplitK: Int = 64, force: Boolean = false): Map[Int, Seq[Int]] = {
+    val leaseFs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(leaseFs, store, "splitHotCells") {
+      splitHotCellsHeld(spark, store, centroidPath, hotCellThreshold,
+        maxSplitK, force)
+    }
+  }
+
+  private def splitHotCellsHeld(spark: SparkSession, store: String,
+      centroidPath: String, hotCellThreshold: Long,
+      maxSplitK: Int, force: Boolean): Map[Int, Seq[Int]] = {
     import org.apache.hadoop.fs.Path
     // shared preamble: swap recovery, guarded debris sweep (one
     // interrupted split leaves ≤ hot·(maxSplitK+1) unreferenced
@@ -1685,15 +1708,19 @@ object SimilarityOps {
     // still re-enters maintenanceEntry deliberately — the swap heal /
     // guarded sweep / fresh counts are the crash contract, and their
     // cost is bounded metadata work per pass, never O(store rows).
-    val acc = scala.collection.mutable.Map.empty[Int, Seq[Int]]
-    var more = true
-    while (more) {
-      val (thisPass, morePasses) = mergeColdCellsPass(spark, store,
-        centroidPath, coldCellThreshold, force)
-      acc ++= thisPass
-      more = morePasses
+    val leaseFs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(leaseFs, store, "mergeColdCells") {
+      val acc = scala.collection.mutable.Map.empty[Int, Seq[Int]]
+      var more = true
+      while (more) {
+        val (thisPass, morePasses) = mergeColdCellsPass(spark, store,
+          centroidPath, coldCellThreshold, force)
+        acc ++= thisPass
+        more = morePasses
+      }
+      acc.toMap
     }
-    acc.toMap
   }
 
   /** One chunked [[mergeColdCells]] pass: retire up to
@@ -1834,12 +1861,75 @@ object SimilarityOps {
     val coldEff =
       if (coldCellThreshold < 0L) math.max(1L, hotCellThreshold / 100L)
       else coldCellThreshold
-    val hot = compactVectorStore(spark, store, hotCellThreshold)
-    val split = splitHotCells(spark, store, centroidPath,
-      hotCellThreshold, maxSplitK, force)
-    val merged =
-      if (coldEff <= 0L) Map.empty[Int, Seq[Int]]
-      else mergeColdCells(spark, store, centroidPath, coldEff, force)
-    StoreMaintenanceReport(hot, split, merged)
+    // claim the writer lease ONCE for the whole cycle (the three
+    // primitives re-enter the thread-held lease without touching the
+    // filesystem), so no other writer can slip between the legs
+    val leaseFs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(leaseFs, store,
+        "maintainVectorStore") {
+      val hot = compactVectorStore(spark, store, hotCellThreshold)
+      val split = splitHotCells(spark, store, centroidPath,
+        hotCellThreshold, maxSplitK, force)
+      val merged =
+        if (coldEff <= 0L) Map.empty[Int, Seq[Int]]
+        else mergeColdCells(spark, store, centroidPath, coldEff, force)
+      StoreMaintenanceReport(hot, split, merged)
+    }
+  }
+
+  /** The streaming-ingest CAPSTONE for the vector store — the v-side
+    * twin of [[DedupOps.dedupToLake]] (r13 verdict ask #3): ONE
+    * foreachBatch body that appends the micro-batch
+    * ([[extendVectorStore]]) and, when the append pushed any cell past
+    * `hotCellThreshold`, runs a full [[maintainVectorStore]] cycle —
+    * all under ONE writer-lease hold, so no foreign writer can slip
+    * between the append, the trigger check, and the cycle.
+    *
+    * TRIGGER COST: the check is [[cellCountsFrame]] — `cid` is the
+    * partition column, so the counts come from parquet footers +
+    * directory names with ZERO data columns decoded (O(files), never
+    * O(rows); plan-pinned in VectorStoreSpec). Counts are RAW (replay
+    * rows included), while the cycle's compact judges DISTINCT rows —
+    * a replay-inflated count can only fire a cycle EARLY (whose
+    * compact then drops the replays that inflated it), never miss one.
+    *
+    * STATE & REPLAY: the store + centroid table are the only state,
+    * exactly the dedup capstone's story — a restart resumes from the
+    * source checkpoint, a replayed batch appends duplicate rows that
+    * (a) are rank-neutral under the probe's per-(q_id, vec_id)
+    * collapse and (b) vanish at the next compact. The centroid table
+    * is re-read every batch BECAUSE a triggered cycle swaps it: the
+    * next batch must assign against the post-split/merge table, and a
+    * crashed cycle's interrupted table swap is healed here before the
+    * read ([[DedupOps.recoverStoreSwap]] on the centroid path — the
+    * store path itself is healed inside [[extendVectorStore]]).
+    *
+    * Stream-resume ≡ batch parity and mid-stream-cycle probe parity
+    * are spec-pinned in FileStreamSpec; per-batch flatness vs store
+    * bulk is measured by the StreamVecIngest diagnostic (BENCH_NOTES).
+    *
+    * @return the maintenance report if this batch triggered a cycle */
+  def vectorsToStore(store: String, centroidPath: String,
+      batch: DataFrame, idCol: String = "vec_id", vecCol: String = "v",
+      hotCellThreshold: Long = 1000000L, coldCellThreshold: Long = -1L,
+      maxSplitK: Int = 64): Option[StoreMaintenanceReport] = {
+    if (batch.isEmpty) return None
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.catalog.WriterLease.withLease(fs, store, "vectorsToStore") {
+      val cfs = new org.apache.hadoop.fs.Path(centroidPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      DedupOps.recoverStoreSwap(cfs, centroidPath, dropAside = true)
+      val cents = spark.read.parquet(centroidPath)
+      extendVectorStore(store, cents, batch, idCol, vecCol)
+      val maxCell = cellCountsFrame(spark, store)
+        .agg(max(col("count")).as("m")).collect()(0).getLong(0)
+      if (maxCell > hotCellThreshold)
+        Some(maintainVectorStore(spark, store, centroidPath,
+          hotCellThreshold, coldCellThreshold, maxSplitK))
+      else None
+    }
   }
 }

@@ -1,0 +1,172 @@
+package graft.catalog
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** The single-writer lease on the mutable stores (r13 verdict ask #2):
+  * exactly one of two racing writers proceeds, the loser fails loudly,
+  * a crashed holder's stale lease is reclaimed, a live holder's
+  * heartbeat defeats the stale horizon, and the store survives a
+  * refused writer bit-for-bit. */
+class WriterLeaseSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def localFs = new Path("/tmp")
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("two racing writer threads: exactly one body runs, the loser " +
+      "throws ConcurrentWriterException, the lease is gone afterward") {
+    val store = java.nio.file.Files
+      .createTempDirectory("leaserace").resolve("store").toString
+    val fs = localFs
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(): Runnable = () =>
+      try WriterLease.withLease(fs, store, "race-test") {
+        ran.incrementAndGet()
+        inBody.countDown()
+        release.await(20, TimeUnit.SECONDS): Unit
+      } catch {
+        case _: WriterLease.ConcurrentWriterException =>
+          refused.incrementAndGet(): Unit
+      }
+    val t1 = new Thread(writer()); t1.start()
+    assert(inBody.await(20, TimeUnit.SECONDS), "holder never entered")
+    // t2 races while t1 provably holds the lease
+    val t2 = new Thread(writer()); t2.start()
+    t2.join(20000)
+    assert(refused.get() == 1, "second writer was not refused")
+    assert(ran.get() == 1, "both writers ran concurrently")
+    release.countDown()
+    t1.join(20000)
+    assert(!fs.exists(WriterLease.leasePath(store)),
+      "lease not released on exit")
+    // after release, a new claim proceeds
+    WriterLease.withLease(fs, store, "race-test-2") { ran.incrementAndGet() }
+    assert(ran.get() == 2)
+  }
+
+  test("a crashed holder's stale lease is reclaimed; a LIVE holder's " +
+      "heartbeat keeps it fresh past the stale horizon") {
+    val store = java.nio.file.Files
+      .createTempDirectory("leasestale").resolve("store").toString
+    val fs = localFs
+    val lease = WriterLease.leasePath(store)
+    // fabricate a crashed holder: a lease whose mtime is far past the
+    // horizon and whose owner will never heartbeat again
+    fs.create(lease, false).close()
+    fs.setTimes(lease, System.currentTimeMillis() - 3600L * 1000, -1)
+    var reclaimed = false
+    WriterLease.withLease(fs, store, "takeover-test",
+        staleMs = 60000L) { reclaimed = true }
+    assert(reclaimed, "stale lease was not taken over")
+    assert(!fs.exists(lease), "takeover left the lease behind")
+
+    // live holder: shrink the heartbeat so the lease mtime refreshes
+    // inside a sub-second stale horizon — the contender must STILL be
+    // refused even though the holder entered longer than staleMs ago
+    val prevBeat = SnapshotLake.heartbeatIntervalMs
+    SnapshotLake.heartbeatIntervalMs = 100L
+    try {
+      val entered = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val t = new Thread(() =>
+        WriterLease.withLease(fs, store, "live-holder") {
+          entered.countDown()
+          release.await(20, TimeUnit.SECONDS): Unit
+        })
+      t.start()
+      assert(entered.await(20, TimeUnit.SECONDS))
+      Thread.sleep(1200) // > staleMs below; ≥ several heartbeats
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(fs, store, "contender",
+          staleMs = 800L) { fail("contender body must not run") }
+      }
+      release.countDown()
+      t.join(20000)
+    } finally SnapshotLake.heartbeatIntervalMs = prevBeat
+  }
+
+  test("a refused maintenance writer leaves the store bit-identical, " +
+      "and the reentrant cycle claim admits its own primitives") {
+    graft.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("leaseparity")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    cents.coalesce(1).write.parquet(centPath)
+    SimilarityOps.extendVectorStore(store, cents,
+      Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.1, 1.0)), (3L, Seq(0.9, 0.2)))
+        .toDF("vec_id", "v"))
+    val fs = localFs
+    def snapshot(): Map[String, Long] = {
+      val it = fs.listFiles(new Path(store), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val f = it.next(); b += f.getPath.toString -> f.getLen }
+      b.result()
+    }
+    val before = snapshot()
+    // every writer entry refuses while another writer holds the lease
+    WriterLease.withLease(fs, store, "blocking-writer") {
+      // calls from a DIFFERENT thread: the thread-local reentrancy
+      // must not leak across threads
+      val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t = new Thread(() => {
+        def expectRefusal(body: => Any): Unit =
+          try { body; () } catch {
+            case _: WriterLease.ConcurrentWriterException =>
+              refusals.incrementAndGet(): Unit
+          }
+        expectRefusal(SimilarityOps.compactVectorStore(spark, store))
+        expectRefusal(SimilarityOps.splitHotCells(spark, store, centPath,
+          hotCellThreshold = 1L))
+        expectRefusal(SimilarityOps.mergeColdCells(spark, store, centPath,
+          coldCellThreshold = 10L))
+        expectRefusal(SimilarityOps.maintainVectorStore(spark, store,
+          centPath, hotCellThreshold = 2L))
+        expectRefusal(SimilarityOps.extendVectorStore(store, cents,
+          Seq((9L, Seq(0.5, 0.5))).toDF("vec_id", "v")))
+      })
+      t.start(); t.join(60000)
+      assert(refusals.get() == 5,
+        s"expected all 5 writer entries refused, got ${refusals.get()}")
+    }
+    assert(snapshot() == before,
+      "a refused writer modified the store")
+    // with the lease free, the full cycle runs — one outer claim, the
+    // three primitives re-entering it on the owning thread
+    val report = SimilarityOps.maintainVectorStore(spark, store,
+      centPath, hotCellThreshold = 100L, coldCellThreshold = 0L)
+    assert(report.hot.isEmpty)
+    assert(!fs.exists(WriterLease.leasePath(store)),
+      "cycle did not release its lease")
+
+    // the dedup signature store's writer entry carries the lease too
+    val dstore = s"$dir/bands"
+    DedupOps.probeAndExtend(dstore,
+      Seq((1L, "some shingled text long enough to band properly"))
+        .toDF("doc_id", "text")).collect()
+    WriterLease.withLease(fs, dstore, "blocking-writer") {
+      val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t = new Thread(() =>
+        try DedupOps.compactStore(spark, dstore) catch {
+          case _: WriterLease.ConcurrentWriterException =>
+            refused.incrementAndGet(): Unit
+        })
+      t.start(); t.join(60000)
+      assert(refused.get() == 1, "compactStore was not refused")
+    }
+    DedupOps.compactStore(spark, dstore) // free lease → proceeds
+    assert(!fs.exists(WriterLease.leasePath(dstore)))
+  }
+}
