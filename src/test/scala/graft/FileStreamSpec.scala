@@ -178,6 +178,110 @@ class FileStreamSpec extends AnyFunSuite {
       "part_date=2024-03-02", "part_date=2024-03-03"))
   }
 
+  test("streaming vector ingest (vectorsToStore): a mid-stream " +
+      "maintenance cycle triggers and swaps the centroid table, " +
+      "stream-resume state equals batch state, probe parity vs brute " +
+      "force holds after the cycle") {
+    import graft.operators.SimilarityOps
+    graft.GraftFunctions.register(spark)
+    val root = Files.createTempDirectory("graft_vec_stream")
+    val in = root.resolve("in"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val centPath = root.resolve("cents").toString
+    val cents0 = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("cid", "cv")
+    cents0.coalesce(1).write.parquet(centPath)
+    def vec(id: Long): Seq[Double] = {
+      val axis = (id % 2).toInt
+      val b = Array.fill(3)(0.05 + 0.001 * (id % 7))
+      b(axis) = 1.0 + 0.01 * (id % 11)
+      b.toSeq
+    }
+    def frame(ids: Seq[Long]) =
+      ids.map(id => (id, vec(id))).toDF("vec_id", "v")
+    def write(name: String, ids: Seq[Long]): Unit =
+      frame(ids).write.parquet(in.resolve(name).toString)
+    // hot threshold 10: batch 1 puts 15 rows in cell 0 → the cycle
+    // fires MID-STREAM (batch 1's foreachBatch), splitting cell 0
+    val hot = 10L
+    val cycles = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id bigint, v array<double>")
+        .parquet(in.toString + "/*")
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (SimilarityOps.vectorsToStore(store, centPath, b,
+              hotCellThreshold = hot, maxSplitK = 2).nonEmpty)
+            cycles.incrementAndGet(): Unit
+        }.start()
+      q.awaitTermination()
+    }
+    val b1 = (0L until 30L by 2L).toSeq ++ Seq(101L, 103L) // 15 even + 2 odd
+    val b2 = Seq(31L, 33L, 35L, 50L, 52L)                  // under threshold
+    write("b1", b1); runOnce()
+    assert(cycles.get() == 1, "batch 1 must trigger the cycle")
+    val centsAfterCycle = spark.read.parquet(centPath)
+      .select("cid").collect().map(_.getInt(0)).toSet
+    assert(!centsAfterCycle.contains(0) && centsAfterCycle.size >= 2,
+      s"cell 0 was not split by the mid-stream cycle: $centsAfterCycle")
+    write("b2", b2); runOnce() // NEW query, same checkpoint — resume
+    assert(cycles.get() == 1, "batch 2 must not re-trigger")
+    val all = b1 ++ b2
+    // resume really skipped batch 1: no duplicate appends (no compact
+    // ran after batch 2, so replayed rows would still be visible)
+    assert(spark.read.parquet(store).count() == all.size.toLong,
+      "restart replayed an already-committed batch into the store")
+
+    // probe parity vs driver-side brute force AFTER the cycle
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def brute(qv: Seq[Double], k: Int): Seq[(Int, Long)] =
+      all.map(id => (id, cos6(qv, vec(id))))
+        .sortBy { case (id, r) => (-r, id) }
+        .take(k).zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
+    val q0 = Seq(1.0, 0.05, 0.02)
+    val q1 = Seq(0.05, 1.0, 0.02)
+    val n = spark.read.parquet(centPath).count().toInt
+    def probe(qv: Seq[Double], k: Int): Seq[(Int, Long)] =
+      SimilarityOps.probeVectorStore(store,
+          spark.read.parquet(centPath),
+          Seq((9000L, qv)).toDF("vec_id", "v"), k = k, nprobe = n,
+          excludeSelf = false)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(probe(q0, 5) == brute(q0, 5) && probe(q1, 5) == brute(q1, 5),
+      "post-cycle probe parity broken")
+
+    // batch-mode mirror over the same two batches: identical store
+    // rows AND identical centroid table (fit/split/merge are
+    // deterministic given the same batch boundaries)
+    val store2 = root.resolve("store2").toString
+    val centPath2 = root.resolve("cents2").toString
+    cents0.coalesce(1).write.parquet(centPath2)
+    SimilarityOps.vectorsToStore(store2, centPath2, frame(b1),
+      hotCellThreshold = hot, maxSplitK = 2)
+    SimilarityOps.vectorsToStore(store2, centPath2, frame(b2),
+      hotCellThreshold = hot, maxSplitK = 2)
+    def storeState(p: String): Set[(Int, Long)] =
+      spark.read.parquet(p).select("cid", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    def centState(p: String): Set[(Int, Seq[Double])] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSet
+    assert(storeState(store2) == storeState(store),
+      "batch-mode store state diverges from the streamed store")
+    assert(centState(centPath2) == centState(centPath),
+      "batch-mode centroid table diverges from the streamed one")
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
       .toDF("key", "id")
