@@ -73,6 +73,54 @@ object Bench {
     if (Timing == "count-v1") df.count()
     else df.queryExecution.toRdd.count()
 
+  /** Fixed-work calibration microbench (r13 verdict ask #5): the
+    * 77.9→93.4→94.4 s cross-instance saga cost a worktree A/B to
+    * attribute; this stamps every bench artifact with the BOX's speed
+    * on two pinned workloads so the next cross-VM drift is
+    * attributable from the artifacts alone:
+    *  - `cal_cpu`: one single-stage, shuffle-free Spark job — a fixed
+    *    row count through xxhash64 into one sum (deterministic,
+    *    codegen'd, no I/O) — the compute-bound query class;
+    *  - `cal_fs`: a driver-side write+fsync loop of small files — the
+    *    staging/lake-protocol class (i1/k15/k14), whose r13 drift was
+    *    kernel-writeback-bound, invisible to a CPU calibration.
+    * ~4-5 s total, run ONCE before the query loop (never inside any
+    * query's timed window). The regression gate stays RAW — scaling
+    * gate DECISIONS by a 2-point calibration would let one noisy
+    * calibration sample suppress a real regression — but the gate's
+    * stderr report shows the cpu-scaled delta next to the raw one. */
+  private[graft] def calibrate(
+      spark: SparkSession): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, CalCpuRows, 1L,
+        spark.sparkContext.defaultParallelism)
+      .select(sum(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
+      .collect()
+    val cpu = (System.nanoTime() - t0) / 1e9
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal")
+    val bytes = Array.fill[Byte](65536)(0x5A)
+    val t1 = System.nanoTime()
+    (0 until CalFsFiles).foreach { i =>
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      ch.write(java.nio.ByteBuffer.wrap(bytes))
+      ch.force(true)
+      ch.close()
+    }
+    val fsSec = (System.nanoTime() - t1) / 1e9
+    (0 until CalFsFiles)
+      .foreach(i => java.nio.file.Files.deleteIfExists(dir.resolve(s"f$i")))
+    java.nio.file.Files.deleteIfExists(dir)
+    Map("cal_cpu" -> cpu, "cal_fs" -> fsSec)
+  }
+
+  /** Pinned calibration workload sizes — changing either re-rulers
+    * `calibration` across rounds, so bump [[Timing]] if they change. */
+  private[graft] val CalCpuRows: Long = 3000000000L
+  private[graft] val CalFsFiles: Int = 192
+
   /** Locale-proof 3-decimal number for JSON: the `f"%.3f"`
     * interpolator formats with the JVM default locale, and a de_DE/
     * fr_FR JVM would emit `1,200` — invalid JSON — into the
@@ -107,12 +155,20 @@ object Bench {
   /** The driver-scraped stdout line: full JSON if it fits, else drop
     * the FASTEST queries until ≤ `budget` chars (the slow ones are the
     * ones worth grading). Pure so BenchRenderSpec can gate it. */
+  /** `"calibration":{...},` (trailing comma) or empty. */
+  private def calibrationJson(cal: Map[String, Double]): String =
+    if (cal.isEmpty) ""
+    else cal.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
+      .mkString(""""calibration":{""", ",", "},")
+
   private[graft] def stdoutLine(
       times: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String, budget: Int = 1700,
       bucketOverflows: Int = 0, regressed: Int = 0,
       filtered: Boolean = false,
-      phases: Map[String, Map[String, Double]] = Map.empty): String = {
+      phases: Map[String, Map[String, Double]] = Map.empty,
+      calibration: Map[String, Double] = Map.empty): String = {
     val es = errors.take(3)
       .map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v.take(60))}" }
       .mkString("{", ",", "}")
@@ -123,11 +179,12 @@ object Bench {
     // just bench_history) — ~100 chars for one query, and the budget
     // dropper accounts for it like everything else
     val ph = phasesJson(times, phases)
+    val cal = calibrationJson(calibration)
     def render(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},""" +
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},$cal""" +
         s"""$filt"queries":$qs,$ph"errors":$es,"n_ok":${times.size},""" +
         s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
         s""""regressed":$regressed$omit,"sf":${jsonQ(sfDir)}}"""
@@ -146,7 +203,8 @@ object Bench {
       times: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String, bucketOverflows: Int, regressed: Int,
       filtered: Boolean = false,
-      phases: Map[String, Map[String, Double]] = Map.empty): String = {
+      phases: Map[String, Map[String, Double]] = Map.empty,
+      calibration: Map[String, Double] = Map.empty): String = {
     val full = times.map { case (k, v) => s"${jsonQ(k)}:$v" }
       .mkString("{", ",", "}")
     val esFull = errors.map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v)}" }
@@ -157,7 +215,8 @@ object Bench {
     // phase seconds plus the pure-Spark residual vs its total — the
     // split future gates diff instead of the conflated wall time
     val ph = phasesJson(times, phases)
-    s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},""" +
+    val cal = calibrationJson(calibration)
+    s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},$cal""" +
       s"""$filt"queries":$full,$ph"errors":$esFull,"n_ok":${times.size},""" +
       s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
       s""""regressed":$regressed,"sf":${jsonQ(sfDir)}}"""
@@ -209,6 +268,16 @@ object Bench {
       m.group(1) -> kv.findAllMatchIn(m.group(2))
         .map(x => x.group(1) -> x.group(2).toDouble).toMap
     }.toMap
+  }
+
+  /** Pull the calibration row back out of a history line — flat
+    * nested object, same writer shape as a phase split. */
+  private[graft] def parseHistoryCalibration(
+      line: String): Map[String, Double] = {
+    val body = """"calibration":\{([^}]*)\}""".r
+      .findFirstMatchIn(line).map(_.group(1)).getOrElse(return Map.empty)
+    """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   /** The per-query regression gate: queries that got ≥ `factor`× slower
@@ -307,6 +376,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // box calibration FIRST — before any query work can contaminate
+    // it with cache/writeback residue (it doubles as a JIT/codegen
+    // warmup for the range/hash path)
+    val calibration = calibrate(spark)
+    System.err.println("BENCH calibration " + calibration.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"$k=$v%.3f s" }.mkString(", "))
 
     // optional args = query-name filter, for iterating on one operator
     // without paying for the whole suite
@@ -467,8 +543,27 @@ object Bench {
       }
     }
     val confirmed = gate()
+    // report raw AND calibration-scaled deltas (r13 verdict ask #5):
+    // the scaled figure divides out the box-speed ratio between the
+    // two runs' cpu calibrations — a regression that disappears under
+    // scaling is box drift, one that survives is code. The gate's
+    // DECISION stays raw (a noisy 2-point calibration must not be
+    // able to suppress a real regression); the scaled number is for
+    // the human reading the artifact.
+    val prevCal = prevSame
+      .map { case (_, _, _, line) => parseHistoryCalibration(line) }
+      .getOrElse(Map.empty)
+    val cpuRatio = for {
+      p <- prevCal.get("cal_cpu"); c <- calibration.get("cal_cpu")
+      if c > 0.0
+    } yield p / c
     confirmed.foreach { case (n, was, now) =>
-      System.err.println(f"BENCH REGRESSION $n: $was%.2f s -> $now%.2f s")
+      val scaled = cpuRatio
+        .map(r => f" (calibration-scaled: ${now * r}%.2f s, " +
+          f"box cpu ratio prev/cur=${r}%.3f)")
+        .getOrElse("")
+      System.err.println(
+        f"BENCH REGRESSION $n: $was%.2f s -> $now%.2f s$scaled")
     }
     val regressed = confirmed.size
 
@@ -481,10 +576,11 @@ object Bench {
     // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
     println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows = bucketOverflows, regressed = regressed,
-      filtered = args.nonEmpty, phases = phases.toMap))
+      filtered = args.nonEmpty, phases = phases.toMap,
+      calibration = calibration))
     val json = fullJson(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows, regressed, filtered = args.nonEmpty,
-      phases = phases.toMap)
+      phases = phases.toMap, calibration = calibration)
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     // append-only archive: bench_out.json is overwritten every round,

@@ -179,6 +179,58 @@ class BenchRenderSpec extends AnyFunSuite {
       "budget trimming must drop queries, not the phases field")
   }
 
+  test("calibration row renders in both artifacts, round-trips " +
+      "through its parser, and absence leaves old lines identical") {
+    val cal = Map("cal_cpu" -> 3.217, "cal_fs" -> 1.408)
+    val full = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = cal)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""calibration":{"cal_cpu":3.217,"cal_fs":1.408}"""))
+    assert(Bench.parseHistoryCalibration(full) ==
+      Map("cal_cpu" -> 3.217, "cal_fs" -> 1.408))
+    // the queries map parser is undisturbed by the extra nested object
+    assert(Bench.parseHistoryLine(full).get._3.toMap == Map("q1_a" -> 0.5))
+    val line = Bench.stdoutLine(Seq("q1_a" -> 0.5), Nil, "/sf",
+      calibration = cal)
+    assertStrictJsonObject(line)
+    assert(line.contains(""""calibration":"""))
+    // budget trimming drops queries, never the calibration field
+    val tight = Bench.stdoutLine(manyTimes, Nil, "/sf", budget = 900,
+      calibration = cal)
+    assertStrictJsonObject(tight)
+    assert(tight.length <= 900 && tight.contains(""""calibration":"""))
+    // no calibration -> no field (old lines parse to empty)
+    val bare = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0)
+    assert(!bare.contains("calibration"))
+    assert(Bench.parseHistoryCalibration(bare).isEmpty)
+  }
+
+  test("i1 and k15 record their staging/protocol phase splits when " +
+      "armed (r13 ask #4): the artifact attributes FS-bound wall time " +
+      "in-band") {
+    val spark = SharedSpark.spark
+    GraftFunctions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    def phasesOf(q: String): Map[String, Double] = {
+      PhaseLog.armed = true
+      try {
+        PhaseLog.reset()
+        Bench.consume(SparkEntry.queries(q)(spark, sfDir))
+        PhaseLog.snapshot()
+      } finally PhaseLog.armed = false
+    }
+    val i1 = phasesOf("i1_ingest_pipeline")
+    assert(i1.keySet == Set("corpus_stage", "kv_stage_write"),
+      s"i1 phases: $i1")
+    assert(i1.values.forall(_ >= 0.0))
+    val k15 = phasesOf("k15_time_travel")
+    assert(k15.keySet == Set("lake_reset", "lake_commit"),
+      s"k15 phases: $k15")
+    // the commits are the protocol cost — they must be a REAL share,
+    // not an empty stub (lake_reset may round to ~0 on a fresh root)
+    assert(k15("lake_commit") > 0.0)
+  }
+
   test("regression gate: flags real slowdowns, absorbs the measured " +
       "box-noise band, skips on tag mismatch") {
     val prev = Seq("qa" -> 1.0, "qb" -> 4.0, "qc" -> 0.2, "qd" -> 1.0,
