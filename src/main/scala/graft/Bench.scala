@@ -95,7 +95,9 @@ object Bench {
     val t0 = System.nanoTime()
     spark.range(0L, CalCpuRows, 1L,
         spark.sparkContext.defaultParallelism)
-      .select(sum(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
+      // bit_xor, not sum: ANSI mode overflows a long sum of 3e9
+      // full-range hashes
+      .select(bit_xor(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
       .collect()
     val cpu = (System.nanoTime() - t0) / 1e9
     val dir = java.nio.file.Files.createTempDirectory("graft_cal")
@@ -118,8 +120,8 @@ object Bench {
 
   /** Pinned calibration workload sizes — changing either re-rulers
     * `calibration` across rounds, so bump [[Timing]] if they change. */
-  private[graft] val CalCpuRows: Long = 3000000000L
-  private[graft] val CalFsFiles: Int = 192
+  private[graft] val CalCpuRows: Long = 2000000000L
+  private[graft] val CalFsFiles: Int = 512
 
   /** Locale-proof 3-decimal number for JSON: the `f"%.3f"`
     * interpolator formats with the JVM default locale, and a de_DE/
