@@ -178,10 +178,13 @@ class FileStreamSpec extends AnyFunSuite {
       "part_date=2024-03-02", "part_date=2024-03-03"))
   }
 
+  // SlowTest tier (~33 s: two streaming queries, a maintenance cycle,
+  // probes, and the batch-mode mirror) — part of the per-round gate,
+  // run in the bench window like the maintenance kill-point fuzz
   test("streaming vector ingest (vectorsToStore): a mid-stream " +
       "maintenance cycle triggers and swaps the centroid table, " +
       "stream-resume state equals batch state, probe parity vs brute " +
-      "force holds after the cycle") {
+      "force holds after the cycle", SlowTest) {
     import graft.operators.SimilarityOps
     graft.GraftFunctions.register(spark)
     val root = Files.createTempDirectory("graft_vec_stream")

@@ -244,9 +244,12 @@ class LakeProtocolSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  // SlowTest tier since r14 (~11 s of pure partition fan-out;
+  // suite-budget ask #7). Runs every round in the bench window.
   test("AT SCALE: over a 500-partition lake, commit touches O(touched) " +
       "filesystem listings (never the root), the manifest carries " +
-      "forward untouched pins, and snapshot reads plan ONE scan") {
+      "forward untouched pins, and snapshot reads plan ONE scan",
+      graft.SlowTest) {
     // 500 partitions, not 1000 (r12 suite-budget trim): every
     // assertion below is an ABSOLUTE bound (root listings == 0,
     // listStatus ≤ constants), so the O(touched)/O(1) claims are

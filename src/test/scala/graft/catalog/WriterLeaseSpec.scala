@@ -96,8 +96,12 @@ class WriterLeaseSpec extends AnyFunSuite {
     } finally SnapshotLake.heartbeatIntervalMs = prevBeat
   }
 
+  // SlowTest tier (~15 s: real maintenance ops on both stores) — the
+  // lease MECHANISM is covered in-default by the two tests above;
+  // this integration sweep runs in the bench window
   test("a refused maintenance writer leaves the store bit-identical, " +
-      "and the reentrant cycle claim admits its own primitives") {
+      "and the reentrant cycle claim admits its own primitives",
+      graft.SlowTest) {
     graft.GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("leaseparity")
     val store = s"$dir/store"

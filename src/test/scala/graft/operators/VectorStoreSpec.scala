@@ -401,10 +401,12 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(cellDirs.isEmpty, "force=true must perform the sweep")
   }
 
+  // SlowTest tier since r14 (~19 s in-suite — the heaviest vector
+  // case; suite-budget ask #7). Runs every round in the bench window.
   test("TwoLevelMinK boundary crossing (r12 ask #2): a 64-cell store " +
       "splits past the boundary (sparse cids, two-level assignment " +
       "engages) with flat-exact assignment, probe parity, and live " +
-      "ingest; mergeColdCells crosses back under") {
+      "ingest; mergeColdCells crosses back under", graft.SlowTest) {
     graft.GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("vecboundary")
     val store = s"$dir/store"
@@ -627,9 +629,11 @@ class VectorStoreSpec extends AnyFunSuite {
       again.merged.isEmpty, s"settled store re-maintained: $again")
   }
 
+  // SlowTest tier (~9 s: two stores through full cycles; the cycle
+  // semantics themselves stay default-gated by the test above)
   test("maintainVectorStore cold-leg default: unset derives " +
       "hotCellThreshold/100 (floor 1) and the merge leg RUNS; " +
-      "explicit 0 disables it") {
+      "explicit 0 disables it", graft.SlowTest) {
     graft.GraftFunctions.register(spark)
     // derived case: hot=300 → derived cold = max(1, 3) = 3; cells 1-3
     // hold one vector each (under 3 → cold), cell 0 holds 5 (safe)
