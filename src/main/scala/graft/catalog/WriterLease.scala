@@ -53,8 +53,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    failed (one filesystem fault takes both — the kill-point fuzz's
   *    exact shape) leaves a fresh-mtime lease; within this process an
   *    in-memory registry is the ground truth, so the restart reclaims
-  *    immediately instead of waiting out the horizon. Cross-process
-  *    restarts still wait — they have no shared memory to consult.
+  *    immediately instead of waiting out the horizon. The reclaim is
+  *    TOKEN-CHECKED: each claim stamps a per-claim uuid into the lease
+  *    and the immediate reclaim only fires when the on-disk stamp
+  *    carries either OUR token or no readable token at all (our stamp
+  *    write itself was the failing mutation — the fuzz's kill-at-stamp
+  *    shape). A readable FOREIGN stamp refuses even with the orphan
+  *    marker set: if our retry comes later than the stale horizon, a
+  *    foreign process may have legitimately taken the lease over, and
+  *    its stamp is the evidence that the file is no longer our debris.
+  *    Cross-process restarts still wait — they have no shared memory
+  *    to consult.
   *  - REENTRANT per thread: [[graft.operators.SimilarityOps
   *    .maintainVectorStore]] claims once and the three primitives it
   *    sequences re-enter without touching the filesystem (a
@@ -99,16 +108,22 @@ object WriterLease {
     new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
   /** Stores where THIS process created a lease file that may still be
-    * on disk: set at claim, cleared only when the release delete is
-    * KNOWN to have removed the file. A fresh lease at a marked store
-    * with no [[liveInProcess]] holder is OUR OWN crashed call's debris
-    * — the fault that killed the writer body also killed the release
-    * delete in the finally (exactly what the maintenance kill-point
-    * fuzz injects, and what a mid-batch filesystem brown-out does in
-    * production) — and a SAME-PROCESS restart may reclaim it
-    * immediately instead of waiting out the cross-process horizon. */
+    * on disk, mapped to the per-claim token stamped into that file:
+    * set at claim, cleared only when the release delete completed
+    * without throwing (a non-throwing delete means the file is gone —
+    * deleted by us, or already absent). A fresh lease at a marked
+    * store with no [[liveInProcess]] holder and a stamp carrying our
+    * token (or no readable stamp — our stamp write was the failing
+    * mutation) is OUR OWN crashed call's debris — the fault that
+    * killed the writer body also killed the release delete in the
+    * finally (exactly what the maintenance kill-point fuzz injects,
+    * and what a mid-batch filesystem brown-out does in production) —
+    * and a SAME-PROCESS restart may reclaim it immediately instead of
+    * waiting out the cross-process horizon. A readable FOREIGN stamp
+    * under the marker means a cross-process stale takeover beat our
+    * retry; that lease is live and must be refused. */
   private val mayHaveOrphan =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Run `body` holding the store's writer lease; claim on entry,
     * heartbeat while running, release on every exit. Reentrant within
@@ -126,13 +141,17 @@ object WriterLease {
     finally {
       mine -= store
       liveInProcess.remove(store)
-      // release: clear the orphan marker ONLY once the file is known
-      // gone — a delete that itself fails (the crash being simulated,
-      // or a real FS brown-out) must leave the marker so a restart in
-      // this process can reclaim without the horizon wait
+      // release: clear the orphan marker on any NON-THROWING delete —
+      // true means we removed the file, false means it was already
+      // gone; either way no debris of ours remains. (A post-delete
+      // exists() probe would race a contender claiming the freed path
+      // and mis-keep the marker against THEIR fresh lease.) Only a
+      // delete that throws (the crash being simulated, or a real FS
+      // brown-out) leaves the marker, so a restart in this process can
+      // reclaim without the horizon wait.
       try {
         fs.delete(lease, false)
-        if (!fs.exists(lease)) mayHaveOrphan.remove(store): Unit
+        mayHaveOrphan.remove(store): Unit
       } catch { case _: java.io.IOException => () }
     }
   }
@@ -143,15 +162,19 @@ object WriterLease {
     while (attempt < MaxClaimAttempts) {
       attempt += 1
       if (SnapshotLake.atomicCreate(fs, lease)) {
-        // the marker precedes the (best-effort, failure-prone) stamp
-        // write: any exit from here on may leave the file behind
-        mayHaveOrphan.add(store)
+        // the marker (with this claim's token) precedes the
+        // (best-effort, failure-prone) stamp write: any exit from here
+        // on may leave the file behind
+        val token = java.util.UUID.randomUUID().toString
+        mayHaveOrphan.put(store, token)
         // we own the file — stamp holder info for the loser's error
-        // message (best-effort: the CLAIM is the empty file's
-        // existence, not this content)
+        // message and the token for same-process orphan discrimination
+        // (best-effort: the CLAIM is the empty file's existence, not
+        // this content)
         try {
           val stamp = s"$what pid=${ProcessHandle.current().pid()} " +
-            s"host=${java.net.InetAddress.getLocalHost.getHostName}"
+            s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+            s"token=$token"
           val out = fs.create(lease, true)
           out.write(stamp.getBytes("UTF-8"))
           out.close()
@@ -165,22 +188,35 @@ object WriterLease {
         catch { case _: java.io.FileNotFoundException => None }
       st.foreach { s =>
         val age = System.currentTimeMillis() - s.getModificationTime
-        // in-process orphan: OUR process left this file (marker set)
-        // and no live call holds it — reclaim without the horizon
-        // wait; a lease held by a live call in this process (any
-        // thread) always refuses, regardless of the marker
-        val ourOrphan = !liveInProcess.containsKey(store) &&
-          mayHaveOrphan.contains(store)
-        if (age <= staleMs && !ourOrphan) {
-          val holder =
+        def readStamp(): Option[String] =
+          try {
+            val in = fs.open(lease)
             try {
-              val in = fs.open(lease)
-              try {
-                val buf = new Array[Byte](256)
-                val n = in.read(buf)
-                if (n > 0) new String(buf, 0, n, "UTF-8") else "(unstamped)"
-              } finally in.close()
-            } catch { case _: java.io.IOException => "(unreadable)" }
+              val buf = new Array[Byte](256)
+              val n = in.read(buf)
+              if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
+            } finally in.close()
+          } catch { case _: java.io.IOException => None }
+        // in-process orphan: OUR process left this file (marker set
+        // with the claim's token), no live call holds it, and the
+        // on-disk stamp does not CONTRADICT ownership — it carries our
+        // token, or carries no readable token at all (our stamp write
+        // was the failing mutation). A readable token that is NOT ours
+        // means a cross-process stale takeover already replaced our
+        // debris with a live foreign lease — horizon rules apply.
+        // A lease held by a live call in this process (any thread)
+        // always refuses, regardless of the marker.
+        val stamp = readStamp()
+        val stampToken = stamp.flatMap { c =>
+          val i = c.lastIndexOf("token=")
+          if (i >= 0) Some(c.substring(i + "token=".length).trim) else None
+        }
+        val ourOrphan = !liveInProcess.containsKey(store) &&
+          Option(mayHaveOrphan.get(store)).exists { mine =>
+            stampToken.forall(_ == mine)
+          }
+        if (age <= staleMs && !ourOrphan) {
+          val holder = stamp.getOrElse("(unstamped)")
           throw new ConcurrentWriterException(
             s"store writer lease $lease is held by a LIVE writer " +
               s"[$holder] (age ${age} ms ≤ stale horizon ${staleMs} " +

@@ -96,6 +96,77 @@ class WriterLeaseSpec extends AnyFunSuite {
     } finally SnapshotLake.heartbeatIntervalMs = prevBeat
   }
 
+  /** Local FS whose delete can be made to throw — the one-fault-takes-
+    * both shape (body dies AND the release delete dies) that leaves a
+    * same-process orphan lease behind. */
+  private class FlakyDeleteFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    // FilterFileSystem does not delegate getScheme (the base throws
+    // UnsupportedOperationException), and WriterLease's claim consults
+    // it to pick the O_EXCL primitive
+    override def getScheme: String = "file"
+    @volatile var failDeletes = false
+    override def delete(p: Path, recursive: Boolean): Boolean =
+      if (failDeletes) throw new java.io.IOException("injected delete fault")
+      else super.delete(p, recursive)
+  }
+
+  private def orphanedStore(flaky: FlakyDeleteFs, prefix: String): String = {
+    val store = java.nio.file.Files
+      .createTempDirectory(prefix).resolve("store").toString
+    flaky.failDeletes = true
+    try {
+      val e = intercept[RuntimeException] {
+        WriterLease.withLease(flaky, store, "crasher") {
+          throw new RuntimeException("body died")
+        }
+      }
+      assert(e.getMessage == "body died", s"unexpected failure: $e")
+    } finally flaky.failDeletes = false
+    assert(flaky.exists(WriterLease.leasePath(store)),
+      "crashed call left no orphan lease")
+    store
+  }
+
+  test("same-process orphan: a crashed call whose release delete also " +
+      "failed is reclaimed immediately (token match / unstamped), but a " +
+      "foreign writer's fresh stamped lease is refused even with the " +
+      "orphan marker set") {
+    val flaky = new FlakyDeleteFs(localFs)
+
+    // token match: the on-disk stamp is OURS → immediate reclaim,
+    // no 10-minute horizon wait (default staleMs)
+    val s1 = orphanedStore(flaky, "leaseorphan1")
+    var ran = false
+    WriterLease.withLease(flaky, s1, "restart") { ran = true }
+    assert(ran, "same-process restart did not reclaim its own orphan")
+    assert(!flaky.exists(WriterLease.leasePath(s1)))
+
+    // unstamped orphan (the kill-at-stamp-write fuzz shape): no
+    // readable token cannot CONTRADICT ownership → still reclaims
+    val s2 = orphanedStore(flaky, "leaseorphan2")
+    flaky.create(WriterLease.leasePath(s2), true).close() // empty, fresh
+    ran = false
+    WriterLease.withLease(flaky, s2, "restart") { ran = true }
+    assert(ran, "unstamped same-process orphan was not reclaimed")
+
+    // foreign takeover beat the retry: the fresh lease carries ANOTHER
+    // writer's token — the marker must not steal it
+    val s3 = orphanedStore(flaky, "leaseorphan3")
+    val lease3 = WriterLease.leasePath(s3)
+    flaky.delete(lease3, false) // the foreign stale-reclaim
+    val out = flaky.create(lease3, false)
+    out.write(("foreign-maint pid=99999 host=elsewhere token=" +
+      java.util.UUID.randomUUID()).getBytes("UTF-8"))
+    out.close()
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(flaky, s3, "retry") {
+        fail("stole a live foreign writer's lease")
+      }
+    }
+    flaky.delete(lease3, false): Unit
+  }
+
   // SlowTest tier (~15 s: real maintenance ops on both stores) — the
   // lease MECHANISM is covered in-default by the two tests above;
   // this integration sweep runs in the bench window
