@@ -1,0 +1,121 @@
+package graft.catalog
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** TRUE cross-process coverage for the writer lease: the default-tier
+  * WriterLeaseSpec races threads inside one JVM, where the in-memory
+  * registries participate — these cases spawn a REAL second JVM
+  * ([[LeaseHolderMain]]) so the only shared state is the lease file
+  * itself, exactly the production multi-writer shape:
+  *
+  *  - a live foreign HOLDER (other process, heartbeating) refuses our
+  *    claim — no in-process registry can excuse it;
+  *  - the foreign holder's clean exit releases the lease and our claim
+  *    proceeds;
+  *  - a SIGKILLed foreign holder leaves a fresh lease that still
+  *    refuses (no marker of ours — horizon rules), and the SAME file
+  *    aged past the horizon is taken over with the takeover logged by
+  *    the rename-to-tombstone path.
+  *
+  * SlowTest tier: two JVM spawns (~3-8 s). */
+class CrossProcessLeaseSpec extends AnyFunSuite {
+  // force the shared session so the suite behaves like every other
+  // spec under parallel execution (the FS calls don't need Spark)
+  private lazy val spark = SharedSpark.spark
+
+  private def localFs = new Path("/tmp")
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Spawn LeaseHolderMain on this JVM's own classpath and wait for
+    * its HELD line (the claim is on disk once it prints). */
+  private def spawnHolder(store: String, holdMs: Long): Process = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.catalog.LeaseHolderMain", store, holdMs.toString))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var line = in.readLine()
+    while (line != null && line != "HELD" &&
+        System.nanoTime() < deadline) line = in.readLine()
+    assert(line == "HELD",
+      s"child holder never claimed (last line: $line)")
+    // keep draining in the background or the child blocks on a full
+    // stdout pipe while sleeping
+    val drain = new Thread(() => {
+      try { while (in.readLine() != null) () }
+      catch { case _: java.io.IOException => () }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    proc
+  }
+
+  test("a LIVE holder in another JVM refuses our claim; its clean exit " +
+      "frees the lease for us", graft.SlowTest) {
+    val fs = localFs
+    val store = java.nio.file.Files
+      .createTempDirectory("xproclease").resolve("store").toString
+    val proc = spawnHolder(store, holdMs = 6000L)
+    try {
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(fs, store, "cross-process-contender") {
+          fail("claimed a lease a foreign PROCESS holds")
+        }
+      }
+      assert(proc.waitFor(60, TimeUnit.SECONDS), "holder never exited")
+      assert(proc.exitValue() == 0, "holder JVM failed")
+      // released by the foreign process → our claim proceeds
+      var ran = false
+      WriterLease.withLease(fs, store, "after-release") { ran = true }
+      assert(ran)
+      assert(!fs.exists(WriterLease.leasePath(store)))
+    } finally proc.destroyForcibly(): Unit
+  }
+
+  test("a SIGKILLed foreign holder's lease refuses while fresh and is " +
+      "taken over once past the stale horizon", graft.SlowTest) {
+    val fs = localFs
+    val store = java.nio.file.Files
+      .createTempDirectory("xprockill").resolve("store").toString
+    val lease = WriterLease.leasePath(store)
+    val proc = spawnHolder(store, holdMs = 120000L)
+    proc.destroyForcibly()
+    assert(proc.waitFor(30, TimeUnit.SECONDS), "kill did not land")
+    assert(fs.exists(lease),
+      "SIGKILL should leave the crashed holder's lease behind")
+
+    // fresh + foreign + no marker of ours → horizon rules refuse
+    val e = intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(fs, store, "too-early") {
+        fail("claimed a freshly crashed foreign holder's lease")
+      }
+    }
+    assert(e.getMessage.contains("cross-process-holder"),
+      s"refusal should name the foreign holder's stamp: ${e.getMessage}")
+
+    // age the SAME file past the horizon: the crashed holder never
+    // heartbeats again, so this is exactly the state 10 minutes later
+    fs.setTimes(lease, System.currentTimeMillis() - 11L * 60 * 1000, -1)
+    var ran = false
+    WriterLease.withLease(fs, store, "after-horizon") { ran = true }
+    assert(ran, "stale foreign lease was not taken over")
+    assert(!fs.exists(lease))
+  }
+}
