@@ -92,30 +92,47 @@ object Bench {
   private[graft] def calibrate(
       spark: SparkSession): Map[String, Double] = {
     import org.apache.spark.sql.functions._
-    val t0 = System.nanoTime()
-    spark.range(0L, CalCpuRows, 1L,
-        spark.sparkContext.defaultParallelism)
-      // bit_xor, not sum: ANSI mode overflows a long sum of 3e9
-      // full-range hashes
-      .select(bit_xor(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
-      .collect()
-    val cpu = (System.nanoTime() - t0) / 1e9
-    val dir = java.nio.file.Files.createTempDirectory("graft_cal")
-    val bytes = Array.fill[Byte](65536)(0x5A)
-    val t1 = System.nanoTime()
-    (0 until CalFsFiles).foreach { i =>
-      val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      ch.write(java.nio.ByteBuffer.wrap(bytes))
-      ch.force(true)
-      ch.close()
+    // degrade, never abort: the calibration ANNOTATES the bench run —
+    // a full /tmp, a read-only tmpdir, or one flaky fsync must not
+    // kill the round it was meant to make attributable. Whatever rows
+    // were measured before the failure stay in the artifact (the JSON
+    // writer handles a partial/empty map).
+    val out = scala.collection.mutable.Map[String, Double]()
+    try {
+      val t0 = System.nanoTime()
+      spark.range(0L, CalCpuRows, 1L,
+          spark.sparkContext.defaultParallelism)
+        // bit_xor, not sum: ANSI mode overflows a long sum of 3e9
+        // full-range hashes
+        .select(bit_xor(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
+        .collect()
+      out("cal_cpu") = (System.nanoTime() - t0) / 1e9
+      val dir = java.nio.file.Files.createTempDirectory("graft_cal")
+      try {
+        val bytes = Array.fill[Byte](65536)(0x5A)
+        val t1 = System.nanoTime()
+        (0 until CalFsFiles).foreach { i =>
+          val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(bytes))
+            ch.force(true)
+          } finally ch.close()
+        }
+        out("cal_fs") = (System.nanoTime() - t1) / 1e9
+      } finally {
+        (0 until CalFsFiles).foreach(i =>
+          java.nio.file.Files.deleteIfExists(dir.resolve(s"f$i")))
+        java.nio.file.Files.deleteIfExists(dir): Unit
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println("BENCH calibration failed (" +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}); the " +
+          "artifact will carry a partial or absent calibration row")
     }
-    val fsSec = (System.nanoTime() - t1) / 1e9
-    (0 until CalFsFiles)
-      .foreach(i => java.nio.file.Files.deleteIfExists(dir.resolve(s"f$i")))
-    java.nio.file.Files.deleteIfExists(dir)
-    Map("cal_cpu" -> cpu, "cal_fs" -> fsSec)
+    out.toMap
   }
 
   /** Pinned calibration workload sizes — changing either re-rulers

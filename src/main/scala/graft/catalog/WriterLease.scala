@@ -36,6 +36,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - CONFLICT: a claim against a FRESH lease (mtime younger than
   *    `staleMs`) throws [[ConcurrentWriterException]] naming the
   *    holder — the caller must not proceed and must not retry blindly.
+  *    SAME-PROCESS contention never reaches the filesystem: a
+  *    `putIfAbsent` registration admits exactly one claiming/holding
+  *    thread per store, refusing siblings atomically (which also
+  *    closes the window where a sibling could mistake a half-finished
+  *    claim for reclaimable debris).
   *  - TAKEOVER: a lease whose mtime is older than `staleMs` (default
   *    [[DefaultStaleLeaseMs]], 10 min — 20 missed heartbeats) belongs
   *    to a CRASHED holder. Reclaim is race-safe without delete-CAS:
@@ -134,26 +139,49 @@ object WriterLease {
     val mine = held.get()
     if (mine.contains(store)) return body // reentrant hold
     val lease = leasePath(store)
-    claim(fs, lease, store, what, staleMs)
-    mine += store
-    liveInProcess.put(store, Thread.currentThread())
-    try SnapshotLake.withLockHeartbeat(fs, lease)(body)
-    finally {
-      mine -= store
-      liveInProcess.remove(store)
-      // release: clear the orphan marker on any NON-THROWING delete —
-      // true means we removed the file, false means it was already
-      // gone; either way no debris of ours remains. (A post-delete
-      // exists() probe would race a contender claiming the freed path
-      // and mis-keep the marker against THEIR fresh lease.) Only a
-      // delete that throws (the crash being simulated, or a real FS
-      // brown-out) leaves the marker, so a restart in this process can
-      // reclaim without the horizon wait.
-      try {
-        fs.delete(lease, false)
-        mayHaveOrphan.remove(store): Unit
-      } catch { case _: java.io.IOException => () }
-    }
+    // register THIS thread as the store's prospective in-process
+    // holder BEFORE touching the filesystem. Two things depend on the
+    // registration preceding the claim:
+    //  - in-process contention resolves here, atomically, without a
+    //    filesystem race: putIfAbsent admits exactly one thread;
+    //  - the orphan-marker reclaim in claim() cannot fire against a
+    //    SIBLING thread's half-finished claim (marker written, stamp
+    //    in flight, registration not yet visible) — the sibling's
+    //    registration is already visible, so the second thread never
+    //    reaches claim() at all.
+    val prev = liveInProcess.putIfAbsent(store, Thread.currentThread())
+    if (prev != null)
+      throw new ConcurrentWriterException(
+        s"store writer lease $lease is held by live thread " +
+          s"'${prev.getName}' in this process; refusing to run " +
+          s"'$what' concurrently — the mutable stores are " +
+          "single-writer")
+    try {
+      claim(fs, lease, store, what, staleMs)
+      mine += store
+      try SnapshotLake.withLockHeartbeat(fs, lease)(body)
+      finally {
+        mine -= store
+        // release: clear the orphan marker on any NON-THROWING delete
+        // — true means we removed the file, false means it was already
+        // gone; either way no debris of ours remains. (A post-delete
+        // exists() probe would race a contender claiming the freed
+        // path and mis-keep the marker against THEIR fresh lease.)
+        // Only a delete that throws (the crash being simulated, or a
+        // real FS brown-out) leaves the marker, so a restart in this
+        // process can reclaim without the horizon wait.
+        // ORDER: the file delete runs while this thread is STILL the
+        // registered in-process holder — dropping the registration
+        // first would open a window where a sibling thread
+        // orphan-reclaims the not-yet-deleted lease and our delayed
+        // delete then destroys the SIBLING's fresh lease.
+        try {
+          fs.delete(lease, false)
+          mayHaveOrphan.remove(store): Unit
+        } catch { case _: java.io.IOException => () }
+      }
+    } finally
+      liveInProcess.remove(store, Thread.currentThread()): Unit
   }
 
   private def claim(fs: FileSystem, lease: Path, store: String,
@@ -188,30 +216,43 @@ object WriterLease {
         catch { case _: java.io.FileNotFoundException => None }
       st.foreach { s =>
         val age = System.currentTimeMillis() - s.getModificationTime
+        // read the stamp FULLY (loop to EOF/capacity): a single read()
+        // may legally return short on HDFS-likes, and a foreign stamp
+        // truncated before its `token=` would read as "no token" —
+        // exactly the evidence the orphan check needs intact
         def readStamp(): Option[String] =
           try {
             val in = fs.open(lease)
             try {
-              val buf = new Array[Byte](256)
-              val n = in.read(buf)
-              if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
+              val buf = new Array[Byte](512)
+              var off = 0
+              var n = in.read(buf, 0, buf.length)
+              while (n > 0) {
+                off += n
+                n = if (off < buf.length)
+                  in.read(buf, off, buf.length - off) else 0
+              }
+              if (off > 0) Some(new String(buf, 0, off, "UTF-8")) else None
             } finally in.close()
           } catch { case _: java.io.IOException => None }
         // in-process orphan: OUR process left this file (marker set
-        // with the claim's token), no live call holds it, and the
-        // on-disk stamp does not CONTRADICT ownership — it carries our
-        // token, or carries no readable token at all (our stamp write
-        // was the failing mutation). A readable token that is NOT ours
-        // means a cross-process stale takeover already replaced our
-        // debris with a live foreign lease — horizon rules apply.
-        // A lease held by a live call in this process (any thread)
-        // always refuses, regardless of the marker.
+        // with the claim's token) and the on-disk stamp does not
+        // CONTRADICT ownership — it carries our token, or carries no
+        // readable token at all (our stamp write was the failing
+        // mutation). A readable token that is NOT ours means a
+        // cross-process stale takeover already replaced our debris
+        // with a live foreign lease — horizon rules apply. Another
+        // LIVE thread of this process can never appear here: the
+        // putIfAbsent registration in withLease admits exactly one
+        // in-process claimant, so the registered holder is this
+        // thread (kept as a defensive check).
         val stamp = readStamp()
         val stampToken = stamp.flatMap { c =>
           val i = c.lastIndexOf("token=")
           if (i >= 0) Some(c.substring(i + "token=".length).trim) else None
         }
-        val ourOrphan = !liveInProcess.containsKey(store) &&
+        val ourOrphan =
+          (liveInProcess.get(store) eq Thread.currentThread()) &&
           Option(mayHaveOrphan.get(store)).exists { mine =>
             stampToken.forall(_ == mine)
           }

@@ -332,6 +332,31 @@ object DedupOps {
       materialize: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
+    // the default (materialize=true) path APPENDS to the signature
+    // store, so it is a writer entry point like compactStore /
+    // migrateStore and must hold the store's writer lease for the
+    // probe→append span: an append landing inside a concurrent
+    // compact's read→swap window would be silently discarded with the
+    // swapped-aside store (the exact lost-rows race the lease exists
+    // for — the v-side twin extendVectorStore claims for the same
+    // reason). The materialize=false plan-audit form never writes and
+    // stays lockless like every reader.
+    val leaseFs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (materialize)
+      graft.catalog.WriterLease.withLease(leaseFs, store,
+        "probeAndExtend") {
+        probeAndExtendBody(store, batch, maxBroadcastBandRows,
+          materialize = true)
+      }
+    else probeAndExtendBody(store, batch, maxBroadcastBandRows,
+      materialize = false)
+  }
+
+  private def probeAndExtendBody(store: String,
+      batch: DataFrame, maxBroadcastBandRows: Long,
+      materialize: Boolean): DataFrame = {
+    val spark = batch.sparkSession
     val sh = batch.filter(length(col("text")) >= 8)
       .withColumn("shingles", expr("md5_shingle60(text)"))
       .select(col("doc_id"), col("shingles"))

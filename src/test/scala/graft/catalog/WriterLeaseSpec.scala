@@ -233,13 +233,26 @@ class WriterLeaseSpec extends AnyFunSuite {
         .toDF("doc_id", "text")).collect()
     WriterLease.withLease(fs, dstore, "blocking-writer") {
       val refused = new java.util.concurrent.atomic.AtomicInteger(0)
-      val t = new Thread(() =>
+      val t = new Thread(() => {
         try DedupOps.compactStore(spark, dstore) catch {
           case _: WriterLease.ConcurrentWriterException =>
             refused.incrementAndGet(): Unit
-        })
+        }
+        // the APPEND path is a writer entry too: an append landing
+        // inside a concurrent compact's read→swap window would be
+        // silently dropped with the swapped-aside store
+        try {
+          DedupOps.probeAndExtend(dstore,
+            Seq((2L, "another shingled text long enough to band"))
+              .toDF("doc_id", "text")).collect(): Unit
+        } catch {
+          case _: WriterLease.ConcurrentWriterException =>
+            refused.incrementAndGet(): Unit
+        }
+      })
       t.start(); t.join(60000)
-      assert(refused.get() == 1, "compactStore was not refused")
+      assert(refused.get() == 2,
+        "compactStore/probeAndExtend were not both refused")
     }
     DedupOps.compactStore(spark, dstore) // free lease → proceeds
     assert(!fs.exists(WriterLease.leasePath(dstore)))
