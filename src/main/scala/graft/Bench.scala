@@ -140,6 +140,22 @@ object Bench {
   private[graft] val CalCpuRows: Long = 2000000000L
   private[graft] val CalFsFiles: Int = 512
 
+  /** Max/min spread across one query's timed runs above which the
+    * host is presumed to have stalled a run mid-measurement and up to
+    * two noise retries fire (see `measure`): 2× sits above every
+    * quiet-box spread observed in BENCH_NOTES history and below the
+    * 2.7× same-binary swing the r14 A/B measured under host bursts. */
+  private[graft] val NoiseRetrySpread: Double = 2.0
+
+  /** Whether one more timed run should fire for a query whose runs so
+    * far span [best, worst] (see `measure`'s noise-retry comment):
+    * capped at 5 total runs, gated to queries at or above the
+    * regression gate's 0.5 s absolute floor, triggered by a
+    * [[NoiseRetrySpread]]× max/min spread. */
+  private[graft] def needsNoiseRetry(runs: Int, best: Double,
+      worst: Double): Boolean =
+    runs < 5 && best >= 0.5 && worst > NoiseRetrySpread * best
+
   /** Locale-proof 3-decimal number for JSON: the `f"%.3f"`
     * interpolator formats with the JVM default locale, and a de_DE/
     * fr_FR JVM would emit `1,200` — invalid JSON — into the
@@ -431,11 +447,14 @@ object Bench {
         consume(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
         var lastDf: org.apache.spark.sql.DataFrame = null
         var best = Double.MaxValue
+        var worst = 0.0
+        var runs = 0
         // phase attribution is live ONLY for the timed runs below —
         // warmup and setup/load timed() calls (e.g. a Derby seed before
         // the loop) must not leak into any query's split
         PhaseLog.armed = true
-        try (1 to 3).foreach { _ =>
+        def timedRun(): Unit = {
+          runs += 1
           // t0 BEFORE fn: some queries do real work at plan-construction
           // time (iterative loops with per-round actions, staging
           // writes, a fit) — excluding fn from the window would bill
@@ -447,6 +466,7 @@ object Bench {
           consume(df)
           lastDf = df
           val sec = (System.nanoTime() - t0) / 1e9
+          if (sec > worst) worst = sec
           if (sec < best) {
             best = sec
             // the split must belong to the SAME run as the recorded
@@ -457,6 +477,23 @@ object Bench {
             if (snap.nonEmpty) phases(name) = snap
             else phases.remove(name): Unit
           }
+        }
+        try {
+          (1 to 3).foreach(_ => timedRun())
+          // noise retries: a >2× spread across three runs of one
+          // deterministic job is a host-side load burst (the r14
+          // same-box A/B measured 2.7× run-to-run on ONE binary —
+          // BENCH_NOTES "settled by a same-box A/B"), not the query.
+          // Up to two extra runs tighten the min toward the quiet-box
+          // cost. Upward-compatible with the min3 ruler: every run is
+          // the same timed quantity and extra samples can only LOWER
+          // a minimum, so cross-round gates see fewer false flags
+          // while a real regression (all runs slower) still fires.
+          // Only queries over the gate's 0.5 s absolute floor retry —
+          // sub-second spreads are JIT/GC texture, and the floor
+          // keeps the retry budget off the 100+ cheap queries.
+          while (needsNoiseRetry(runs, best, worst))
+            timedRun()
         } finally PhaseLog.armed = false
         times(name) = best
         // read the observe() metrics off the executed plan directly —

@@ -336,4 +336,22 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseHistoryPhases(
       Bench.fullJson(times, Seq.empty, "/sf", 0, 0)).isEmpty)
   }
+
+  test("noise retry fires on a >2x spread, stays off sub-floor " +
+      "queries, and caps at 5 runs") {
+    // the r14 A/B shape: a host burst stalls one of three runs of a
+    // multi-second query — retry
+    assert(Bench.needsNoiseRetry(runs = 3, best = 10.0, worst = 25.0))
+    // quiet box: spread inside 2x — no retry
+    assert(!Bench.needsNoiseRetry(runs = 3, best = 10.0, worst = 19.9))
+    // sub-floor query: a 0.1 s query tripling is JIT/GC texture, and
+    // retry budget must stay off the 100+ cheap queries
+    assert(!Bench.needsNoiseRetry(runs = 3, best = 0.1, worst = 0.4))
+    // hard cap: two retries max, even if the spread persists
+    assert(Bench.needsNoiseRetry(runs = 4, best = 10.0, worst = 25.0))
+    assert(!Bench.needsNoiseRetry(runs = 5, best = 10.0, worst = 25.0))
+    // boundary: exactly at the floor retries, exactly at 2x does not
+    assert(Bench.needsNoiseRetry(runs = 3, best = 0.5, worst = 1.1))
+    assert(!Bench.needsNoiseRetry(runs = 3, best = 10.0, worst = 20.0))
+  }
 }

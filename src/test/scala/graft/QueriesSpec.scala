@@ -23,14 +23,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(unchecked.isEmpty, s"queries without oracle: $unchecked")
   }
 
+  // The determinism RE-RUN (build the query twice, equal counts) lives
+  // in QueriesStabilitySpec on the SlowTest tier: it is a duplicate
+  // execution of exactly the code this loop just ran, worth ~50 s of
+  // every `sbt test`, and the determinism property it guards is
+  // per-round machinery (the bench window runs the tagged tier), not
+  // per-commit texture.
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name runs at sf0.001 and is stable") {
+    test(s"$name runs at sf0.001") {
       val df = fn(spark, sfDir)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
       assert(df.columns.nonEmpty && df.columns.distinct.length ==
         df.columns.length, s"$name has duplicate column names")
-      assert(fn(spark, sfDir).count() == n, s"$name is nondeterministic")
     }
   }
 
