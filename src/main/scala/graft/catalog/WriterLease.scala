@@ -286,7 +286,21 @@ object WriterLease {
             else
               s"reclaimed stale writer lease $lease (age ${age} ms > " +
                 s"${staleMs} ms — crashed holder) for '$what'")
-          fs.delete(tomb, false): Unit
+          // tombstone cleanup is BEST-EFFORT: the RENAME is what freed
+          // the lease path, so a delete fault here must not abort a
+          // claim that has already succeeded in substance (the retry
+          // loop claims the freed path next pass). The debris is inert
+          // — a uuid-suffixed name no claim/stat path ever reads — and
+          // any tombstones earlier faulted claims left behind are
+          // swept on the same best-effort basis.
+          try {
+            fs.delete(tomb, false)
+            Option(fs.globStatus(new Path(lease.getParent,
+                lease.getName + ".stale.*"))).toSeq.flatten
+              .foreach(s =>
+                try fs.delete(s.getPath, false)
+                catch { case _: java.io.IOException => () })
+          } catch { case _: java.io.IOException => () }
         }
       }
     }

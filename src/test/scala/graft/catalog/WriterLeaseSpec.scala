@@ -96,6 +96,41 @@ class WriterLeaseSpec extends AnyFunSuite {
     } finally SnapshotLake.heartbeatIntervalMs = prevBeat
   }
 
+  test("a tombstone delete fault neither aborts a stale takeover nor " +
+      "leaks the debris past the next takeover's sweep") {
+    val flaky = new FlakyDeleteFs(localFs)
+    val store = java.nio.file.Files
+      .createTempDirectory("leasetomb").resolve("store").toString
+    val lease = WriterLease.leasePath(store)
+    def plantStale(): Unit = {
+      flaky.create(lease, false).close()
+      flaky.setTimes(lease, System.currentTimeMillis() - 3600L * 1000, -1)
+    }
+    // takeover with EVERY delete faulted: the rename freed the path,
+    // so the claim must still succeed — and the tombstone stays behind
+    plantStale()
+    flaky.failDeletes = true
+    var ran = false
+    try WriterLease.withLease(flaky, store, "tomb-faulted",
+      staleMs = 60000L) { ran = true }
+    finally flaky.failDeletes = false
+    assert(ran, "takeover aborted on a best-effort tombstone delete")
+    val glob = new Path(lease.getParent, lease.getName + ".stale.*")
+    // the faulted release also left the lease file; clear it so the
+    // next takeover exercises the SWEEP, not the orphan fast path
+    flaky.delete(lease, false): Unit
+    assert(Option(flaky.globStatus(glob)).toSeq.flatten.nonEmpty,
+      "expected the faulted delete to leave tombstone debris")
+    // next stale takeover (deletes healthy) sweeps the stragglers
+    plantStale()
+    ran = false
+    WriterLease.withLease(flaky, store, "tomb-sweeper",
+      staleMs = 60000L) { ran = true }
+    assert(ran)
+    assert(Option(flaky.globStatus(glob)).toSeq.flatten.isEmpty,
+      "takeover did not sweep earlier claims' tombstone debris")
+  }
+
   /** Local FS whose delete can be made to throw — the one-fault-takes-
     * both shape (body dies AND the release delete dies) that leaves a
     * same-process orphan lease behind. */
