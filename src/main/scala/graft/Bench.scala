@@ -492,8 +492,14 @@ object Bench {
           // Only queries over the gate's 0.5 s absolute floor retry —
           // sub-second spreads are JIT/GC texture, and the floor
           // keeps the retry budget off the 100+ cheap queries.
-          while (needsNoiseRetry(runs, best, worst))
+          while (needsNoiseRetry(runs, best, worst)) {
+            // visible in the driver log next to the calibration row, so
+            // a retry-heavy round reads as "host was bursty" from the
+            // artifacts alone
+            System.err.println(f"BENCH noise retry $name (run ${runs + 1}):" +
+              f" spread ${worst}%.2f s / ${best}%.2f s")
             timedRun()
+          }
         } finally PhaseLog.armed = false
         times(name) = best
         // read the observe() metrics off the executed plan directly —
