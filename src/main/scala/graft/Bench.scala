@@ -140,6 +140,27 @@ object Bench {
   private[graft] val CalCpuRows: Long = 2000000000L
   private[graft] val CalFsFiles: Int = 512
 
+  /** Quiet-band ceiling for [[calibrate]]'s `cal_cpu`, seconds: every
+    * quiet-box reading in BENCH_NOTES history sits in 3.7–5.0 s and
+    * every reading taken under known contention (test-suite residue,
+    * host bursts) read 6.0+, so 5.5 splits the observed clusters with
+    * margin both ways. A run whose cal_cpu exceeds it is stamped
+    * `"contended":true` in the artifacts (r14 verdict ask #4) — the
+    * A/B protocol showed gate DECISIONS must stay raw, but a line
+    * recorded under sustained contention must not read identical to a
+    * quiet line in bench_history, or every cross-round comparison
+    * starts with forensics. Env-overridable because the band is a
+    * property of the box class, not the code. */
+  private[graft] val CalCpuQuietCeiling: Double =
+    sys.env.getOrElse("BENCH_CAL_QUIET_CEIL", "5.5").toDouble
+
+  /** Whether a calibration row marks the run as taken under host
+    * contention. No cal_cpu (calibration failed/absent) means UNKNOWN,
+    * not contended — the flag asserts positive evidence only. */
+  private[graft] def isContended(cal: Map[String, Double],
+      ceiling: Double = CalCpuQuietCeiling): Boolean =
+    cal.get("cal_cpu").exists(_ > ceiling)
+
   /** Max/min spread across one query's timed runs above which the
     * host is presumed to have stalled a run mid-measurement and up to
     * two noise retries fire (see `measure`): 2× sits above every
@@ -197,13 +218,30 @@ object Bench {
       .map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
       .mkString(""""calibration":{""", ",", "},")
 
+  /** `"contended":true,` when the calibration row sits above the
+    * quiet band, else empty — downstream comparisons can filter
+    * contaminated lines without forensics (r14 verdict ask #4). */
+  private def contendedJson(cal: Map[String, Double]): String =
+    if (isContended(cal)) s""""contended":true,""" else ""
+
+  /** `"noise_retries":{...},` (per-query extra-run counts beyond the
+    * base three) or empty — makes each row self-describing about its
+    * sample count (min-of-3 vs min-of-5) instead of burying that in
+    * stderr (r14 advice). */
+  private def noiseRetriesJson(retries: Map[String, Int]): String =
+    if (retries.isEmpty) ""
+    else retries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonQ(k)}:$v" }
+      .mkString(""""noise_retries":{""", ",", "},")
+
   private[graft] def stdoutLine(
       times: Seq[(String, Double)], errors: Seq[(String, String)],
       sfDir: String, budget: Int = 1700,
       bucketOverflows: Int = 0, regressed: Int = 0,
       filtered: Boolean = false,
       phases: Map[String, Map[String, Double]] = Map.empty,
-      calibration: Map[String, Double] = Map.empty): String = {
+      calibration: Map[String, Double] = Map.empty,
+      noiseRetries: Map[String, Int] = Map.empty): String = {
     val es = errors.take(3)
       .map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v.take(60))}" }
       .mkString("{", ",", "}")
@@ -215,11 +253,13 @@ object Bench {
     // dropper accounts for it like everything else
     val ph = phasesJson(times, phases)
     val cal = calibrationJson(calibration)
+    val cont = contendedJson(calibration)
+    val nr = noiseRetriesJson(noiseRetries)
     def render(qmap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qmap.map { case (k, v) => s"${jsonQ(k)}:${num3(v)}" }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},$cal""" +
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","timing":${jsonQ(Timing)},$cal$cont$nr""" +
         s"""$filt"queries":$qs,$ph"errors":$es,"n_ok":${times.size},""" +
         s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
         s""""regressed":$regressed$omit,"sf":${jsonQ(sfDir)}}"""
@@ -239,7 +279,8 @@ object Bench {
       sfDir: String, bucketOverflows: Int, regressed: Int,
       filtered: Boolean = false,
       phases: Map[String, Map[String, Double]] = Map.empty,
-      calibration: Map[String, Double] = Map.empty): String = {
+      calibration: Map[String, Double] = Map.empty,
+      noiseRetries: Map[String, Int] = Map.empty): String = {
     val full = times.map { case (k, v) => s"${jsonQ(k)}:$v" }
       .mkString("{", ",", "}")
     val esFull = errors.map { case (k, v) => s"${jsonQ(k)}:${jsonQ(v)}" }
@@ -251,7 +292,9 @@ object Bench {
     // split future gates diff instead of the conflated wall time
     val ph = phasesJson(times, phases)
     val cal = calibrationJson(calibration)
-    s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},$cal""" +
+    val cont = contendedJson(calibration)
+    val nr = noiseRetriesJson(noiseRetries)
+    s"""{"metric":"total","value":$total,"unit":"sec","timing":${jsonQ(Timing)},$cal$cont$nr""" +
       s"""$filt"queries":$full,$ph"errors":$esFull,"n_ok":${times.size},""" +
       s""""n_err":${errors.size},"bucket_overflows":$bucketOverflows,""" +
       s""""regressed":$regressed,"sf":${jsonQ(sfDir)}}"""
@@ -432,6 +475,11 @@ object Bench {
     // queries whose bucketPairs cap actually bound this run (silent-
     // truncation audit as a per-round artifact, not just a log line)
     var bucketOverflows = 0
+    // extra timed runs the noise retry added, per query, ACCUMULATED
+    // across retest passes — the artifact-borne record that a row is
+    // min-of-more-than-3 (r14 advice: stderr alone isn't self-
+    // describing)
+    val noiseRetries = scala.collection.mutable.LinkedHashMap[String, Int]()
 
     // one measurement = warmup + min of three timed runs: GC/JIT noise
     // at this scale is on the order of the measurement itself (round-2's
@@ -498,6 +546,7 @@ object Bench {
             // artifacts alone
             System.err.println(f"BENCH noise retry $name (run ${runs + 1}):" +
               f" spread ${worst}%.2f s / ${best}%.2f s")
+            noiseRetries(name) = noiseRetries.getOrElse(name, 0) + 1
             timedRun()
           }
         } finally PhaseLog.armed = false
@@ -636,13 +685,19 @@ object Bench {
     // the stdout line under 1700 chars by dropping the FASTEST queries
     // first (the slow ones are the ones worth grading); the full-precision
     // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
+    if (Bench.isContended(calibration))
+      System.err.println(f"BENCH CONTENDED: cal_cpu " +
+        f"${calibration.getOrElse("cal_cpu", Double.NaN)}%.2f s exceeds " +
+        f"the ${CalCpuQuietCeiling}%.1f s quiet-band ceiling — this " +
+        "line's numbers were taken under host contention")
     println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows = bucketOverflows, regressed = regressed,
       filtered = args.nonEmpty, phases = phases.toMap,
-      calibration = calibration))
+      calibration = calibration, noiseRetries = noiseRetries.toMap))
     val json = fullJson(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows, regressed, filtered = args.nonEmpty,
-      phases = phases.toMap, calibration = calibration)
+      phases = phases.toMap, calibration = calibration,
+      noiseRetries = noiseRetries.toMap)
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     // append-only archive: bench_out.json is overwritten every round,

@@ -53,7 +53,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    lose its lease while still alive; that bound is inherent to
   *    lease-style locks. The stores' crash contracts make the
   *    takeover itself safe — everything a crashed writer left behind
-  *    is debris the re-entered primitives heal.
+  *    is debris the re-entered primitives heal. The thawed loser's
+  *    RELEASE is token-checked (it reads the stamp and deletes only
+  *    on its own token or no readable token), so losing the lease
+  *    cannot cascade into deleting the new holder's fresh lease and
+  *    silently admitting a third writer.
+  *  - DEAD-PID FAST RECLAIM: the stamp carries pid+host; a contender
+  *    on the SAME host asks the kernel (`ProcessHandle.of`) whether
+  *    the holder still exists and reclaims a dead holder's lease
+  *    immediately instead of waiting out the horizon — a crashed
+  *    ingest job must not block its own restart for 10 minutes.
+  *    Recycled pids read as alive and degrade to the horizon wait;
+  *    foreign hosts are never fast-reclaimed (no shared kernel).
   *  - SAME-PROCESS RESTART: a failed call whose release delete ALSO
   *    failed (one filesystem fault takes both — the kill-point fuzz's
   *    exact shape) leaves a fresh-mtime lease; within this process an
@@ -157,35 +168,88 @@ object WriterLease {
           s"'$what' concurrently — the mutable stores are " +
           "single-writer")
     try {
-      claim(fs, lease, store, what, staleMs)
+      val token = claim(fs, lease, store, what, staleMs)
       mine += store
       try SnapshotLake.withLockHeartbeat(fs, lease)(body)
       finally {
         mine -= store
-        // release: clear the orphan marker on any NON-THROWING delete
-        // — true means we removed the file, false means it was already
-        // gone; either way no debris of ours remains. (A post-delete
-        // exists() probe would race a contender claiming the freed
-        // path and mis-keep the marker against THEIR fresh lease.)
-        // Only a delete that throws (the crash being simulated, or a
-        // real FS brown-out) leaves the marker, so a restart in this
-        // process can reclaim without the horizon wait.
-        // ORDER: the file delete runs while this thread is STILL the
+        // release: TOKEN-CHECKED (r14 verdict ask #2). A writer FROZEN
+        // past the stale horizon (STW pause, SIGSTOP) can lose its
+        // lease to a takeover while still alive; when it thaws, an
+        // UNCONDITIONAL delete here would destroy the NEW holder's
+        // fresh lease and silently re-open the door to a third writer.
+        // So read the stamp first and delete only when it carries OUR
+        // claim's token or no readable token at all (our best-effort
+        // stamp write failed — the file can only be ours: a takeover
+        // always leaves a freshly stamped lease). A readable FOREIGN
+        // token is the takeover's evidence — log and leave the new
+        // holder's lease intact; our own file is already gone (renamed
+        // to a tombstone by the takeover), so the orphan marker clears
+        // either way. The read→delete gap is a far narrower rewind of
+        // the same inherent freeze hazard (ms, not a whole writer
+        // call) and the claim side's token check bounds its damage.
+        // ORDER: the check+delete runs while this thread is STILL the
         // registered in-process holder — dropping the registration
         // first would open a window where a sibling thread
         // orphan-reclaims the not-yet-deleted lease and our delayed
         // delete then destroys the SIBLING's fresh lease.
         try {
-          fs.delete(lease, false)
-          mayHaveOrphan.remove(store): Unit
+          val stampToken = readStamp(fs, lease).flatMap(tokenOf)
+          if (stampToken.forall(_ == token)) {
+            fs.delete(lease, false)
+            mayHaveOrphan.remove(store): Unit
+          } else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"writer lease $lease now carries a FOREIGN token — this " +
+                s"'$what' writer was frozen past the stale horizon and " +
+                "lost the lease to a takeover; leaving the new " +
+                "holder's lease intact")
+            mayHaveOrphan.remove(store): Unit
+          }
         } catch { case _: java.io.IOException => () }
       }
     } finally
       liveInProcess.remove(store, Thread.currentThread()): Unit
   }
 
+  /** Read the lease stamp FULLY (loop to EOF/capacity): a single
+    * read() may legally return short on HDFS-likes, and a stamp
+    * truncated before its `token=` would read as "no token" — exactly
+    * the evidence the orphan check and the token-checked release need
+    * intact. None on any fault (unreadable ≠ foreign). */
+  private def readStamp(fs: FileSystem, lease: Path): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try {
+        val buf = new Array[Byte](512)
+        var off = 0
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0) {
+          off += n
+          n = if (off < buf.length)
+            in.read(buf, off, buf.length - off) else 0
+        }
+        if (off > 0) Some(new String(buf, 0, off, "UTF-8")) else None
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** The `token=` tail of a stamp, if present — `lastIndexOf` so a
+    * `what` string containing "token=" cannot shadow the real one
+    * (the token is always the stamp's final field). */
+  private def tokenOf(stamp: String): Option[String] = {
+    val i = stamp.lastIndexOf("token=")
+    if (i >= 0) Some(stamp.substring(i + "token=".length).trim) else None
+  }
+
+  /** pid/host fields of a stamp (the claim always writes them in this
+    * order before the token). */
+  private val PidHost = """ pid=(\d+) host=(\S+) """.r.unanchored
+
+  /** Claim the lease, returning the per-claim token stamped into it —
+    * the release compares the on-disk stamp against this token before
+    * deleting. */
   private def claim(fs: FileSystem, lease: Path, store: String,
-      what: String, staleMs: Long): Unit = {
+      what: String, staleMs: Long): String = {
     var attempt = 0
     while (attempt < MaxClaimAttempts) {
       attempt += 1
@@ -197,8 +261,8 @@ object WriterLease {
         mayHaveOrphan.put(store, token)
         // we own the file — stamp holder info for the loser's error
         // message and the token for same-process orphan discrimination
-        // (best-effort: the CLAIM is the empty file's existence, not
-        // this content)
+        // and the token-checked release (best-effort: the CLAIM is the
+        // empty file's existence, not this content)
         try {
           val stamp = s"$what pid=${ProcessHandle.current().pid()} " +
             s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
@@ -207,7 +271,7 @@ object WriterLease {
           out.write(stamp.getBytes("UTF-8"))
           out.close()
         } catch { case _: java.io.IOException => () }
-        return
+        return token
       }
       // lease exists (or just vanished): stat it; a vanished lease is
       // a racing release — loop straight back to the claim
@@ -216,25 +280,6 @@ object WriterLease {
         catch { case _: java.io.FileNotFoundException => None }
       st.foreach { s =>
         val age = System.currentTimeMillis() - s.getModificationTime
-        // read the stamp FULLY (loop to EOF/capacity): a single read()
-        // may legally return short on HDFS-likes, and a foreign stamp
-        // truncated before its `token=` would read as "no token" —
-        // exactly the evidence the orphan check needs intact
-        def readStamp(): Option[String] =
-          try {
-            val in = fs.open(lease)
-            try {
-              val buf = new Array[Byte](512)
-              var off = 0
-              var n = in.read(buf, 0, buf.length)
-              while (n > 0) {
-                off += n
-                n = if (off < buf.length)
-                  in.read(buf, off, buf.length - off) else 0
-              }
-              if (off > 0) Some(new String(buf, 0, off, "UTF-8")) else None
-            } finally in.close()
-          } catch { case _: java.io.IOException => None }
         // in-process orphan: OUR process left this file (marker set
         // with the claim's token) and the on-disk stamp does not
         // CONTRADICT ownership — it carries our token, or carries no
@@ -246,17 +291,33 @@ object WriterLease {
         // putIfAbsent registration in withLease admits exactly one
         // in-process claimant, so the registered holder is this
         // thread (kept as a defensive check).
-        val stamp = readStamp()
-        val stampToken = stamp.flatMap { c =>
-          val i = c.lastIndexOf("token=")
-          if (i >= 0) Some(c.substring(i + "token=".length).trim) else None
-        }
+        val stamp = readStamp(fs, lease)
+        val stampToken = stamp.flatMap(tokenOf)
         val ourOrphan =
           (liveInProcess.get(store) eq Thread.currentThread()) &&
           Option(mayHaveOrphan.get(store)).exists { mine =>
             stampToken.forall(_ == mine)
           }
-        if (age <= staleMs && !ourOrphan) {
+        // same-host crashed-process fast reclaim (r14 verdict ask #6):
+        // the stamp carries pid+host; when the host is OURS we can ask
+        // the kernel whether the holder still exists instead of waiting
+        // out the 10-minute horizon — a crashed ingest job must not
+        // block its own restart. Conservative by construction: a
+        // recycled pid reads as alive (ProcessHandle.of is present) and
+        // degrades to the horizon wait; a FOREIGN host is never fast-
+        // reclaimed (no shared kernel to consult); an unparseable stamp
+        // (crashed before the stamp write) keeps horizon rules.
+        val deadLocalHolder = stamp.exists {
+          case PidHost(pid, host) =>
+            host == java.net.InetAddress.getLocalHost.getHostName &&
+              pid != ProcessHandle.current().pid().toString &&
+              scala.util.Try {
+                val h = ProcessHandle.of(pid.toLong)
+                !(h.isPresent && h.get().isAlive)
+              }.getOrElse(false)
+          case _ => false
+        }
+        if (age <= staleMs && !ourOrphan && !deadLocalHolder) {
           val holder = stamp.getOrElse("(unstamped)")
           throw new ConcurrentWriterException(
             s"store writer lease $lease is held by a LIVE writer " +
@@ -283,6 +344,10 @@ object WriterLease {
               s"reclaimed this process's orphaned writer lease $lease " +
                 s"(a failed call's release could not delete it) for " +
                 s"'$what'"
+            else if (age <= staleMs)
+              s"reclaimed writer lease $lease of a DEAD same-host " +
+                s"process [${stamp.getOrElse("(unstamped)")}] before " +
+                s"the ${staleMs} ms horizon for '$what'"
             else
               s"reclaimed stale writer lease $lease (age ${age} ms > " +
                 s"${staleMs} ms — crashed holder) for '$what'")
@@ -293,10 +358,16 @@ object WriterLease {
           // — a uuid-suffixed name no claim/stat path ever reads — and
           // any tombstones earlier faulted claims left behind are
           // swept on the same best-effort basis.
+          // listStatus + name-prefix filter, NOT globStatus: a glob
+          // built from the raw store path would interpret glob
+          // metacharacters ([, {, ?, *) in every path component — a
+          // store named `data[2024]` would throw (degrading to
+          // no-sweep) or, pathologically, match unintended files
           try {
             fs.delete(tomb, false)
-            Option(fs.globStatus(new Path(lease.getParent,
-                lease.getName + ".stale.*"))).toSeq.flatten
+            val prefix = lease.getName + ".stale."
+            fs.listStatus(lease.getParent,
+                (p: Path) => p.getName.startsWith(prefix))
               .foreach(s =>
                 try fs.delete(s.getPath, false)
                 catch { case _: java.io.IOException => () })

@@ -354,4 +354,58 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.needsNoiseRetry(runs = 3, best = 0.5, worst = 1.1))
     assert(!Bench.needsNoiseRetry(runs = 3, best = 10.0, worst = 20.0))
   }
+
+  test("contended flag: a cal_cpu above the quiet-band ceiling stamps " +
+      "both artifacts, a quiet or absent calibration leaves no trace " +
+      "(r14 ask #4)") {
+    // positive evidence only: quiet band (≤ ceiling) and UNKNOWN
+    // (calibration failed → no cal_cpu) both render no flag
+    assert(Bench.isContended(Map("cal_cpu" -> 8.1), ceiling = 5.5))
+    assert(!Bench.isContended(Map("cal_cpu" -> 4.3), ceiling = 5.5))
+    assert(!Bench.isContended(Map("cal_cpu" -> 5.5), ceiling = 5.5))
+    assert(!Bench.isContended(Map("cal_fs" -> 9.9), ceiling = 5.5))
+    assert(!Bench.isContended(Map.empty, ceiling = 5.5))
+    val hot = Map("cal_cpu" -> (Bench.CalCpuQuietCeiling + 1.0),
+      "cal_fs" -> 0.4)
+    val full = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = hot)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""contended":true"""))
+    val line = Bench.stdoutLine(Seq("q1_a" -> 0.5), Nil, "/sf",
+      calibration = hot)
+    assertStrictJsonObject(line)
+    assert(line.contains(""""contended":true"""))
+    // the flag survives budget trimming alongside the calibration row
+    val tight = Bench.stdoutLine(manyTimes, Nil, "/sf", budget = 900,
+      calibration = hot)
+    assertStrictJsonObject(tight)
+    assert(tight.length <= 900 && tight.contains(""""contended":true"""))
+    // quiet box: no flag, and the queries parser is undisturbed
+    val quiet = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = Map("cal_cpu" -> 4.2))
+    assertStrictJsonObject(quiet)
+    assert(!quiet.contains("contended"))
+    assert(Bench.parseHistoryLine(quiet).get._3.toMap == Map("q1_a" -> 0.5))
+  }
+
+  test("noise-retry counts land in both artifacts so a min-of-5 row is " +
+      "self-describing (r14 advice); zero retries leaves no field") {
+    val nr = Map("d2_minhash_lsh" -> 2, "q8_scan" -> 1)
+    val full = Bench.fullJson(Seq("d2_minhash_lsh" -> 17.4), Nil,
+      "/sf", 0, 0, noiseRetries = nr)
+    assertStrictJsonObject(full)
+    assert(full.contains(
+      """"noise_retries":{"d2_minhash_lsh":2,"q8_scan":1}"""))
+    val line = Bench.stdoutLine(Seq("d2_minhash_lsh" -> 17.4), Nil,
+      "/sf", noiseRetries = nr)
+    assertStrictJsonObject(line)
+    assert(line.contains(""""noise_retries":"""))
+    // no retries → no field (every pre-r15 history line stays the shape
+    // its parsers expect)
+    val bare = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0)
+    assert(!bare.contains("noise_retries"))
+    // the flat queries parser must not trip over the extra nested map
+    assert(Bench.parseHistoryLine(full).get._3.toMap ==
+      Map("d2_minhash_lsh" -> 17.4))
+  }
 }

@@ -17,10 +17,13 @@ import graft.SharedSpark
   *    claim — no in-process registry can excuse it;
   *  - the foreign holder's clean exit releases the lease and our claim
   *    proceeds;
-  *  - a SIGKILLed foreign holder leaves a fresh lease that still
-  *    refuses (no marker of ours — horizon rules), and the SAME file
-  *    aged past the horizon is taken over with the takeover logged by
-  *    the rename-to-tombstone path.
+  *  - a SIGKILLed holder ON THIS HOST leaves a fresh lease that is
+  *    reclaimed IMMEDIATELY via the dead-pid fast path (the kernel
+  *    confirms the holder is gone — no 10-minute horizon wait for a
+  *    crashed job's own restart);
+  *  - a FOREIGN-host holder's fresh lease still refuses (no kernel to
+  *    consult — horizon rules), and the SAME file aged past the
+  *    horizon is taken over by the rename-to-tombstone path.
   *
   * SlowTest tier: two JVM spawns (~3-8 s). */
 class CrossProcessLeaseSpec extends AnyFunSuite {
@@ -89,8 +92,8 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     } finally proc.destroyForcibly(): Unit
   }
 
-  test("a SIGKILLed foreign holder's lease refuses while fresh and is " +
-      "taken over once past the stale horizon", graft.SlowTest) {
+  test("a SIGKILLed holder ON THIS HOST is reclaimed immediately — the " +
+      "dead-pid fast path, no horizon wait (r14 ask #6)", graft.SlowTest) {
     val fs = localFs
     val store = java.nio.file.Files
       .createTempDirectory("xprockill").resolve("store").toString
@@ -101,13 +104,43 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     assert(fs.exists(lease),
       "SIGKILL should leave the crashed holder's lease behind")
 
-    // fresh + foreign + no marker of ours → horizon rules refuse
+    // the lease is FRESH (seconds old, default 10-min horizon) and
+    // stamped with our host + the killed JVM's pid: the kernel says
+    // that pid is gone, so the claim reclaims NOW — a crashed ingest
+    // job must not block its own restart for 10 minutes
+    val t0 = System.nanoTime()
+    var ran = false
+    WriterLease.withLease(fs, store, "same-host-restart") { ran = true }
+    assert(ran, "dead same-host holder's fresh lease was not reclaimed")
+    assert((System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000,
+      "fast reclaim took implausibly long — did it wait a horizon?")
+    assert(!fs.exists(lease))
+  }
+
+  test("a FOREIGN-host holder's fresh lease refuses (no kernel to " +
+      "consult) and is taken over only past the stale horizon",
+      graft.SlowTest) {
+    val fs = localFs
+    val store = java.nio.file.Files
+      .createTempDirectory("xprocforeign").resolve("store").toString
+    val lease = WriterLease.leasePath(store)
+    // a crashed holder on ANOTHER machine: fresh mtime, live-looking
+    // pid number, but a host we cannot ask — exactly what the fast
+    // path must NOT touch. (Deliberately uses this machine's OWN
+    // live pid as the stamp's pid: if the fast path wrongly consulted
+    // the pid without the host check, the pid would read alive and
+    // mask the bug — a dead pid here would pass for the wrong reason.)
+    val out = fs.create(lease, false)
+    out.write(("cross-host-holder pid=" + ProcessHandle.current().pid() +
+      " host=some-other-machine token=" + java.util.UUID.randomUUID())
+      .getBytes("UTF-8"))
+    out.close()
     val e = intercept[WriterLease.ConcurrentWriterException] {
       WriterLease.withLease(fs, store, "too-early") {
-        fail("claimed a freshly crashed foreign holder's lease")
+        fail("claimed a fresh foreign-host lease")
       }
     }
-    assert(e.getMessage.contains("cross-process-holder"),
+    assert(e.getMessage.contains("cross-host-holder"),
       s"refusal should name the foreign holder's stamp: ${e.getMessage}")
 
     // age the SAME file past the horizon: the crashed holder never

@@ -202,6 +202,55 @@ class WriterLeaseSpec extends AnyFunSuite {
     flaky.delete(lease3, false): Unit
   }
 
+  test("a thawed FROZEN writer's release leaves the takeover holder's " +
+      "fresh lease intact (token-checked release, r14 ask #2)") {
+    val fs = localFs
+    val store = java.nio.file.Files
+      .createTempDirectory("leasefrozen").resolve("store").toString
+    val lease = WriterLease.leasePath(store)
+    val entered = new CountDownLatch(1)
+    val thaw = new CountDownLatch(1)
+    val t = new Thread(() =>
+      WriterLease.withLease(fs, store, "frozen-writer") {
+        entered.countDown()
+        // the "freeze": the body outlives a foreign takeover staged by
+        // the test thread below, then thaws and runs its release
+        thaw.await(20, TimeUnit.SECONDS): Unit
+      })
+    t.start()
+    assert(entered.await(20, TimeUnit.SECONDS), "holder never entered")
+    // simulate the cross-process stale takeover the frozen writer
+    // cannot see: the contender renames our stale lease aside and
+    // claims fresh with ITS stamp (direct FS ops — a real second
+    // process would not be visible to the in-process registries
+    // either, which is the point of the hazard)
+    val foreignToken = java.util.UUID.randomUUID().toString
+    assert(fs.delete(lease, false))
+    val out = fs.create(lease, false)
+    out.write(("foreign-maint pid=1 host=elsewhere " +
+      s"token=$foreignToken").getBytes("UTF-8"))
+    out.close()
+    // thaw: the release must read the FOREIGN token and leave the file
+    thaw.countDown()
+    t.join(20000)
+    assert(fs.exists(lease),
+      "the thawed frozen writer deleted the takeover holder's lease — " +
+        "the third-writer door the token-checked release closes")
+    val in = fs.open(lease)
+    val buf = new Array[Byte](512)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8").contains(foreignToken),
+      "the surviving lease is not the takeover holder's")
+    // and the fresh foreign lease still refuses the next claim — no
+    // silent third writer
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(fs, store, "third-writer") {
+        fail("third writer ran against a live foreign lease")
+      }
+    }
+    fs.delete(lease, false): Unit
+  }
+
   // SlowTest tier (~15 s: real maintenance ops on both stores) — the
   // lease MECHANISM is covered in-default by the two tests above;
   // this integration sweep runs in the bench window
