@@ -245,6 +245,54 @@ object WriterLease {
     * order before the token). */
   private val PidHost = """ pid=(\d+) host=(\S+) """.r.unanchored
 
+  /** Whether a stamped holder is a process on THIS host that the
+    * kernel says no longer exists. Conservative: recycled pids read as
+    * alive, foreign hosts and unparseable stamps read as not-dead. */
+  private def isDeadLocalHolder(stamp: Option[String]): Boolean =
+    stamp.exists {
+      case PidHost(pid, host) =>
+        host == java.net.InetAddress.getLocalHost.getHostName &&
+          pid != ProcessHandle.current().pid().toString &&
+          scala.util.Try {
+            val h = ProcessHandle.of(pid.toLong)
+            !(h.isPresent && h.get().isAlive)
+          }.getOrElse(false)
+      case _ => false
+    }
+
+  /** Whether the store's lease belongs to a writer that is LIVE as far
+    * as this process can observe — the READ paths' guard: a reader
+    * that finds rename-aside swap debris must not "heal" an IN-FLIGHT
+    * swap out from under a live maintenance writer (the roll-forward
+    * rename would steal the writer's own second rename). Never locks,
+    * never mutates — a bounded stat/read. Decision ladder, most exact
+    * first: the in-process registry (a live call HERE), then our own
+    * orphan marker (our crashed call's debris is not a live writer),
+    * then the stamp's pid asked of the kernel (same host only), then
+    * the mtime horizon. */
+  private[graft] def holderIsLive(fs: FileSystem, store: String,
+      staleMs: Long = DefaultStaleLeaseMs): Boolean = {
+    val inProc = liveInProcess.get(store)
+    // OUR OWN held lease is not a foreign live writer: a writer's
+    // entry points heal swap debris under their own lease (the
+    // probeAndExtend shape — lease claimed, THEN the shared body's
+    // read-side heal runs), and answering "live" here would make a
+    // writer refuse to heal the very debris it is responsible for
+    if (inProc eq Thread.currentThread()) return false
+    if (inProc != null) return true
+    val lease = leasePath(store)
+    val st =
+      try fs.getFileStatus(lease)
+      catch { case _: java.io.FileNotFoundException => return false }
+    if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+      return false
+    val stamp = readStamp(fs, lease)
+    val stampToken = stamp.flatMap(tokenOf)
+    val ourDebris = Option(mayHaveOrphan.get(store))
+      .exists(mine => stampToken.forall(_ == mine))
+    !ourDebris && !isDeadLocalHolder(stamp)
+  }
+
   /** Claim the lease, returning the per-claim token stamped into it —
     * the release compares the on-disk stamp against this token before
     * deleting. */
@@ -307,16 +355,7 @@ object WriterLease {
         // degrades to the horizon wait; a FOREIGN host is never fast-
         // reclaimed (no shared kernel to consult); an unparseable stamp
         // (crashed before the stamp write) keeps horizon rules.
-        val deadLocalHolder = stamp.exists {
-          case PidHost(pid, host) =>
-            host == java.net.InetAddress.getLocalHost.getHostName &&
-              pid != ProcessHandle.current().pid().toString &&
-              scala.util.Try {
-                val h = ProcessHandle.of(pid.toLong)
-                !(h.isPresent && h.get().isAlive)
-              }.getOrElse(false)
-          case _ => false
-        }
+        val deadLocalHolder = isDeadLocalHolder(stamp)
         if (age <= staleMs && !ourOrphan && !deadLocalHolder) {
           val holder = stamp.getOrElse("(unstamped)")
           throw new ConcurrentWriterException(

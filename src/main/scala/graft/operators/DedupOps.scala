@@ -634,6 +634,17 @@ object DedupOps {
       }
       return
     }
+    // roll-forward/back heals CRASH debris only: when a LIVE writer
+    // holds the store's lease, an absent store path is an IN-FLIGHT
+    // rename-aside swap, and a reader "healing" it would rename
+    // `.next` in under the writer — making the writer's own second
+    // rename fail and aborting a healthy maintenance cycle. Readers
+    // (dropAside = false) back off and let the probe fail/retry
+    // ([[graft.operators.SimilarityOps.probeVectorStoreConsistent]]);
+    // writers heal under their own held lease (dropAside = true, and
+    // holderIsLive would be trivially true for themselves anyway).
+    if (!dropAside && graft.catalog.WriterLease.holderIsLive(fs, store))
+      return
     Seq(store + ".next", store + ".migrating", store + ".old")
       .map(new org.apache.hadoop.fs.Path(_))
       .find(fs.exists)

@@ -1336,6 +1336,130 @@ object SimilarityOps {
       .select(col("q_id"), col("rk"), col("n_id"), col("r"))
   }
 
+  /** Metadata fingerprint of the (postings, centroid-table) pair that
+    * [[probeVectorStoreConsistent]] validates against: the store
+    * root's mtime, each cell directory's (name, mtime), and each
+    * centroid-table file's (name, mtime, length). Every maintenance
+    * mutation a reader could tear on — an append landing, a
+    * rename-aside swap of either the store or the table, a split's
+    * child commit, a merge pass, a retired directory's delete —
+    * changes at least one entry, so two captures that compare EQUAL
+    * bracket an interval with no visible mutation. None while a
+    * rename-aside swap has the path absent (the swap's only
+    * non-atomic instant). Cost: two listStatus calls, ≤ nlist + a few
+    * entries — metadata only, never data, so the check stays O(cells)
+    * at any corpus size. (Caveat, documented not defended: local-FS
+    * mtimes are millisecond-granular, so a mutation landing in the
+    * SAME millisecond as the dir's previous mtime with an unchanged
+    * name set is invisible to the token — unreachable in practice
+    * because maintenance separates its FS mutations by multi-second
+    * Spark jobs.) */
+  private def storeToken(fs: org.apache.hadoop.fs.FileSystem,
+      store: String, centroidPath: String): Option[Seq[String]] =
+    try {
+      val root = fs.getFileStatus(new org.apache.hadoop.fs.Path(store))
+      val cells = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .map(s => s"${s.getPath.getName}@${s.getModificationTime}")
+      val cents = fs.listStatus(
+          new org.apache.hadoop.fs.Path(centroidPath))
+        .map(s =>
+          s"${s.getPath.getName}@${s.getModificationTime}#${s.getLen}")
+      Some((s"root@${root.getModificationTime}" +:
+        cells.sorted.toSeq) ++ cents.sorted)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Whether a probe failure is one of the transient shapes an
+    * in-flight maintenance swap inflicts on a lock-free reader — a
+    * path vanishing between listing and read — as opposed to a real
+    * error that must propagate (bad schema, the MaxProbeRows guard,
+    * a broken filesystem). */
+  private def isTransientScanFailure(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    var c: Throwable = e
+    while (c != null && seen.add(c)) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getMessage).exists(m =>
+              m.contains("PATH_NOT_FOUND") ||
+                m.contains("Path does not exist")) => return true
+        case _ =>
+      }
+      c = c.getCause
+    }
+    false
+  }
+
+  /** Attempts bound for [[probeVectorStoreConsistent]]: generous —
+    * each failed attempt costs a metadata check plus at most one
+    * probe's work, and a reader livelocked past this many attempts
+    * means maintenance is mutating continuously with no gaps, which
+    * deserves a loud error naming the contention, not an infinite
+    * silent loop. */
+  val MaxConsistentProbeAttempts: Int = 240
+
+  /** [[probeVectorStore]] for probes CONCURRENT with a maintenance
+    * writer (r14 verdict ask #3) — an OPTIMISTIC lock-free read:
+    * capture the store's metadata token, run the probe, re-capture;
+    * equal tokens mean every byte the probe read came from one
+    * immutable snapshot of the (postings, centroid-table) pair, so
+    * the result is returned; a changed token or a transient
+    * vanished-path failure means a swap/split/merge landed mid-read
+    * and the probe retries against the NEW snapshot. Readers still
+    * never lock — maintenance is never delayed by any number of
+    * probes, and the reader pays only metadata stats per attempt.
+    *
+    * Why the plain [[probeVectorStore]] isn't enough mid-cycle: its
+    * centroid read and store scan are two separate actions, so a
+    * split's table swap + parent-directory delete landing between
+    * them leaves the probe holding retired cids whose directories
+    * are gone — silently MISSING true neighbors (the crash-window
+    * duplicate collapse covers duplicated rows, not vanished cells).
+    * Between batches (the documented maintenance cadence) the plain
+    * probe remains exactly right and keeps its lazy single-shuffle
+    * plan; this variant MATERIALIZES (the probe API is already
+    * driver-bounded by [[MaxProbeRows]] — results are ≤ queries × k
+    * rows) and returns a local relation.
+    *
+    * Takes the centroid PATH, not a DataFrame: each retry must
+    * re-read the table as of the new snapshot, and the token needs
+    * the path to fingerprint. */
+  def probeVectorStoreConsistent(store: String, centroidPath: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "v",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (attempt < MaxConsistentProbeAttempts) {
+      attempt += 1
+      storeToken(fs, store, centroidPath) match {
+        case None => Thread.sleep(20) // mid-swap absence window
+        case Some(t0) =>
+          try {
+            val df = probeVectorStore(store,
+              spark.read.parquet(centroidPath), queries, k, nprobe,
+              idCol, vecCol, excludeSelf)
+            val rows = df.collect()
+            if (storeToken(fs, store, centroidPath).contains(t0))
+              return spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), df.schema)
+            // token moved: a mutation landed mid-read — retry on the
+            // new snapshot (no sleep: the next attempt's work is the
+            // backoff)
+          } catch {
+            case e: Throwable if isTransientScanFailure(e) =>
+              Thread.sleep(10) // a swap was mid-flight; let it land
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"probeVectorStoreConsistent: no consistent snapshot of $store " +
+        s"in $MaxConsistentProbeAttempts attempts — maintenance is " +
+        "mutating the store continuously with no readable gaps")
+  }
+
   /** Maintenance compaction for the streaming vector store — the
     * [[DedupOps.compactStore]] shape applied per cell: every
     * micro-batch append leaves one small file per touched cell, so
