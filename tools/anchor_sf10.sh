@@ -1,0 +1,27 @@
+#!/bin/bash
+# Quiet-box sf10 SOLO anchor runs (r14 verdict ask #1): one Bench
+# invocation per heavy-hitter query against /tmp/sf10, each with its
+# own calibration row, appended to a scratch history (solo runs are
+# "filtered":true and must never baseline the driver gate). Run ONLY
+# on a drained box: check `uptime` 5/15-min load first.
+set -u
+OUTDIR=${1:-/tmp/anchor_r15}
+mkdir -p "$OUTDIR"
+cd /root/repo
+OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+  java.net java.nio java.util java.util.concurrent \
+  java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+  sun.security.action sun.util.calendar; do
+  echo --add-opens java.base/$p=ALL-UNNAMED; done)
+for q in d2_minhash_lsh d12_dedup_pipeline d15_lsh_recall \
+  d4_ngram_jaccard d9_semantic_dedup v11_ann_fitted v6_ann_pq \
+  k15_time_travel i1_ingest_pipeline; do
+  sync; sleep 2
+  echo "== $q $(date +%H:%M:%S) load=$(cut -d' ' -f1-3 /proc/loadavg)"
+  SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 \
+  BENCH_OUT="$OUTDIR/$q.json" BENCH_HISTORY="$OUTDIR/history.jsonl" \
+  java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Xmx60g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench "$q" 2>"$OUTDIR/$q.stderr" | tail -1
+  grep -E "calibration|noise retry|CONTENDED" "$OUTDIR/$q.stderr" || true
+done
