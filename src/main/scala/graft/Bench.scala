@@ -85,7 +85,9 @@ object Bench {
     *    staging/lake-protocol class (i1/k15/k14), whose r13 drift was
     *    kernel-writeback-bound, invisible to a CPU calibration.
     * ~4-5 s total, run ONCE before the query loop (never inside any
-    * query's timed window). The regression gate stays RAW — scaling
+    * query's timed window); the cpu half is re-read AFTER the last
+    * timed run as `cal_cpu_post` (r15 ask #1 — see [[calCpuSeconds]]).
+    * The regression gate stays RAW — scaling
     * gate DECISIONS by a 2-point calibration would let one noisy
     * calibration sample suppress a real regression — but the gate's
     * stderr report shows the cpu-scaled delta next to the raw one. */
@@ -99,14 +101,7 @@ object Bench {
     // writer handles a partial/empty map).
     val out = scala.collection.mutable.Map[String, Double]()
     try {
-      val t0 = System.nanoTime()
-      spark.range(0L, CalCpuRows, 1L,
-          spark.sparkContext.defaultParallelism)
-        // bit_xor, not sum: ANSI mode overflows a long sum of 3e9
-        // full-range hashes
-        .select(bit_xor(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
-        .collect()
-      out("cal_cpu") = (System.nanoTime() - t0) / 1e9
+      out("cal_cpu") = calCpuSeconds(spark)
       val dir = java.nio.file.Files.createTempDirectory("graft_cal")
       try {
         val bytes = Array.fill[Byte](65536)(0x5A)
@@ -135,6 +130,28 @@ object Bench {
     out.toMap
   }
 
+  /** The `cal_cpu` workload alone (throws on failure — [[calibrate]]
+    * degrades it, the post-run caller in [[main]] degrades it
+    * separately): one single-stage, shuffle-free, codegen'd Spark job
+    * over a pinned row count. Shared by the PRE-run calibration and
+    * the r15-ask-#1 POST-run reading — the recorded pass-8 d15
+    * counterexample proved a host burst arriving AFTER the pre-run
+    * window makes a uniformly-contended run read formally clean, so
+    * the artifact now brackets the timed runs with a calibration on
+    * EACH side (`cal_cpu` / `cal_cpu_post`) and [[isContended]] fires
+    * on either. */
+  private[graft] def calCpuSeconds(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, CalCpuRows, 1L,
+        spark.sparkContext.defaultParallelism)
+      // bit_xor, not sum: ANSI mode overflows a long sum of 3e9
+      // full-range hashes
+      .select(bit_xor(xxhash64(col("id"), col("id") + 1L, col("id") + 2L)))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Pinned calibration workload sizes — changing either re-rulers
     * `calibration` across rounds, so bump [[Timing]] if they change. */
   private[graft] val CalCpuRows: Long = 2000000000L
@@ -155,11 +172,19 @@ object Bench {
     sys.env.getOrElse("BENCH_CAL_QUIET_CEIL", "5.5").toDouble
 
   /** Whether a calibration row marks the run as taken under host
-    * contention. No cal_cpu (calibration failed/absent) means UNKNOWN,
-    * not contended — the flag asserts positive evidence only. */
+    * contention: EITHER the pre-run `cal_cpu` OR the post-run
+    * `cal_cpu_post` above the ceiling fires it (r15 verdict ask #1 —
+    * a burst landing after the pre-run window previously made a
+    * uniformly-contended run read clean; bracketing catches bursts
+    * arriving on either side, though a burst contained strictly
+    * BETWEEN the two readings remains detectable only by the
+    * noise-retry spread). No reading at all (calibration
+    * failed/absent) means UNKNOWN, not contended — the flag asserts
+    * positive evidence only. */
   private[graft] def isContended(cal: Map[String, Double],
       ceiling: Double = CalCpuQuietCeiling): Boolean =
-    cal.get("cal_cpu").exists(_ > ceiling)
+    cal.get("cal_cpu").exists(_ > ceiling) ||
+      cal.get("cal_cpu_post").exists(_ > ceiling)
 
   /** Max/min spread across one query's timed runs above which the
     * host is presumed to have stalled a run mid-measurement and up to
@@ -639,6 +664,12 @@ object Bench {
         // just beat.
         val firstTime = times(n)
         val firstPhases = phases.get(n)
+        // the retry counter follows the KEPT pass (r15 advice): the
+        // field's contract is "extra samples behind the kept min",
+        // so a retest pass that replaces the time carries ONLY its
+        // own retries, and a discarded retest's retries are dropped
+        // with its time
+        val firstRetries = noiseRetries.remove(n)
         val residualGated =
           prevPhases.contains(n) && firstPhases.nonEmpty
         measure(n) // min-of-3 again
@@ -650,9 +681,32 @@ object Bench {
             case Some(p) => phases(n) = p
             case None => phases.remove(n): Unit
           }
+          noiseRetries.remove(n)
+          firstRetries.foreach(noiseRetries(n) = _)
         }
       }
     }
+    // POST-run calibration (r15 verdict ask #1): the pass-8 d15
+    // counterexample proved a clean pre-run cal_cpu does not certify
+    // the timed runs — the burst arrived AFTER the calibration window
+    // and every run was uniformly slow with zero retries. Re-read the
+    // same pinned workload AFTER the last timed run (retests
+    // included) so the artifact brackets the measurement interval;
+    // isContended fires on either side. Degrade like the pre-run
+    // calibration: a post-cal fault annotates, never aborts.
+    val calibrationFull = calibration ++
+      (try Map("cal_cpu_post" -> calCpuSeconds(spark))
+       catch {
+         case scala.util.control.NonFatal(e) =>
+           System.err.println("BENCH post-run calibration failed (" +
+             s"${e.getClass.getSimpleName}: ${e.getMessage}); the " +
+             "artifact will carry only the pre-run reading")
+           Map.empty[String, Double]
+       })
+    System.err.println("BENCH post-run calibration " +
+      calibrationFull.get("cal_cpu_post")
+        .map(v => f"cal_cpu_post=$v%.3f s").getOrElse("(absent)"))
+
     val confirmed = gate()
     // report raw AND calibration-scaled deltas (r13 verdict ask #5):
     // the scaled figure divides out the box-speed ratio between the
@@ -685,18 +739,20 @@ object Bench {
     // the stdout line under 1700 chars by dropping the FASTEST queries
     // first (the slow ones are the ones worth grading); the full-precision
     // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
-    if (Bench.isContended(calibration))
+    if (Bench.isContended(calibrationFull))
       System.err.println(f"BENCH CONTENDED: cal_cpu " +
-        f"${calibration.getOrElse("cal_cpu", Double.NaN)}%.2f s exceeds " +
-        f"the ${CalCpuQuietCeiling}%.1f s quiet-band ceiling — this " +
-        "line's numbers were taken under host contention")
+        f"${calibrationFull.getOrElse("cal_cpu", Double.NaN)}%.2f s / " +
+        f"cal_cpu_post " +
+        f"${calibrationFull.getOrElse("cal_cpu_post", Double.NaN)}%.2f " +
+        f"s vs the ${CalCpuQuietCeiling}%.1f s quiet-band ceiling — " +
+        "this line's numbers were taken under host contention")
     println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows = bucketOverflows, regressed = regressed,
       filtered = args.nonEmpty, phases = phases.toMap,
-      calibration = calibration, noiseRetries = noiseRetries.toMap))
+      calibration = calibrationFull, noiseRetries = noiseRetries.toMap))
     val json = fullJson(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows, regressed, filtered = args.nonEmpty,
-      phases = phases.toMap, calibration = calibration,
+      phases = phases.toMap, calibration = calibrationFull,
       noiseRetries = noiseRetries.toMap)
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")

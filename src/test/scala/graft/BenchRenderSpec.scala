@@ -388,6 +388,44 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseHistoryLine(quiet).get._3.toMap == Map("q1_a" -> 0.5))
   }
 
+  test("post-run calibration (r15 ask #1): a quiet PRE-run reading with " +
+      "a contended POST-run reading stamps the flag — the pass-8 " +
+      "burst-after-calibration shape; pre-r15 single-reading rows keep " +
+      "their meaning") {
+    // the recorded d15 counterexample: cal_cpu in-band BEFORE the timed
+    // runs, the burst arriving during/after them — only the post-run
+    // reading carries the evidence
+    assert(Bench.isContended(
+      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 7.9), ceiling = 5.5))
+    // and the mirror (burst during warm-up, quiet by the end)
+    assert(Bench.isContended(
+      Map("cal_cpu" -> 8.1, "cal_cpu_post" -> 4.0), ceiling = 5.5))
+    // both in-band → quiet; post-only rows (pre-cal faulted) still work
+    assert(!Bench.isContended(
+      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 4.4), ceiling = 5.5))
+    assert(Bench.isContended(Map("cal_cpu_post" -> 9.0), ceiling = 5.5))
+    assert(!Bench.isContended(Map("cal_cpu_post" -> 4.0), ceiling = 5.5))
+    // both readings land in the artifact's calibration row, the flag
+    // rides with them, and the flat queries parser is undisturbed
+    val bracketed = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 7.9,
+      "cal_fs" -> 0.4)
+    val full = Bench.fullJson(Seq("d15_lsh_recall" -> 42.7), Nil,
+      "/sf10", 0, 0, calibration = bracketed)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""cal_cpu_post":7.900"""))
+    assert(full.contains(""""contended":true"""))
+    assert(Bench.parseHistoryLine(full).get._3.toMap ==
+      Map("d15_lsh_recall" -> 42.7))
+    assert(Bench.parseHistoryCalibration(full) == bracketed)
+    // a pre-r15 history line (no cal_cpu_post) parses and classifies
+    // exactly as before
+    val old = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = Map("cal_cpu" -> 4.25, "cal_fs" -> 1.1))
+    assert(!old.contains("cal_cpu_post") && !old.contains("contended"))
+    assert(Bench.parseHistoryCalibration(old) ==
+      Map("cal_cpu" -> 4.25, "cal_fs" -> 1.1))
+  }
+
   test("noise-retry counts land in both artifacts so a min-of-5 row is " +
       "self-describing (r14 advice); zero retries leaves no field") {
     val nr = Map("d2_minhash_lsh" -> 2, "q8_scan" -> 1)

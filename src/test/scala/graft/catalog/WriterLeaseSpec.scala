@@ -131,9 +131,13 @@ class WriterLeaseSpec extends AnyFunSuite {
       "takeover did not sweep earlier claims' tombstone debris")
   }
 
-  /** Local FS whose delete can be made to throw — the one-fault-takes-
-    * both shape (body dies AND the release delete dies) that leaves a
-    * same-process orphan lease behind. */
+  /** Local FS whose delete — and, separately, whose OVERWRITING create
+    * — can be made to throw: the one-fault-takes-both shape (body dies
+    * AND the release delete dies) that leaves a same-process orphan
+    * lease behind, and the kill-at-stamp shape (the claim's
+    * atomicCreate on file:// goes through java.io.File directly, so
+    * `failOverwrites` faults ONLY the best-effort stamp write,
+    * `fs.create(lease, overwrite = true)`). */
   private class FlakyDeleteFs(underlying: org.apache.hadoop.fs.FileSystem)
       extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
     // FilterFileSystem does not delegate getScheme (the base throws
@@ -141,15 +145,28 @@ class WriterLeaseSpec extends AnyFunSuite {
     // it to pick the O_EXCL primitive
     override def getScheme: String = "file"
     @volatile var failDeletes = false
+    @volatile var failOverwrites = false
     override def delete(p: Path, recursive: Boolean): Boolean =
       if (failDeletes) throw new java.io.IOException("injected delete fault")
       else super.delete(p, recursive)
+    override def create(f: Path,
+        permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short,
+        blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream =
+      if (failOverwrites && overwrite)
+        throw new java.io.IOException("injected stamp-write fault")
+      else super.create(f, permission, overwrite, bufferSize,
+        replication, blockSize, progress)
   }
 
-  private def orphanedStore(flaky: FlakyDeleteFs, prefix: String): String = {
+  private def orphanedStore(flaky: FlakyDeleteFs, prefix: String,
+      failStamp: Boolean = false): String = {
     val store = java.nio.file.Files
       .createTempDirectory(prefix).resolve("store").toString
     flaky.failDeletes = true
+    flaky.failOverwrites = failStamp
     try {
       val e = intercept[RuntimeException] {
         WriterLease.withLease(flaky, store, "crasher") {
@@ -157,7 +174,10 @@ class WriterLeaseSpec extends AnyFunSuite {
         }
       }
       assert(e.getMessage == "body died", s"unexpected failure: $e")
-    } finally flaky.failDeletes = false
+    } finally {
+      flaky.failDeletes = false
+      flaky.failOverwrites = false
+    }
     assert(flaky.exists(WriterLease.leasePath(store)),
       "crashed call left no orphan lease")
     store
@@ -177,10 +197,12 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(ran, "same-process restart did not reclaim its own orphan")
     assert(!flaky.exists(WriterLease.leasePath(s1)))
 
-    // unstamped orphan (the kill-at-stamp-write fuzz shape): no
-    // readable token cannot CONTRADICT ownership → still reclaims
-    val s2 = orphanedStore(flaky, "leaseorphan2")
-    flaky.create(WriterLease.leasePath(s2), true).close() // empty, fresh
+    // unstamped orphan (the kill-at-stamp-write fuzz shape): our own
+    // stamp write FAILED, so no readable token cannot CONTRADICT
+    // ownership → still reclaims. (When our stamp write SUCCEEDED an
+    // unstamped file is refused as foreign — the r15 release-window
+    // test below pins that side.)
+    val s2 = orphanedStore(flaky, "leaseorphan2", failStamp = true)
     ran = false
     WriterLease.withLease(flaky, s2, "restart") { ran = true }
     assert(ran, "unstamped same-process orphan was not reclaimed")
@@ -249,6 +271,118 @@ class WriterLeaseSpec extends AnyFunSuite {
       }
     }
     fs.delete(lease, false): Unit
+  }
+
+  test("unstamped-takeover release window (r15 ask #2): a writer whose " +
+      "own stamp is known on disk refuses to delete an UNSTAMPED " +
+      "replacement lease; a writer whose stamp write FAILED still " +
+      "deletes its own unstamped file") {
+    val fs = localFs
+    // (a) our stamp succeeded → an unreadable token cannot be ours:
+    // a takeover whose stamp write faulted left a fresh EMPTY lease,
+    // and the thawed frozen writer's release must leave it intact
+    val s1 = java.nio.file.Files
+      .createTempDirectory("leaseunstamped").resolve("store").toString
+    val lease1 = WriterLease.leasePath(s1)
+    val entered = new CountDownLatch(1)
+    val thaw = new CountDownLatch(1)
+    val t = new Thread(() =>
+      WriterLease.withLease(fs, s1, "frozen-writer") {
+        entered.countDown()
+        thaw.await(20, TimeUnit.SECONDS): Unit
+      })
+    t.start()
+    assert(entered.await(20, TimeUnit.SECONDS), "holder never entered")
+    // the takeover: rename our lease aside, claim fresh — and its own
+    // stamp write faults, leaving the new lease EMPTY
+    assert(fs.delete(lease1, false))
+    fs.create(lease1, false).close() // fresh, unstamped
+    thaw.countDown()
+    t.join(20000)
+    assert(fs.exists(lease1),
+      "the thawed writer deleted the takeover's UNSTAMPED fresh lease " +
+        "— the residual third-writer door r15 ask #2 closes")
+    fs.delete(lease1, false): Unit
+
+    // (b) our OWN stamp write failed → an unstamped file can still be
+    // ours, and the release must delete it (no leaked lease)
+    val failStamp = new FlakyDeleteFs(localFs)
+    val s2 = java.nio.file.Files
+      .createTempDirectory("leasenostamp").resolve("store").toString
+    val lease2 = WriterLease.leasePath(s2)
+    failStamp.failOverwrites = true
+    var ran = false
+    try WriterLease.withLease(failStamp, s2, "stampless-writer") {
+      ran = true
+      assert(failStamp.exists(lease2), "claim did not create the lease")
+      // the claim is the file's existence; the stamp write faulted
+      val in = failStamp.open(lease2)
+      assert(in.read() == -1, "stamp write was supposed to fault")
+      in.close()
+    } finally failStamp.failOverwrites = false
+    assert(ran)
+    assert(!failStamp.exists(lease2),
+      "a stamp-write-failed claim leaked its own unstamped lease")
+  }
+
+  test("bounded-wait claim (r15 ask #5): a second claimant with waitMs " +
+      "wins after the holder releases inside the window, and still " +
+      "throws past it — on both the in-process and the on-disk path") {
+    val fs = localFs
+    val store = java.nio.file.Files
+      .createTempDirectory("leasewait").resolve("store").toString
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val t = new Thread(() =>
+      WriterLease.withLease(fs, store, "holder") {
+        entered.countDown()
+        release.await(20, TimeUnit.SECONDS): Unit
+      })
+    t.start()
+    assert(entered.await(20, TimeUnit.SECONDS), "holder never entered")
+    // past the window: the holder outlives waitMs → same loud refusal
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(fs, store, "impatient", waitMs = 250L) {
+        fail("impatient claimant body must not run")
+      }
+    }
+    // inside the window: the queued claimant wins once the holder exits
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t2 = new Thread(() =>
+      WriterLease.withLease(fs, store, "patient", waitMs = 20000L) {
+        won.set(true)
+      })
+    t2.start()
+    Thread.sleep(200) // let the claimant queue against the live holder
+    release.countDown()
+    t.join(20000); t2.join(20000)
+    assert(won.get(),
+      "queued claimant did not win after the release inside its window")
+    assert(!fs.exists(WriterLease.leasePath(store)))
+
+    // on-disk path (no in-process holder): a fresh FOREIGN lease file
+    val lease = WriterLease.leasePath(store)
+    val out = fs.create(lease, false)
+    out.write(("foreign-maint pid=99999 host=elsewhere token=" +
+      java.util.UUID.randomUUID()).getBytes("UTF-8"))
+    out.close()
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(fs, store, "impatient2", waitMs = 250L) {
+        fail("claimant body must not run against a live foreign lease")
+      }
+    }
+    val freer = new Thread(() => {
+      Thread.sleep(300)
+      fs.delete(lease, false): Unit
+    })
+    freer.start()
+    var ran = false
+    WriterLease.withLease(fs, store, "patient2", waitMs = 20000L) {
+      ran = true
+    }
+    freer.join(20000)
+    assert(ran, "claimant did not win after the foreign lease vanished " +
+      "inside its window")
   }
 
   // SlowTest tier (~15 s: real maintenance ops on both stores) — the
