@@ -619,7 +619,25 @@ object DedupOps {
     * touched when the store is present — it is an in-progress writer's
     * staging or a crashed pre-swap build, and the owning maintenance
     * op deletes and rebuilds it itself. Idempotent, cheap (a few
-    * exists calls). */
+    * exists calls).
+    *
+    * FOREIGN-HOST-CRASH WINDOW (r15, accepted tradeoff): readers back
+    * off whenever [[graft.catalog.WriterLease.holderIsLive]] says the
+    * lease looks live. For a holder that CRASHED mid-swap on a
+    * FOREIGN host, the lease stays fresh-looking until the stale
+    * horizon (no shared kernel to ask, heartbeat residue ≤ 10 min),
+    * so a plain [[graft.operators.SimilarityOps.probeVectorStore]]
+    * caller gets an unretried FileNotFoundException for up to that
+    * horizon where pre-r15 it would have self-healed — availability
+    * traded for not stealing an IN-FLIGHT swap's second rename out
+    * from under a live writer. Probes racing LIVE maintenance should
+    * use [[graft.operators.SimilarityOps.probeVectorStoreConsistent]]
+    * (it retries past in-flight swaps without healing anything); the
+    * crashed-foreign-holder window itself is closed only by time or
+    * by a writer: same-host crashes reclaim immediately via the
+    * dead-pid check, the horizon expires in ≤ 10 min, and any WRITER
+    * entry (`dropAside = true`, its own lease claim having waited out
+    * or reclaimed the stale one) heals the swap on arrival. */
   private[operators] def recoverStoreSwap(
       fs: org.apache.hadoop.fs.FileSystem, store: String,
       dropAside: Boolean = false): Unit = {

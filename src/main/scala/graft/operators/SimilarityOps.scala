@@ -1348,13 +1348,27 @@ object SimilarityOps {
     * rename-aside swap has the path absent (the swap's only
     * non-atomic instant). Cost: two listStatus calls, ≤ nlist + a few
     * entries — metadata only, never data, so the check stays O(cells)
-    * at any corpus size. (Caveat, documented not defended: local-FS
-    * mtimes are millisecond-granular, so a mutation landing in the
-    * SAME millisecond as the dir's previous mtime with an unchanged
-    * name set is invisible to the token — unreachable in practice
-    * because maintenance separates its FS mutations by multi-second
-    * Spark jobs.) */
-  private def storeToken(fs: org.apache.hadoop.fs.FileSystem,
+    * at any corpus size.
+    *
+    * FILESYSTEM CONTRACT (stated, not defended — the rename-aside
+    * swap this whole store design rests on already assumes
+    * POSIX/HDFS-like semantics): the cell-side fingerprint is
+    * `dirName@mtime` and relies on a DIRECTORY's mtime changing when
+    * a child file is created, renamed, or deleted — true on local
+    * filesystems and HDFS-likes, NOT on object stores (an S3A
+    * "directory" has no mtime that child writes update), where a
+    * mid-read mutation INSIDE an existing cell would validate as a
+    * consistent snapshot. On such stores run probes between
+    * maintenance cycles (the documented cadence) or front the store
+    * with an HDFS-like layer; the centroid-table side is immune (its
+    * entries fingerprint each FILE's name, mtime AND length — see
+    * VectorStoreSpec's same-millisecond case). Second caveat: local-FS
+    * mtimes are millisecond-granular, so a cell mutation landing in
+    * the SAME millisecond as the dir's previous mtime with an
+    * unchanged name set is invisible to the token — unreachable in
+    * practice because maintenance separates its FS mutations by
+    * multi-second Spark jobs. */
+  private[operators] def storeToken(fs: org.apache.hadoop.fs.FileSystem,
       store: String, centroidPath: String): Option[Seq[String]] =
     try {
       val root = fs.getFileStatus(new org.apache.hadoop.fs.Path(store))
@@ -1431,12 +1445,25 @@ object SimilarityOps {
     val spark = queries.sparkSession
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // a token must become readable within this many attempts or the
+    // paths are judged ABSENT, not contended: a rename-aside swap's
+    // path-missing instant is milliseconds, so half a second of
+    // never-readable is a wrong path / never-created store, and the
+    // caller deserves a FileNotFoundException naming it, not ~5 s of
+    // sleeps ending in a misleading "maintenance is mutating
+    // continuously" (r15 advice)
+    val maxNeverReadable = 25
+    var everReadable = false
     var attempt = 0
     while (attempt < MaxConsistentProbeAttempts) {
       attempt += 1
       storeToken(fs, store, centroidPath) match {
-        case None => Thread.sleep(20) // mid-swap absence window
+        case None =>
+          if (!everReadable && attempt >= maxNeverReadable)
+            throw missingProbePath(fs, store, centroidPath)
+          Thread.sleep(20) // mid-swap absence window
         case Some(t0) =>
+          everReadable = true
           try {
             val df = probeVectorStore(store,
               spark.read.parquet(centroidPath), queries, k, nprobe,
@@ -1454,11 +1481,27 @@ object SimilarityOps {
           }
       }
     }
+    if (!everReadable) throw missingProbePath(fs, store, centroidPath)
     throw new IllegalStateException(
       s"probeVectorStoreConsistent: no consistent snapshot of $store " +
         s"in $MaxConsistentProbeAttempts attempts — maintenance is " +
         "mutating the store continuously with no readable gaps")
   }
+
+  /** The error for a probe whose token was NEVER readable: name the
+    * path that is actually missing (a final exists check — the store,
+    * else the centroid table) instead of diagnosing contention. */
+  private def missingProbePath(fs: org.apache.hadoop.fs.FileSystem,
+      store: String, centroidPath: String): java.io.FileNotFoundException =
+    new java.io.FileNotFoundException(
+      if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
+        s"probeVectorStoreConsistent: store path does not exist: $store"
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(centroidPath)))
+        "probeVectorStoreConsistent: centroid table does not exist: " +
+          centroidPath
+      else
+        s"probeVectorStoreConsistent: $store / $centroidPath vanished " +
+          "while probing (deleted mid-probe?)")
 
   /** Maintenance compaction for the streaming vector store — the
     * [[DedupOps.compactStore]] shape applied per cell: every

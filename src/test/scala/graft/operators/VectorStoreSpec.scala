@@ -714,6 +714,61 @@ class VectorStoreSpec extends AnyFunSuite {
       "rows remain outside the survivor cell")
   }
 
+  test("storeToken: a same-millisecond centroid-table mutation with " +
+      "restored mtimes still changes the token via the LENGTH " +
+      "component (r15 ask #7); a never-existing path fails fast as " +
+      "FileNotFound, not as contention (r15 advice)") {
+    val dir = java.nio.file.Files.createTempDirectory("vectoken")
+    val store = s"$dir/store"
+    val centPath = s"$dir/centroids"
+    centroids.coalesce(1).write.parquet(centPath)
+    SimilarityOps.extendVectorStore(store, centroids, vecs(0L to 7L))
+    val fs = new Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = SimilarityOps.storeToken(fs, store, centPath)
+    assert(t0.nonEmpty, "token unreadable on a healthy store")
+
+    // plant the adversarial shape the scaladoc caveat describes: a
+    // centroid-table FILE's bytes change, then its mtime AND the
+    // dir's mtime are restored to the captured values — every mtime
+    // the token reads is now identical, so only the per-FILE length
+    // fingerprint can tell the two snapshots apart
+    val centDir = new Path(centPath)
+    val dirBefore = fs.getFileStatus(centDir)
+    val part = fs.listStatus(centDir)
+      .filter(_.getPath.getName.startsWith("part-")).head
+    val f = new java.io.File(part.getPath.toUri.getPath)
+    val app = new java.io.FileOutputStream(f, true)
+    app.write(0x5A); app.close()
+    fs.setTimes(part.getPath, part.getModificationTime, -1)
+    fs.setTimes(centDir, dirBefore.getModificationTime, -1)
+    val t1 = SimilarityOps.storeToken(fs, store, centPath)
+    // the setup really is mtime-invisible (the name@mtime view of
+    // both tokens is equal) — the assertion below is carried by #len
+    def mtimeView(t: Option[Seq[String]]): Seq[String] =
+      t.get.map(_.takeWhile(_ != '#'))
+    assert(mtimeView(t1) == mtimeView(t0),
+      "test setup failed to restore the mtimes — the case no longer " +
+        "exercises the length component")
+    assert(t1.nonEmpty && t1 != t0,
+      "a same-millisecond centroid mutation with restored mtimes was " +
+        "invisible to the token — the length fingerprint must catch it")
+
+    // never-readable paths: the consistent probe must name the
+    // missing path quickly instead of burning the full attempt budget
+    // and diagnosing "maintenance is mutating continuously"
+    val e1 = intercept[java.io.FileNotFoundException] {
+      SimilarityOps.probeVectorStoreConsistent(s"$dir/no_such_store",
+        centPath, vecs(Seq(100L)), k = 1)
+    }
+    assert(e1.getMessage.contains(s"$dir/no_such_store"))
+    val e2 = intercept[java.io.FileNotFoundException] {
+      SimilarityOps.probeVectorStoreConsistent(store,
+        s"$dir/no_such_centroids", vecs(Seq(100L)), k = 1)
+    }
+    assert(e2.getMessage.contains("no_such_centroids"))
+  }
+
   // SlowTest tier (~30-60 s: a store big enough that one maintenance
   // cycle spans many probe iterations). READERS-NEVER-LOCK is the
   // design claim; BEFORE/AFTER-cycle parity is pinned above — this
