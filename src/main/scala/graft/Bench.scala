@@ -171,20 +171,39 @@ object Bench {
   private[graft] val CalCpuQuietCeiling: Double =
     sys.env.getOrElse("BENCH_CAL_QUIET_CEIL", "5.5").toDouble
 
+  /** Quiet-band ceiling for the POST-run reading, seconds. The post
+    * reading reruns the pinned workload in a WARM JVM (codegen
+    * compiled, C2 hot, scheduler spun up) and therefore sits on its
+    * own, ~3.5×-lower ruler than the cold first-job `cal_cpu` — the
+    * r16 measurements: warm quiet readings cluster 1.23–1.35 s
+    * (whether taken 10 s or 151 queries into the JVM, so the warm
+    * ruler is stable across JVM life), warm readings under a live
+    * burst (cold twin 7.9–9.8 s) read 2.02–2.22 s. 1.8 splits the
+    * observed clusters with margin both ways (quiet max × 1.33;
+    * contended min 2.02 above). Judging the post reading against the
+    * COLD 5.5 ceiling would require a 4× slowdown to fire — the
+    * pass-8 burst class (1.6×) would slip through, defeating the
+    * bracketing. Env-overridable; banded on r16 samples
+    * (BENCH_NOTES "post-run calibration"), so re-derive if the box
+    * class changes. */
+  private[graft] val CalCpuPostQuietCeiling: Double =
+    sys.env.getOrElse("BENCH_CAL_QUIET_CEIL_POST", "1.8").toDouble
+
   /** Whether a calibration row marks the run as taken under host
-    * contention: EITHER the pre-run `cal_cpu` OR the post-run
-    * `cal_cpu_post` above the ceiling fires it (r15 verdict ask #1 —
-    * a burst landing after the pre-run window previously made a
-    * uniformly-contended run read clean; bracketing catches bursts
-    * arriving on either side, though a burst contained strictly
-    * BETWEEN the two readings remains detectable only by the
-    * noise-retry spread). No reading at all (calibration
-    * failed/absent) means UNKNOWN, not contended — the flag asserts
-    * positive evidence only. */
+    * contention: EITHER the pre-run `cal_cpu` above the cold ceiling
+    * OR the post-run `cal_cpu_post` above its own warm-ruler ceiling
+    * fires it (r15 verdict ask #1 — a burst landing after the
+    * pre-run window previously made a uniformly-contended run read
+    * clean; bracketing catches bursts arriving on either side,
+    * though a burst contained strictly BETWEEN the two readings
+    * remains detectable only by the noise-retry spread). No reading
+    * at all (calibration failed/absent) means UNKNOWN, not
+    * contended — the flag asserts positive evidence only. */
   private[graft] def isContended(cal: Map[String, Double],
-      ceiling: Double = CalCpuQuietCeiling): Boolean =
+      ceiling: Double = CalCpuQuietCeiling,
+      postCeiling: Double = CalCpuPostQuietCeiling): Boolean =
     cal.get("cal_cpu").exists(_ > ceiling) ||
-      cal.get("cal_cpu_post").exists(_ > ceiling)
+      cal.get("cal_cpu_post").exists(_ > postCeiling)
 
   /** Max/min spread across one query's timed runs above which the
     * host is presumed to have stalled a run mid-measurement and up to
@@ -741,11 +760,11 @@ object Bench {
     // map always lands in $BENCH_OUT and appends to $BENCH_HISTORY.
     if (Bench.isContended(calibrationFull))
       System.err.println(f"BENCH CONTENDED: cal_cpu " +
-        f"${calibrationFull.getOrElse("cal_cpu", Double.NaN)}%.2f s / " +
-        f"cal_cpu_post " +
+        f"${calibrationFull.getOrElse("cal_cpu", Double.NaN)}%.2f s " +
+        f"(cold ceiling ${CalCpuQuietCeiling}%.1f) / cal_cpu_post " +
         f"${calibrationFull.getOrElse("cal_cpu_post", Double.NaN)}%.2f " +
-        f"s vs the ${CalCpuQuietCeiling}%.1f s quiet-band ceiling — " +
-        "this line's numbers were taken under host contention")
+        f"s (warm ceiling ${CalCpuPostQuietCeiling}%.1f) — this " +
+        "line's numbers were taken under host contention")
     println(stdoutLine(times.toSeq, errors.toSeq, sfDir,
       bucketOverflows = bucketOverflows, regressed = regressed,
       filtered = args.nonEmpty, phases = phases.toMap,

@@ -390,29 +390,41 @@ class BenchRenderSpec extends AnyFunSuite {
 
   test("post-run calibration (r15 ask #1): a quiet PRE-run reading with " +
       "a contended POST-run reading stamps the flag — the pass-8 " +
-      "burst-after-calibration shape; pre-r15 single-reading rows keep " +
-      "their meaning") {
+      "burst-after-calibration shape — each reading judged against its " +
+      "own ruler's band; pre-r15 single-reading rows keep their meaning") {
     // the recorded d15 counterexample: cal_cpu in-band BEFORE the timed
     // runs, the burst arriving during/after them — only the post-run
-    // reading carries the evidence
+    // reading carries the evidence. The post reading is WARM (codegen
+    // cached, C2 hot — measured quiet 1.23–1.35 s vs 3.7–5.0 cold, and
+    // 2.0–2.2 s under a burst whose cold twin read 7.9–9.8), so it has
+    // its own ceiling: judging warm readings against the cold 5.5
+    // would need a 4× slowdown to fire and the pass-8 class (1.6×)
+    // would slip straight through.
     assert(Bench.isContended(
-      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 7.9), ceiling = 5.5))
+      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 2.2),
+      ceiling = 5.5, postCeiling = 1.8))
     // and the mirror (burst during warm-up, quiet by the end)
     assert(Bench.isContended(
-      Map("cal_cpu" -> 8.1, "cal_cpu_post" -> 4.0), ceiling = 5.5))
-    // both in-band → quiet; post-only rows (pre-cal faulted) still work
+      Map("cal_cpu" -> 8.1, "cal_cpu_post" -> 1.3),
+      ceiling = 5.5, postCeiling = 1.8))
+    // both readings in their own bands → quiet; a warm reading that
+    // would alarm a cold ruler stays quiet on its own
     assert(!Bench.isContended(
-      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 4.4), ceiling = 5.5))
-    assert(Bench.isContended(Map("cal_cpu_post" -> 9.0), ceiling = 5.5))
-    assert(!Bench.isContended(Map("cal_cpu_post" -> 4.0), ceiling = 5.5))
+      Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 1.35),
+      ceiling = 5.5, postCeiling = 1.8))
+    // post-only rows (pre-cal faulted) still classify
+    assert(Bench.isContended(Map("cal_cpu_post" -> 2.0),
+      ceiling = 5.5, postCeiling = 1.8))
+    assert(!Bench.isContended(Map("cal_cpu_post" -> 1.25),
+      ceiling = 5.5, postCeiling = 1.8))
     // both readings land in the artifact's calibration row, the flag
     // rides with them, and the flat queries parser is undisturbed
-    val bracketed = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 7.9,
+    val bracketed = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 2.2,
       "cal_fs" -> 0.4)
     val full = Bench.fullJson(Seq("d15_lsh_recall" -> 42.7), Nil,
       "/sf10", 0, 0, calibration = bracketed)
     assertStrictJsonObject(full)
-    assert(full.contains(""""cal_cpu_post":7.900"""))
+    assert(full.contains(""""cal_cpu_post":2.200"""))
     assert(full.contains(""""contended":true"""))
     assert(Bench.parseHistoryLine(full).get._3.toMap ==
       Map("d15_lsh_recall" -> 42.7))

@@ -4,8 +4,17 @@
 # own calibration row, appended to a scratch history (solo runs are
 # "filtered":true and must never baseline the driver gate). Run ONLY
 # on a drained box: check `uptime` 5/15-min load first.
+# Since round 16 each row carries BOTH calibration readings
+# (cal_cpu before the timed runs, cal_cpu_post after) and the
+# contended flag fires on either — a burst arriving after the pre-run
+# window (the r15 pass-8 d15 shape) no longer reads clean.
+# Usage: tools/anchor_sf10.sh [outdir] [query ...]
 set -u
-OUTDIR=${1:-/tmp/anchor_r15}
+OUTDIR=${1:-/tmp/anchor_r16}
+shift || true
+QUERIES=${@:-d2_minhash_lsh d12_dedup_pipeline d15_lsh_recall \
+  d4_ngram_jaccard d9_semantic_dedup v11_ann_fitted v6_ann_pq \
+  k15_time_travel i1_ingest_pipeline}
 mkdir -p "$OUTDIR"
 cd /root/repo
 OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
@@ -13,9 +22,7 @@ OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
   sun.security.action sun.util.calendar; do
   echo --add-opens java.base/$p=ALL-UNNAMED; done)
-for q in d2_minhash_lsh d12_dedup_pipeline d15_lsh_recall \
-  d4_ngram_jaccard d9_semantic_dedup v11_ann_fitted v6_ann_pq \
-  k15_time_travel i1_ingest_pipeline; do
+for q in $QUERIES; do
   sync; sleep 2
   echo "== $q $(date +%H:%M:%S) load=$(cut -d' ' -f1-3 /proc/loadavg)"
   SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 \
