@@ -537,12 +537,17 @@ object DedupOps {
     * twice, which is verdict-harmless (hits are distinct'd) but pure
     * waste on disk. Same tmp+swap as [[migrateStore]]. NOT safe
     * against a concurrent writer: run it from the ingest job between
-    * batches, where foreachBatch already serializes store access. */
+    * batches, where foreachBatch already serializes store access — or
+    * from a separate cron job with `leaseWaitMs` > 0, which QUEUES
+    * behind a live ingest batch's lease for up to that long instead
+    * of crashing on ConcurrentWriterException (r15 ask #5's
+    * operational shape; the default stays throw-immediately). */
   def compactStore(spark: SparkSession, store: String,
-      targetFiles: Int = 0): Unit = {
+      targetFiles: Int = 0, leaseWaitMs: Long = 0L): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    graft.catalog.WriterLease.withLease(fs, store, "compactStore") {
+    graft.catalog.WriterLease.withLease(fs, store, "compactStore",
+        waitMs = leaseWaitMs) {
       compactStoreHeld(spark, store, fs, targetFiles)
     }
   }

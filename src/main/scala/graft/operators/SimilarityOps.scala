@@ -2020,11 +2020,18 @@ object SimilarityOps {
     *  - `0` explicitly DISABLES the merge leg (the only leg that
     *    moves rows between live cells — a caller wanting append-only
     *    cell contents opts out here);
-    *  - any positive value is used as-is. */
+    *  - any positive value is used as-is.
+    *
+    * `leaseWaitMs` (r15 ask #5's operational shape): a cron-driven
+    * maintenance cycle racing an ingest batch's own trigger can pass
+    * a positive bound to QUEUE behind the live writer's lease for up
+    * to that long instead of crashing on ConcurrentWriterException;
+    * the default stays throw-immediately. */
   def maintainVectorStore(spark: SparkSession, store: String,
       centroidPath: String, hotCellThreshold: Long = 1000000L,
       coldCellThreshold: Long = -1L, maxSplitK: Int = 64,
-      force: Boolean = false): StoreMaintenanceReport = {
+      force: Boolean = false,
+      leaseWaitMs: Long = 0L): StoreMaintenanceReport = {
     val coldEff =
       if (coldCellThreshold < 0L) math.max(1L, hotCellThreshold / 100L)
       else coldCellThreshold
@@ -2034,7 +2041,7 @@ object SimilarityOps {
     val leaseFs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     graft.catalog.WriterLease.withLease(leaseFs, store,
-        "maintainVectorStore") {
+        "maintainVectorStore", waitMs = leaseWaitMs) {
       val hot = compactVectorStore(spark, store, hotCellThreshold)
       val split = splitHotCells(spark, store, centroidPath,
         hotCellThreshold, maxSplitK, force)

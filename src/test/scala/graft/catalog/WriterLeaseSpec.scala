@@ -474,5 +474,30 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
     DedupOps.compactStore(spark, dstore) // free lease → proceeds
     assert(!fs.exists(WriterLease.leasePath(dstore)))
+
+    // r15 ask #5 plumbed through the operational entry points: a
+    // cron-style compact queued with leaseWaitMs waits out a live
+    // ingest writer's lease instead of crashing, then runs
+    val entered2 = new CountDownLatch(1)
+    val release2 = new CountDownLatch(1)
+    val holderT = new Thread(() =>
+      WriterLease.withLease(fs, dstore, "ingest-batch") {
+        entered2.countDown()
+        release2.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      })
+    holderT.start()
+    assert(entered2.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    val compactErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val cronT = new Thread(() =>
+      try DedupOps.compactStore(spark, dstore, leaseWaitMs = 60000L)
+      catch { case t: Throwable => compactErr.set(t) })
+    cronT.start()
+    Thread.sleep(300) // let the cron compact queue against the holder
+    release2.countDown()
+    holderT.join(60000); cronT.join(120000)
+    assert(compactErr.get() == null,
+      s"queued compact failed instead of waiting: ${compactErr.get()}")
+    assert(!fs.exists(WriterLease.leasePath(dstore)))
   }
 }
