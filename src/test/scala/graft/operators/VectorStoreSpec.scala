@@ -781,11 +781,6 @@ class VectorStoreSpec extends AnyFunSuite {
       "equals global brute force; the live writer is never disturbed " +
       "by lock-free readers", graft.SlowTest) {
     graft.GraftFunctions.register(spark)
-    val dir = java.nio.file.Files.createTempDirectory("vecconc")
-    val store = s"$dir/store"
-    val centPath = s"$dir/centroids"
-    centroids.coalesce(1).write.parquet(centPath)
-    def cents = spark.read.parquet(centPath)
     // hot cell 0: 12k rows in two sub-clusters (split work, and big
     // enough that compact+fit+remap spans many probe iterations);
     // cells 1-3: two rows each (cold at the derived hot/100 = 80
@@ -803,10 +798,6 @@ class VectorStoreSpec extends AnyFunSuite {
         (id, base.toSeq)
       }
     val corpus = hotVecs ++ singles
-    SimilarityOps.extendVectorStore(store, cents,
-      corpus.toDF("vec_id", "v"))
-    SimilarityOps.extendVectorStore(store, cents,
-      hotVecs.take(2000).toDF("vec_id", "v")) // replay tail
 
     def cos6(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
@@ -824,41 +815,75 @@ class VectorStoreSpec extends AnyFunSuite {
         .take(5).zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
     }.toMap
 
-    val maintFailure = new java.util.concurrent.atomic.AtomicReference[
-      Throwable](null)
-    val report = new java.util.concurrent.atomic.AtomicReference[
-      SimilarityOps.StoreMaintenanceReport](null)
-    val maint = new Thread(() =>
-      try report.set(SimilarityOps.maintainVectorStore(spark, store,
-        centPath, hotCellThreshold = 8000L, maxSplitK = 2))
-      catch { case e: Throwable => maintFailure.set(e) })
+    // One full race: fresh store, probe loop vs a live cycle. EVERY
+    // probe asserts brute-force parity (a correctness bug fails on
+    // the first attempt, retried or not) — only the OVERLAP COUNT is
+    // timing-sensitive, so only it is allowed to send the race around
+    // again: under a host burst the probe iterations can slow past
+    // the cycle's own slowed legs and fewer than 3 land inside the
+    // window (seen once in r16 on a contended tier run; the property
+    // itself never failed).
+    def raceOnce(attempt: Int): Int = {
+      val dir = java.nio.file.Files.createTempDirectory(s"vecconc$attempt")
+      val store = s"$dir/store"
+      val centPath = s"$dir/centroids"
+      centroids.coalesce(1).write.parquet(centPath)
+      val cents = spark.read.parquet(centPath)
+      SimilarityOps.extendVectorStore(store, cents,
+        corpus.toDF("vec_id", "v"))
+      SimilarityOps.extendVectorStore(store, cents,
+        hotVecs.take(2000).toDF("vec_id", "v")) // replay tail
 
-    def probeOnce(): Unit =
-      queries.foreach { case (q, qv) =>
-        val got = SimilarityOps.probeVectorStoreConsistent(store,
-            centPath, Seq((q, qv)).toDF("vec_id", "v"), k = 5,
-            nprobe = 64, excludeSelf = false)
-          .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
-        assert(got == brute(q),
-          s"mid-cycle probe for $q diverged from brute force: $got " +
-            s"vs ${brute(q)}")
-      }
-    probeOnce() // pre-cycle parity (and JIT/codegen warm-up)
-    maint.start()
+      val maintFailure = new java.util.concurrent.atomic.AtomicReference[
+        Throwable](null)
+      val report = new java.util.concurrent.atomic.AtomicReference[
+        SimilarityOps.StoreMaintenanceReport](null)
+      val maint = new Thread(() =>
+        try report.set(SimilarityOps.maintainVectorStore(spark, store,
+          centPath, hotCellThreshold = 8000L, maxSplitK = 2))
+        catch { case e: Throwable => maintFailure.set(e) })
+
+      def probeOnce(): Unit =
+        queries.foreach { case (q, qv) =>
+          val got = SimilarityOps.probeVectorStoreConsistent(store,
+              centPath, Seq((q, qv)).toDF("vec_id", "v"), k = 5,
+              nprobe = 64, excludeSelf = false)
+            .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+          assert(got == brute(q),
+            s"mid-cycle probe for $q diverged from brute force: $got " +
+              s"vs ${brute(q)}")
+        }
+      probeOnce() // pre-cycle parity (and JIT/codegen warm-up)
+      maint.start()
+      var overlapped = 0
+      while (maint.isAlive) { probeOnce(); overlapped += 1 }
+      maint.join(120000)
+      assert(maintFailure.get() == null,
+        s"a lock-free reader disturbed the writer: ${maintFailure.get()}")
+      // the cycle genuinely mutated what the probes read: split AND
+      // merge both ran
+      val r = report.get()
+      assert(r != null && r.split.keySet == Set(0) &&
+        r.merged.keySet == Set(1, 2, 3),
+        s"cycle did not exercise split+merge under the probes: $r")
+      probeOnce() // post-cycle parity
+      overlapped
+    }
+
     var overlapped = 0
-    while (maint.isAlive) { probeOnce(); overlapped += 1 }
-    maint.join(120000)
-    assert(maintFailure.get() == null,
-      s"a lock-free reader disturbed the writer: ${maintFailure.get()}")
-    // the probes genuinely raced the cycle, and the cycle genuinely
-    // mutated what they read: split AND merge both ran
+    var attempt = 0
+    while (overlapped < 3 && attempt < 3) {
+      attempt += 1
+      if (attempt > 1)
+        System.err.println(s"vecconc race attempt $attempt: previous " +
+          s"attempt overlapped only $overlapped probe iterations " +
+          "(host burst) — re-racing on a fresh store")
+      overlapped = raceOnce(attempt)
+    }
+    // the probes genuinely raced the cycle
     assert(overlapped >= 3,
-      s"only $overlapped probe iterations overlapped the cycle — " +
-        "store too small to pin the DURING property")
-    val r = report.get()
-    assert(r != null && r.split.keySet == Set(0) &&
-      r.merged.keySet == Set(1, 2, 3),
-      s"cycle did not exercise split+merge under the probes: $r")
-    probeOnce() // post-cycle parity
+      s"only $overlapped probe iterations overlapped the cycle after " +
+        s"$attempt attempts — store too small (or box too stalled) " +
+        "to pin the DURING property")
   }
 }
