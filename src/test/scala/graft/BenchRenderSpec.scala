@@ -458,4 +458,118 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseHistoryLine(full).get._3.toMap ==
       Map("d2_minhash_lsh" -> 17.4))
   }
+
+  test("indeterminate band (r16 ask #1): readings in the unobserved gap " +
+      "between the quiet and contended bands stamp cal_indeterminate, " +
+      "not clean — the r16 anchor's 1.63/1.65 contradicted-clean shape") {
+    // the warm ruler's three states, at the verdict's pinned probes:
+    // 1.30 sits in the observed quiet cluster (1.23–1.35), 1.65 is one
+    // of the two recorded contradicted-clean post readings (inside the
+    // 1.35–2.02 gap the old 1.8 ceiling bisected into "clean"), 2.05
+    // is in the observed contended cluster (2.02–2.22)
+    assert(Bench.calState(Map("cal_cpu_post" -> 1.30)) == Bench.CalQuiet)
+    assert(Bench.calState(Map("cal_cpu_post" -> 1.65)) ==
+      Bench.CalIndeterminate)
+    assert(Bench.calState(Map("cal_cpu_post" -> 2.05)) ==
+      Bench.CalContended)
+    // the cold ruler has its own gap (quiet ≤5.5, contended ≥6.0)
+    assert(Bench.calState(Map("cal_cpu" -> 4.3)) == Bench.CalQuiet)
+    assert(Bench.calState(Map("cal_cpu" -> 5.7)) == Bench.CalIndeterminate)
+    assert(Bench.calState(Map("cal_cpu" -> 6.1)) == Bench.CalContended)
+    // worst reading wins: an indeterminate post does not mask a
+    // contended pre, and vice versa
+    assert(Bench.calState(Map("cal_cpu" -> 6.1, "cal_cpu_post" -> 1.3)) ==
+      Bench.CalContended)
+    assert(Bench.calState(Map("cal_cpu" -> 4.3, "cal_cpu_post" -> 1.65)) ==
+      Bench.CalIndeterminate)
+    // unknown (no cpu reading) renders quiet — positive evidence only
+    assert(Bench.calState(Map("cal_fs" -> 9.9)) == Bench.CalQuiet)
+    assert(Bench.calState(Map.empty) == Bench.CalQuiet)
+    // bands are env-overridable like the ceilings: explicit args win
+    assert(Bench.classifyReading(1.65, quietCeiling = 1.7,
+      contendedFloor = 2.0) == Bench.CalQuiet)
+    // artifact rendering: the flag lands in both artifacts, survives
+    // budget trimming, and never co-occurs with "contended"
+    val gap = Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.65)
+    val full = Bench.fullJson(Seq("d4_ngram_jaccard" -> 20.57), Nil,
+      "/sf10", 0, 0, calibration = gap)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""cal_indeterminate":true"""))
+    assert(!full.contains(""""contended""""))
+    val tight = Bench.stdoutLine(manyTimes, Nil, "/sf", budget = 900,
+      calibration = gap)
+    assertStrictJsonObject(tight)
+    assert(tight.length <= 900 &&
+      tight.contains(""""cal_indeterminate":true"""))
+    // a contended row carries only "contended"; a quiet row neither;
+    // pre-r16 lines (no flags) keep parsing and their meaning
+    val hot = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = Map("cal_cpu" -> 8.1))
+    assert(hot.contains(""""contended":true""") &&
+      !hot.contains("cal_indeterminate"))
+    val quiet = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 1.3))
+    assert(!quiet.contains("contended") &&
+      !quiet.contains("cal_indeterminate"))
+    assert(Bench.parseHistoryLine(quiet).get._3.toMap ==
+      Map("q1_a" -> 0.5))
+    assert(Bench.parseHistoryCalibration(full) == gap)
+  }
+
+  test("mid-run calibration interleave (r16 ask #3): a burst visible " +
+      "ONLY to a mid reading stamps the row — the between-brackets " +
+      "blind spot closes when the flag is on") {
+    // pre and post both quiet, one mid reading contended: the exact
+    // shape BENCH_NOTES round-16 documented as undetectable
+    val midBurst = Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.30,
+      "cal_cpu_mid_d" -> 2.10)
+    assert(Bench.calState(midBurst) == Bench.CalContended)
+    assert(Bench.isContended(midBurst))
+    // a mid reading in the gap stamps indeterminate
+    assert(Bench.calState(Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.30,
+      "cal_cpu_mid_t" -> 1.70)) == Bench.CalIndeterminate)
+    // quiet mid readings leave a quiet row quiet
+    assert(Bench.calState(Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.30,
+      "cal_cpu_mid_d" -> 1.28, "cal_cpu_mid_t" -> 1.33)) ==
+      Bench.CalQuiet)
+    // mid readings ride the calibration row in both artifacts and the
+    // calibration parser round-trips them
+    val full = Bench.fullJson(Seq("d2_minhash_lsh" -> 17.4), Nil,
+      "/sf10", 0, 0, calibration = midBurst)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""cal_cpu_mid_d":2.100"""))
+    assert(full.contains(""""contended":true"""))
+    assert(Bench.parseHistoryCalibration(full) == midBurst)
+    // flag off → no mid keys → the driver line renders exactly as a
+    // bracket-only row (byte-identical stdout shape)
+    val bracketOnly = Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.30)
+    val line = Bench.stdoutLine(Seq("q1_a" -> 0.5), Nil, "/sf",
+      calibration = bracketOnly)
+    assertStrictJsonObject(line)
+    assert(!line.contains("cal_cpu_mid"))
+  }
+
+  test("warm-band re-derive hedge (r16 ask #7): a post reading far " +
+      "below the band's box class flags the artifact loudly") {
+    // 0.70 < 0.6 × 1.35 = 0.81: a much faster box — the 1.5/2.0 warm
+    // bands would be vacuously permissive (a 2× burst reads "quiet")
+    assert(Bench.needsBandRederive(Map("cal_cpu_post" -> 0.70)))
+    // in-band readings (and absent ones) do not fire it
+    assert(!Bench.needsBandRederive(Map("cal_cpu_post" -> 1.30)))
+    assert(!Bench.needsBandRederive(Map("cal_cpu" -> 0.70)))
+    assert(!Bench.needsBandRederive(Map.empty))
+    val fast = Map("cal_cpu" -> 2.1, "cal_cpu_post" -> 0.70)
+    val full = Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = fast)
+    assertStrictJsonObject(full)
+    assert(full.contains(""""cal_band_rederive":true"""))
+    val line = Bench.stdoutLine(Seq("q1_a" -> 0.5), Nil, "/sf",
+      calibration = fast)
+    assertStrictJsonObject(line)
+    assert(line.contains(""""cal_band_rederive":true"""))
+    // a normal row carries no such flag
+    assert(!Bench.fullJson(Seq("q1_a" -> 0.5), Nil, "/sf", 0, 0,
+      calibration = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 1.3))
+      .contains("cal_band_rederive"))
+  }
 }
