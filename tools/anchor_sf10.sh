@@ -26,9 +26,17 @@ for q in $QUERIES; do
   sync; sleep 2
   echo "== $q $(date +%H:%M:%S) load=$(cut -d' ' -f1-3 /proc/loadavg)"
   SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 \
+  BENCH_CAL_INTERLEAVE=1 \
   BENCH_OUT="$OUTDIR/$q.json" BENCH_HISTORY="$OUTDIR/history.jsonl" \
   java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Xmx60g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Bench "$q" 2>"$OUTDIR/$q.stderr" | tail -1
-  grep -E "calibration|noise retry|CONTENDED" "$OUTDIR/$q.stderr" || true
+  grep -E "calibration|noise retry|CONTENDED|INDETERMINATE|RE-DERIVE" \
+    "$OUTDIR/$q.stderr" || true
 done
+# cross-attempt-disagreement arbiter (r16 verdict ask #2): stamp every
+# history row clean/disputed/best-effort and print the per-query
+# machine-readable verdicts — the final arbiter as an artifact field,
+# not a hand-read table
+java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.bench.AnchorArbiter "$OUTDIR/history.jsonl" || true

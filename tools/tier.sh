@@ -15,10 +15,15 @@ OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
   sun.security.action sun.util.calendar; do
   echo --add-opens java.base/$p=ALL-UNNAMED; done)
+# calprobe must yield VALID JSON even when the probe dies (classes not
+# compiled, JVM OOM): an empty capture would render "cal_cpu": — an
+# invalid artifact — so default to null (r16 advice)
 calprobe() {
-  java $OPENS -Dspark.ui.enabled=false -Xmx8g \
+  local v
+  v=$(java $OPENS -Dspark.ui.enabled=false -Xmx8g \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.CalProbe 2>/dev/null | tail -1 | sed 's/.*"cal_cpu"://;s/}//'
+    graft.CalProbe 2>/dev/null | tail -1 | sed 's/.*"cal_cpu"://;s/}//')
+  echo "${v:-null}"
 }
 CAL_PRE=$(calprobe)
 T0=$(date +%s)
@@ -26,10 +31,17 @@ GRAFT_SLOW_TESTS=1 sbt -batch 'Test/testOnly * -- -n graft.SlowTest' \
   >"$LOG" 2>&1 || true
 WALL=$(( $(date +%s) - T0 ))
 CAL_POST=$(calprobe)
-TESTS=$(grep -oP 'Total number of tests run: \K\d+' "$LOG" | tail -1)
-SUITES=$(grep -oP 'Suites: completed \K\d+' "$LOG" | tail -1)
-FAILED=$(grep -oP 'failed \K\d+' "$LOG" | tail -1)
-CANCELED=$(grep -oP 'canceled \K\d+' "$LOG" | tail -1)
+# no-match greps must not be able to abort the script BEFORE the
+# artifact is written — exactly when sbt died early and the artifact
+# is most needed. The `| tail -1` already masks grep's status (no
+# pipefail here), but that is an accident of the pipeline shape;
+# || true makes the don't-abort intent explicit and keeps the
+# ${VAR:-default} fallbacks live if the pipelines are ever reshaped
+# (r16 advice)
+TESTS=$(grep -oP 'Total number of tests run: \K\d+' "$LOG" | tail -1 || true)
+SUITES=$(grep -oP 'Suites: completed \K\d+' "$LOG" | tail -1 || true)
+FAILED=$(grep -oP 'failed \K\d+' "$LOG" | tail -1 || true)
+CANCELED=$(grep -oP 'canceled \K\d+' "$LOG" | tail -1 || true)
 HEAD=$(git rev-parse --short HEAD)
 cat > "$OUT" <<JSON
 {"round":$ROUND,"tag":"graft.SlowTest","command":"GRAFT_SLOW_TESTS=1 sbt Test/testOnly * -- -n graft.SlowTest","suites_completed":${SUITES:-0},"tests":${TESTS:-0},"failed":${FAILED:-999},"canceled":${CANCELED:-0},"wall_sec":$WALL,"cal_cpu":$CAL_PRE,"cal_cpu_post":$CAL_POST,"head":"$HEAD","date":"$(date +%F)"}
