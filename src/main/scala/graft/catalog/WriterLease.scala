@@ -55,19 +55,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    takeover itself safe — everything a crashed writer left behind
   *    is debris the re-entered primitives heal. The thawed loser's
   *    RELEASE is token-checked (it reads the stamp and deletes only
-  *    when the file is provably its own: its token, or no readable
-  *    token while its own stamp write is known to have FAILED), so
-  *    losing the lease cannot cascade into deleting the new holder's
-  *    fresh lease and silently admitting a third writer — not even
-  *    when the takeover's own best-effort stamp write faulted and
-  *    left the fresh lease unstamped (r15 verdict ask #2).
-  *  - DEAD-PID FAST RECLAIM: the stamp carries pid+host; a contender
-  *    on the SAME host asks the kernel (`ProcessHandle.of`) whether
-  *    the holder still exists and reclaims a dead holder's lease
-  *    immediately instead of waiting out the horizon — a crashed
-  *    ingest job must not block its own restart for 10 minutes.
-  *    Recycled pids read as alive and degrade to the horizon wait;
-  *    foreign hosts are never fast-reclaimed (no shared kernel).
+  *    when the evidence supports the file being its own: its token,
+  *    or no readable token while its own stamp write is known to
+  *    have FAILED), so losing the lease cannot cascade into deleting
+  *    the new holder's fresh lease and silently admitting a third
+  *    writer — not even when the takeover's own best-effort stamp
+  *    write faulted and left the fresh lease unstamped (r15 verdict
+  *    ask #2). DOCUMENTED RESIDUAL (the one shape the evidence
+  *    cannot discriminate): when BOTH our stamp write AND the
+  *    takeover's stamp write failed, an unstamped fresh lease reads
+  *    as our own kill-at-stamp debris and the thawed writer deletes
+  *    the takeover's file — two independent stamp-write faults
+  *    bracketing a freeze past the stale horizon, on a filesystem
+  *    whose atomic create still works. Narrowing it further would
+  *    need the claim to be refused whenever the stamp write fails,
+  *    trading a doubly-faulted corner for unavailability on every
+  *    singly-faulted one.
+  *  - DEAD-PID FAST RECLAIM: the stamp carries pid+host+start; a
+  *    contender on the SAME host asks the kernel (`ProcessHandle.of`)
+  *    whether the holder still exists and reclaims a dead holder's
+  *    lease immediately instead of waiting out the horizon — a
+  *    crashed ingest job must not block its own restart for 10
+  *    minutes. The start field (the holder's
+  *    `ProcessHandle.info.startInstant`, epoch ms) makes the
+  *    identity check exact on a RECYCLED pid (r16 verdict ask #4): a
+  *    live process at the stamped pid whose start instant differs
+  *    from the stamped one is a DIFFERENT process wearing a dead
+  *    holder's pid, and the lease is reclaimed immediately. Old
+  *    stamps without the field — and kernels that surface no start
+  *    instant — keep the conservative horizon rules; foreign hosts
+  *    are never fast-reclaimed (no shared kernel).
   *  - SAME-PROCESS RESTART: a failed call whose release delete ALSO
   *    failed (one filesystem fault takes both — the kill-point fuzz's
   *    exact shape) leaves a fresh-mtime lease; within this process an
@@ -230,15 +247,24 @@ object WriterLease {
         // OURS: it carries OUR claim's token, or it carries no
         // readable token AND our own stamp write is known to have
         // failed (then the unstamped file can only be ours). An
-        // unreadable token with OUR stamp known on disk is NOT ours
-        // (r15 residual window closed this round): a takeover whose
-        // best-effort stamp write faulted leaves a fresh UNSTAMPED
-        // lease, and deleting it would re-admit the third writer the
-        // token check exists to block. A readable FOREIGN token is
-        // the takeover's evidence — log and leave the new holder's
-        // lease intact; our own file is already gone (renamed to a
-        // tombstone by the takeover), so the orphan marker clears
-        // either way. Declining the delete on a transient stamp-read
+        // unreadable token with OUR stamp known on disk is NOT
+        // deletable (r15 residual window, closed r16): a takeover
+        // whose best-effort stamp write faulted leaves a fresh
+        // UNSTAMPED lease, and deleting it would re-admit the third
+        // writer the token check exists to block. A readable FOREIGN
+        // token is the takeover's positive evidence — log, leave the
+        // new holder's lease intact, and CLEAR the orphan marker (our
+        // own file is provably gone: renamed to a tombstone by the
+        // takeover). An UNREADABLE token clears nothing (r16 advice):
+        // the unreadable read may equally be a transient fault on our
+        // OWN still-on-disk lease, and dropping the marker would
+        // forfeit the same-process fast reclaim — every future
+        // claimant would wait the full horizon for what is our own
+        // debris. Keeping it is safe in both worlds: a later claim
+        // re-reads the stamp, reclaims on OUR token, and refuses on a
+        // foreign one (couldBeOurOrphan refuses unreadable-with-
+        // stamped=true too, so a takeover's unstamped lease stays
+        // protected). Declining the delete on a transient stamp-read
         // fault degrades to the horizon wait — availability, not
         // safety. The read→delete gap is a far narrower rewind of
         // the same inherent freeze hazard (ms, not a whole writer
@@ -259,9 +285,11 @@ object WriterLease {
                 stampToken.fold("token we cannot read (and ours is " +
                   "known on disk)")(_ => "FOREIGN token") +
                 s" — this '$what' writer was frozen past the stale " +
-                "horizon and lost the lease to a takeover; leaving " +
-                "the new holder's lease intact")
-            mayHaveOrphan.remove(store): Unit
+                "horizon and lost the lease to a takeover (or the " +
+                "stamp read faulted transiently); leaving the lease " +
+                "file intact")
+            // clear the marker ONLY on a readable foreign token
+            if (stampToken.isDefined) mayHaveOrphan.remove(store): Unit
           }
         } catch { case _: java.io.IOException => () }
       }
@@ -327,19 +355,51 @@ object WriterLease {
     * order before the token). */
   private val PidHost = """ pid=(\d+) host=(\S+) """.r.unanchored
 
+  /** Optional start-instant field (epoch ms) a claim stamps after
+    * host — absent in pre-r16 stamps, which keep horizon rules. */
+  private val StartField = """ start=(\d+) """.r.unanchored
+
+  /** The holder process's start instant as epoch ms, if the kernel
+    * exposes one (it may not — some container/proc configurations
+    * return an empty Optional, and the check then stays
+    * conservative). */
+  private def startMillisOf(h: ProcessHandle): Option[Long] = {
+    val si = h.info().startInstant()
+    if (si.isPresent) Some(si.get().toEpochMilli) else None
+  }
+
   /** Whether a stamped holder is a process on THIS host that the
-    * kernel says no longer exists. Conservative: recycled pids read as
-    * alive, foreign hosts and unparseable stamps read as not-dead. */
+    * kernel says no longer exists. Conservative: foreign hosts and
+    * unparseable stamps read as not-dead; a live pid with no start
+    * evidence on either side reads as not-dead. A RECYCLED pid is
+    * detected exactly when both sides carry a start instant (r16
+    * verdict ask #4): the stamp records the claimant's
+    * `ProcessHandle.info.startInstant` at claim time, and a live
+    * process at that pid whose start instant DIFFERS is a different
+    * process wearing a dead holder's pid — dead for lease purposes,
+    * reclaim now instead of degrading to the 10-minute horizon. */
   private def isDeadLocalHolder(stamp: Option[String]): Boolean =
-    stamp.exists {
-      case PidHost(pid, host) =>
-        host == java.net.InetAddress.getLocalHost.getHostName &&
-          pid != ProcessHandle.current().pid().toString &&
-          scala.util.Try {
-            val h = ProcessHandle.of(pid.toLong)
-            !(h.isPresent && h.get().isAlive)
-          }.getOrElse(false)
-      case _ => false
+    stamp.exists { s =>
+      s match {
+        case PidHost(pid, host) =>
+          host == java.net.InetAddress.getLocalHost.getHostName &&
+            pid != ProcessHandle.current().pid().toString &&
+            scala.util.Try {
+              val h = ProcessHandle.of(pid.toLong)
+              if (!(h.isPresent && h.get().isAlive)) true
+              else {
+                val stampedStart = s match {
+                  case StartField(ms) => Some(ms.toLong)
+                  case _ => None
+                }
+                (stampedStart, startMillisOf(h.get())) match {
+                  case (Some(was), Some(now)) => was != now // recycled
+                  case _ => false // no start evidence: horizon rules
+                }
+              }
+            }.getOrElse(false)
+        case _ => false
+      }
     }
 
   /** Whether the store's lease belongs to a writer that is LIVE as far
@@ -396,9 +456,15 @@ object WriterLease {
         // empty file's existence, not this content)
         val stamped =
           try {
+            // start= (our own startInstant, epoch ms) makes the dead-
+            // pid check exact on pid recycling; written only when the
+            // kernel exposes one, and readers treat its absence as
+            // "horizon rules" — old stamps stay valid
+            val start = startMillisOf(ProcessHandle.current())
+              .fold("")(ms => s"start=$ms ")
             val stamp = s"$what pid=${ProcessHandle.current().pid()} " +
               s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-              s"token=$token"
+              start + s"token=$token"
             val out = fs.create(lease, true)
             out.write(stamp.getBytes("UTF-8"))
             out.close()

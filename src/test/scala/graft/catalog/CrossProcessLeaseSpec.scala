@@ -151,4 +151,72 @@ class CrossProcessLeaseSpec extends AnyFunSuite {
     assert(ran, "stale foreign lease was not taken over")
     assert(!fs.exists(lease))
   }
+
+  test("a RECYCLED pid is detected by the stamped start instant (r16 " +
+      "ask #4): a live same-host pid whose start differs from the " +
+      "stamp's is a dead holder — reclaimed now, not after the " +
+      "horizon; the true start (and a start-less old stamp) still " +
+      "refuse", graft.SlowTest) {
+    val fs = localFs
+    // a live process that is NOT this JVM, whose pid we can stamp:
+    // exactly what a recycled pid looks like to the contender — the
+    // kernel says "alive", but it is not the process that claimed
+    val sleeper = new ProcessBuilder("sleep", "60").start()
+    try {
+      val h = sleeper.toHandle
+      val si = h.info().startInstant()
+      assume(si.isPresent,
+        "kernel exposes no process start instant here — the exact " +
+          "check is unavailable and the code path degrades to horizon " +
+          "rules by design")
+      val startMs = si.get().toEpochMilli
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      def forge(store: String, startField: String): Unit = {
+        val lease = WriterLease.leasePath(store)
+        val out = fs.create(lease, false)
+        out.write((s"crashed-writer pid=${h.pid()} host=$host " +
+          startField + "token=" + java.util.UUID.randomUUID())
+          .getBytes("UTF-8"))
+        out.close()
+      }
+
+      // wrong start instant = the stamping process is DEAD and its
+      // pid was recycled by the sleeper: fresh mtime, live pid, and
+      // yet the claim must reclaim immediately
+      val recycled = java.nio.file.Files
+        .createTempDirectory("xprocrecycled").resolve("store").toString
+      forge(recycled, s"start=${startMs + 987654321L} ")
+      val t0 = System.nanoTime()
+      var ran = false
+      WriterLease.withLease(fs, recycled, "restart-after-recycle") {
+        ran = true
+      }
+      assert(ran, "recycled-pid lease was not reclaimed")
+      assert((System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000,
+        "recycled-pid reclaim took implausibly long — horizon wait?")
+      assert(!fs.exists(WriterLease.leasePath(recycled)))
+
+      // control 1: the TRUE start instant = genuinely live holder —
+      // the exact check must not turn into a false reclaim
+      val live = java.nio.file.Files
+        .createTempDirectory("xproclive").resolve("store").toString
+      forge(live, s"start=$startMs ")
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(fs, live, "too-eager") {
+          fail("claimed a lease whose holder is provably live")
+        }
+      }
+
+      // control 2: an OLD stamp (no start field) with a live pid
+      // keeps the conservative pre-r16 behavior — horizon rules
+      val old = java.nio.file.Files
+        .createTempDirectory("xprocold").resolve("store").toString
+      forge(old, "")
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(fs, old, "old-stamp") {
+          fail("claimed on an old start-less stamp with a live pid")
+        }
+      }
+    } finally sleeper.destroyForcibly(): Unit
+  }
 }

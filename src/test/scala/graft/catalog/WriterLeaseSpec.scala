@@ -146,9 +146,14 @@ class WriterLeaseSpec extends AnyFunSuite {
     override def getScheme: String = "file"
     @volatile var failDeletes = false
     @volatile var failOverwrites = false
+    @volatile var failReads = false
     override def delete(p: Path, recursive: Boolean): Boolean =
       if (failDeletes) throw new java.io.IOException("injected delete fault")
       else super.delete(p, recursive)
+    override def open(f: Path, bufferSize: Int)
+        : org.apache.hadoop.fs.FSDataInputStream =
+      if (failReads) throw new java.io.IOException("injected read fault")
+      else super.open(f, bufferSize)
     override def create(f: Path,
         permission: org.apache.hadoop.fs.permission.FsPermission,
         overwrite: Boolean, bufferSize: Int, replication: Short,
@@ -323,6 +328,44 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(ran)
     assert(!failStamp.exists(lease2),
       "a stamp-write-failed claim leaked its own unstamped lease")
+  }
+
+  test("transient stamp-read fault at release keeps the orphan marker " +
+      "(r16 advice): the declined delete leaves OUR lease on disk, and " +
+      "the next same-process claim re-reads our token and reclaims " +
+      "immediately instead of waiting the horizon") {
+    val flaky = new FlakyDeleteFs(localFs)
+    val store = java.nio.file.Files
+      .createTempDirectory("leasereadfault").resolve("store").toString
+    val lease = WriterLease.leasePath(store)
+    // the release-time stamp READ faults: with our stamp known on disk
+    // (stamped=true) the release must decline the delete — it cannot
+    // tell its own still-on-disk lease from a takeover's unstamped one
+    flaky.failReads = true
+    var ran = false
+    try WriterLease.withLease(flaky, store, "read-faulted-release") {
+      ran = true
+    } finally flaky.failReads = false
+    assert(ran)
+    assert(flaky.exists(lease),
+      "release deleted under an unreadable stamp with stamped=true — " +
+        "the r15-closed window reopened")
+    // the fault was transient and the file is OURS: the marker must
+    // have survived the declined delete, so this claim re-reads the
+    // stamp, sees our token, and reclaims NOW (pre-fix: the marker was
+    // dropped and this claim would refuse until the 10-min horizon)
+    val t0 = System.nanoTime()
+    var reclaimed = false
+    WriterLease.withLease(flaky, store, "restart-after-fault") {
+      reclaimed = true
+    }
+    assert(reclaimed,
+      "same-process restart did not reclaim its own lease after a " +
+        "transient release-time stamp-read fault")
+    assert((System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000,
+      "reclaim took implausibly long — did the dropped marker force a " +
+        "horizon wait?")
+    assert(!flaky.exists(lease))
   }
 
   test("bounded-wait claim (r15 ask #5): a second claimant with waitMs " +
