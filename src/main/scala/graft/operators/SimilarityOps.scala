@@ -1445,13 +1445,14 @@ object SimilarityOps {
     val spark = queries.sparkSession
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // a token must become readable within this many attempts or the
-    // paths are judged ABSENT, not contended: a rename-aside swap's
-    // path-missing instant is milliseconds, so half a second of
-    // never-readable is a wrong path / never-created store, and the
-    // caller deserves a FileNotFoundException naming it, not ~5 s of
-    // sleeps ending in a misleading "maintenance is mutating
-    // continuously" (r15 advice)
+    // a token must become readable within this many attempts (plus
+    // one 500 ms grace re-check below) or the paths are judged
+    // ABSENT, not contended: a rename-aside swap's path-missing
+    // instant is normally milliseconds, so ~1 s of never-readable is
+    // a wrong path / never-created store, and the caller deserves a
+    // FileNotFoundException naming it, not ~5 s of sleeps ending in a
+    // misleading "maintenance is mutating continuously" (r15 advice;
+    // grace + mid-swap wording r16 advice)
     val maxNeverReadable = 25
     var everReadable = false
     var attempt = 0
@@ -1459,9 +1460,19 @@ object SimilarityOps {
       attempt += 1
       storeToken(fs, store, centroidPath) match {
         case None =>
-          if (!everReadable && attempt >= maxNeverReadable)
-            throw missingProbePath(fs, store, centroidPath)
-          Thread.sleep(20) // mid-swap absence window
+          if (!everReadable && attempt >= maxNeverReadable) {
+            // grace re-check before diagnosing ABSENT (r16 advice): a
+            // probe that STARTS inside a rename-aside swap on a
+            // loaded/slow filesystem can see an absence window longer
+            // than the ~0.5 s never-readable budget — one longer sleep
+            // and a final token read discriminate "mid-swap, landed
+            // late" (keep probing) from "wrong path / never-created
+            // store" (throw, naming the missing path)
+            Thread.sleep(500)
+            if (storeToken(fs, store, centroidPath).isEmpty)
+              throw missingProbePath(fs, store, centroidPath)
+            // became readable during the grace: not absent — continue
+          } else Thread.sleep(20) // mid-swap absence window
         case Some(t0) =>
           everReadable = true
           try {
@@ -1495,7 +1506,10 @@ object SimilarityOps {
       store: String, centroidPath: String): java.io.FileNotFoundException =
     new java.io.FileNotFoundException(
       if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
-        s"probeVectorStoreConsistent: store path does not exist: $store"
+        s"probeVectorStoreConsistent: store path does not exist: " +
+          s"$store (if maintenance is running, a rename-aside swap's " +
+          "absence window may have outlasted the probe's ~1 s " +
+          "never-readable budget — retry once it completes)"
       else if (!fs.exists(new org.apache.hadoop.fs.Path(centroidPath)))
         "probeVectorStoreConsistent: centroid table does not exist: " +
           centroidPath
