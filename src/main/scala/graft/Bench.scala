@@ -500,6 +500,31 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
+  /** Choose the regression-gate baseline from history lines: the LAST
+    * line with the same timing tag and sf dir that is not filtered
+    * (query-subset runs cover almost nothing) and not flagged
+    * contended/cal_indeterminate — a contaminated baseline inflates
+    * every per-query budget by its own slowdown and masks real
+    * regressions in the next run (this round appended two flagged
+    * full-suite lines back-to-back, which would otherwise become the
+    * driver's baseline). When EVERY candidate is flagged, fall back
+    * to the last one so the gate still runs: an inflated baseline
+    * under-flags, but no baseline means no gate at all. Returns
+    * (timing, sf, queries, rawLine). */
+  private[graft] def selectBaseline(lines: Seq[String], timing: String,
+      sfDir: String): Option[(String, String, Seq[(String, Double)],
+      String)] = {
+    val candidates = lines
+      .filterNot(_.contains(""""filtered":true"""))
+      .flatMap(l => parseHistoryLine(l)
+        .map { case (t, s, q) => (t, s, q, l) })
+      .filter { case (t, s, _, _) => t == timing && s == sfDir }
+    candidates.filterNot { case (_, _, _, l) =>
+      l.contains(""""contended":true""") ||
+        l.contains(""""cal_indeterminate":true""")
+    }.lastOption.orElse(candidates.lastOption)
+  }
+
   /** The per-query regression gate: queries that got ≥ `factor`× slower
     * AND ≥ `floorSec` absolutely slower than the previous run. Returns
     * empty when the timing tags differ — numbers taken with different
@@ -760,24 +785,18 @@ object Bench {
     }
     if (calInterleave && prevFamily != null) midReading(prevFamily)
 
-    // regression gate vs the LAST history entry with the same timing
-    // tag AND the same sf dir (a dev's quick sf0.001 run appending to
-    // the history must never become the baseline for the next sf0.1
-    // round — that would flag dozens of bogus regressions) AND not
-    // marked "filtered" (a partial `Bench <names>` run covers a
-    // handful of queries; baselining on it would make the next full
-    // round's gate silently compare almost nothing);
+    // regression gate vs the last CLEAN history entry with the same
+    // timing tag AND the same sf dir — see [[selectBaseline]] for the
+    // exclusions (filtered subset runs, other tags/sf, and flagged
+    // contended/indeterminate lines, which fall back to last-any);
     // detail to stderr, count into the JSON artifacts
     val histPath = Paths.get(
       sys.env.getOrElse("BENCH_HISTORY", "bench_history.jsonl"))
     val prevSame =
       if (!Files.exists(histPath)) None
-      else Files.readAllLines(histPath).toArray.toSeq
-        .filterNot(_.toString.contains(""""filtered":true"""))
-        .flatMap(l => parseHistoryLine(l.toString)
-          .map { case (t, s, q) => (t, s, q, l.toString) })
-        .filter { case (t, s, _, _) => t == Timing && s == sfDir }
-        .lastOption
+      else selectBaseline(
+        Files.readAllLines(histPath).toArray.toSeq.map(_.toString),
+        Timing, sfDir)
     val prevPhases = prevSame
       .map { case (_, _, _, line) => parseHistoryPhases(line) }
       .getOrElse(Map.empty)

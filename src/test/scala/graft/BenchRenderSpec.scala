@@ -549,6 +549,40 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(!line.contains("cal_cpu_mid"))
   }
 
+  test("baseline selection skips flagged lines: a contended or " +
+      "indeterminate history line must not become the regression-gate " +
+      "baseline while a clean one exists; all-flagged falls back to " +
+      "the last so the gate still runs") {
+    def line(q: Double, cal: Map[String, Double],
+        filtered: Boolean = false): String =
+      Bench.fullJson(Seq("d4_q" -> q), Nil, "/sf10", 0, 0,
+        filtered = filtered, calibration = cal)
+    val quiet = line(10.0, Map("cal_cpu" -> 4.4, "cal_cpu_post" -> 1.3))
+    val contended = line(31.0, Map("cal_cpu" -> 7.9))
+    val gap = line(19.0, Map("cal_cpu" -> 4.5, "cal_cpu_post" -> 1.7))
+    val subset = line(2.0, Map.empty, filtered = true)
+    // newest lines are flagged/filtered: the clean older line wins
+    val picked = Bench.selectBaseline(
+      Seq(quiet, contended, gap, subset), Bench.Timing, "/sf10")
+    assert(picked.map(_._3.toMap) == Some(Map("d4_q" -> 10.0)))
+    // a NEWER clean line supersedes an older one
+    val quiet2 = line(11.0, Map("cal_cpu" -> 4.6, "cal_cpu_post" -> 1.2))
+    assert(Bench.selectBaseline(Seq(quiet, contended, quiet2),
+      Bench.Timing, "/sf10").map(_._3.toMap) ==
+      Some(Map("d4_q" -> 11.0)))
+    // every candidate flagged: fall back to the LAST (gate still runs,
+    // conservatively under-flagging rather than not gating at all)
+    assert(Bench.selectBaseline(Seq(contended, gap), Bench.Timing,
+      "/sf10").map(_._3.toMap) == Some(Map("d4_q" -> 19.0)))
+    // wrong sf / wrong tag / only-filtered still yield no baseline
+    assert(Bench.selectBaseline(Seq(quiet), Bench.Timing, "/sf0.1").isEmpty)
+    assert(Bench.selectBaseline(Seq(subset), Bench.Timing, "/sf10").isEmpty)
+    // pre-r15 lines without any calibration remain eligible baselines
+    val old = Bench.fullJson(Seq("d4_q" -> 9.0), Nil, "/sf10", 0, 0)
+    assert(Bench.selectBaseline(Seq(contended, old), Bench.Timing,
+      "/sf10").map(_._3.toMap) == Some(Map("d4_q" -> 9.0)))
+  }
+
   test("warm-band re-derive hedge (r16 ask #7): a post reading far " +
       "below the band's box class flags the artifact loudly") {
     // 0.70 < 0.6 × 1.35 = 0.81: a much faster box — the 1.5/2.0 warm
