@@ -48,8 +48,12 @@ object AnchorArbiter {
     * disputed: >15% is the ask's threshold, sitting well below the
     * smallest recorded contradiction (d4 20.57 vs 16.23 = 1.27×) and
     * above same-box quiet rerun jitter (BENCH_NOTES quiet-box spreads
-    * run under 10%). */
-  val DisputeFactor: Double = 1.15
+    * run under 10%). Env-overridable like the bench band ceilings
+    * (`ANCHOR_DISPUTE_FACTOR`) — a noisier box class may need a wider
+    * factor, derived the same way: above its quiet rerun jitter,
+    * below its smallest recorded contradiction. */
+  val DisputeFactor: Double =
+    sys.env.getOrElse("ANCHOR_DISPUTE_FACTOR", "1.15").toDouble
 
   /** One (attempt, query) measurement with its self-reported
     * contamination evidence. */

@@ -606,4 +606,30 @@ class BenchRenderSpec extends AnyFunSuite {
       calibration = Map("cal_cpu" -> 4.2, "cal_cpu_post" -> 1.3))
       .contains("cal_band_rederive"))
   }
+
+  test("CalVerdict classifies standalone CalProbe readings on the " +
+      "COLD ruler only (each probe is a fresh JVM) and skips " +
+      "unparseable captures") {
+    import graft.bench.CalVerdict
+    // both bracket readings quiet on the cold bands (≤5.5)
+    assert(CalVerdict.line(Seq(Some(4.38), Some(1.24))) ==
+      """{"cal_verdict":"quiet"}""")
+    // a reading in the cold 5.5–6.0 gap: indeterminate, worst wins
+    assert(CalVerdict.line(Seq(Some(4.58), Some(5.73))) ==
+      """{"cal_verdict":"indeterminate","cal_indeterminate":true}""")
+    // at/above the cold contended floor
+    assert(CalVerdict.line(Seq(Some(7.86), Some(1.27))) ==
+      """{"cal_verdict":"contended","contended":true}""")
+    // tier.sh passes its possibly-"null" captures verbatim: skipped,
+    // and no readings at all renders quiet (positive evidence only)
+    assert(CalVerdict.line(Seq(None, Some(4.4))) ==
+      """{"cal_verdict":"quiet"}""")
+    assert(CalVerdict.line(Seq(None, None)) ==
+      """{"cal_verdict":"quiet"}""")
+    // a warm 1.6 s reading that the WARM bands would call
+    // indeterminate stays quiet here: fresh-JVM probes never sit on
+    // the warm ruler, so warm bands must not apply
+    assert(CalVerdict.line(Seq(Some(1.6))) ==
+      """{"cal_verdict":"quiet"}""")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * whole test run a single JVM). */
 object SharedSpark {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

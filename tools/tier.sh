@@ -31,6 +31,15 @@ GRAFT_SLOW_TESTS=1 sbt -batch 'Test/testOnly * -- -n graft.SlowTest' \
   >"$LOG" 2>&1 || true
 WALL=$(( $(date +%s) - T0 ))
 CAL_POST=$(calprobe)
+# three-state verdict over the two bracket readings (both COLD-ruler:
+# each CalProbe is a fresh JVM), same bands and vocabulary as bench
+# lines — so a tier artifact is self-describing about contention
+# instead of leaving raw seconds for the reader to band by hand. A
+# failed classifier leaves the fields absent (= unknown, like pre-r17
+# artifacts): the flags assert positive evidence only.
+VERDICT=$(java $OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.bench.CalVerdict "$CAL_PRE" "$CAL_POST" 2>/dev/null | tail -1)
+VERDICT_FIELDS=$(printf '%s' "$VERDICT" | sed -n 's/^{\(.*\)}$/\1,/p')
 # no-match greps must not be able to abort the script BEFORE the
 # artifact is written — exactly when sbt died early and the artifact
 # is most needed. The `| tail -1` already masks grep's status (no
@@ -44,7 +53,7 @@ FAILED=$(grep -oP 'failed \K\d+' "$LOG" | tail -1 || true)
 CANCELED=$(grep -oP 'canceled \K\d+' "$LOG" | tail -1 || true)
 HEAD=$(git rev-parse --short HEAD)
 cat > "$OUT" <<JSON
-{"round":$ROUND,"tag":"graft.SlowTest","command":"GRAFT_SLOW_TESTS=1 sbt Test/testOnly * -- -n graft.SlowTest","suites_completed":${SUITES:-0},"tests":${TESTS:-0},"failed":${FAILED:-999},"canceled":${CANCELED:-0},"wall_sec":$WALL,"cal_cpu":$CAL_PRE,"cal_cpu_post":$CAL_POST,"head":"$HEAD","date":"$(date +%F)"}
+{"round":$ROUND,"tag":"graft.SlowTest","command":"GRAFT_SLOW_TESTS=1 sbt Test/testOnly * -- -n graft.SlowTest","suites_completed":${SUITES:-0},"tests":${TESTS:-0},"failed":${FAILED:-999},"canceled":${CANCELED:-0},"wall_sec":$WALL,"cal_cpu":$CAL_PRE,"cal_cpu_post":$CAL_POST,${VERDICT_FIELDS:-}"head":"$HEAD","date":"$(date +%F)"}
 JSON
 cat "$OUT"
 tail -6 "$LOG" >&2
