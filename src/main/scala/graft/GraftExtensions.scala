@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate, WordTrigramHash64}
+import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, L2SqAt, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate, WordTrigramHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions.
   *
@@ -45,6 +46,11 @@ object GraftFunctions {
     (FunctionIdentifier("lane_matches"),
       new ExpressionInfo(classOf[LaneMatchCount].getName, "lane_matches"),
       (es: Seq[Expression]) => LaneMatchCount(es.head, es(1))),
+    (FunctionIdentifier("l2sq_at"),
+      new ExpressionInfo(classOf[L2SqAt].getName, "l2sq_at"),
+      // 2-arg form = whole-array distance (offset 0)
+      (es: Seq[Expression]) => L2SqAt(es.head, es(1),
+        if (es.length > 2) es(2) else Literal(0))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),

@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, date_format, lit, to_date}
+import org.apache.spark.sql.functions.{coalesce, col, date_format, lit, sum, to_date, when}
 import graft.operators.MergeOps
 
 /** Fact-scale snapshot lake: [[SnapshotLake]]'s marker protocol applied
@@ -570,20 +570,37 @@ object PartitionedSnapshotLake {
       SnapshotLake.latestVersion(spark, partRoot(root, p))
         .map(v => readPartitionVersion(spark, root, p, v))
     }
-    val merged = (existing.reduceOption(_.unionByName(_)) match {
+    val merged = existing.reduceOption(_.unionByName(_)) match {
       case Some(db) => MergeOps.merge(db, b, key, exclude)
       case None => b.withColumn("merge_status", lit("inserted"))
-    }).persist()
-    try {
-      val counts = merged.groupBy("merge_status").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    {
+      // merge-status counts ride the staging write as observed metrics
+      // (CollectMetrics) instead of a separate groupBy pass: the merge
+      // join used to run twice (once for counts, once for the write)
+      // behind a persist whose cache held the full merged partition
+      // set. ONE pass now computes, counts, and stages — at lake scale
+      // that is a full read+join of the touched partitions saved per
+      // commit, and no cache memory held across the commit (guide
+      // §1.2: don't compute things twice). The status set is closed
+      // (merge() emits inserted/kept/updated; the fresh-lake branch
+      // inserted only); zero counts are dropped so the returned map is
+      // exactly what groupBy produced.
+      val obs = new org.apache.spark.sql.Observation()
       // one partitioned write to a private tmp dir; each part_date=
       // subdir then RENAMES (no second copy) into its partition's next
       // claimed version
       val tmp = new Path(root,
         s".tmp_commit_${java.util.UUID.randomUUID().toString.take(8)}")
-      merged.drop("merge_status").write.mode("overwrite")
+      val statusAggs = Seq("inserted", "kept", "updated").map(st =>
+        coalesce(sum(when(col("merge_status") === st, 1L)
+          .otherwise(0L)), lit(0L)).as(st))
+      merged.observe(obs, statusAggs.head, statusAggs.tail: _*)
+        .drop("merge_status").write.mode("overwrite")
         .partitionBy("part_date").parquet(tmp.toString)
+      val counts = obs.get.collect {
+        case (st, n: Long) if n > 0 => st -> n
+      }.toMap
       // claim locks release on EVERY exit and the tmp dir never
       // outlives the call: a failure mid-loop leaves already-renamed
       // partitions committed (marker'd — the next manifest picks them
@@ -628,7 +645,7 @@ object PartitionedSnapshotLake {
       if (committed.isEmpty)
         (latestSnapshot(spark, root).getOrElse(0L), counts)
       else (commitManifest(spark, root, committed), counts)
-    } finally merged.unpersist()
+    }
   }
 
   /** Retention: keep the last `retainSnapshots` global manifests and

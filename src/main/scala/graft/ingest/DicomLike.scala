@@ -45,7 +45,16 @@ object DicomLike {
     * casts throw). EchoNumbers is optional in real headers (defaults
     * to echo 1, as pydicom consumers assume). */
   def parseHeaders(binary: DataFrame): DataFrame =
-    parseMeta(binary).select(
+    headersOf(parseMeta(binary))
+
+  /** [[parseHeaders]] as a projection over an ALREADY-PARSED meta
+    * frame — callers that stage/aggregate the same parse output (i1's
+    * kv write + duration rollup + stack chain) parse the corpus once
+    * and cache, instead of re-running dicom_parse per consumer (r17
+    * optimization: at corpus scale each consumer re-read and re-parsed
+    * every file). */
+  def headersOf(meta: DataFrame): DataFrame =
+    meta.select(
       col("path"),
       col("length"),
       element_at(col("meta"), "SeriesInstanceUID").as("series_uid"),

@@ -265,7 +265,13 @@ object IngestPipeline {
         writeCorpus(src, familiesFor(dir))
       }
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
-      val meta = DicomLike.parseMeta(binary)
+      // ONE parse of the corpus, cached: the kv staging write, the
+      // header/stack chain, and the duration rollup each consumed
+      // parseMeta separately — three full read+dicom_parse passes for
+      // one query (r17 optimization; at 100 TB the parse pass IS the
+      // cost). The cache holds only (path, length, header map) — the
+      // binary content never persists.
+      val meta = DicomLike.parseMeta(binary).cache()
       // stage the parse boundary for the oracle: one row per
       // (file, header key) — scalar columns DuckDB pivots back
       graft.PhaseLog.timed("kv_stage_write") {
@@ -273,7 +279,7 @@ object IngestPipeline {
             explode(col("meta")).as(Seq("key", "value")))
           .write.mode("overwrite").parquet(s"$StageRoot/i1_kv")
       }
-      val headers = DicomLike.parseHeaders(binary)
+      val headers = DicomLike.headersOf(meta)
       val exams = DicomLike.exams(DicomLike.stacks(headers))
       val durPerExam = meta.select(
           element_at(col("meta"), "SeriesInstanceUID").as("series_uid"),
@@ -305,7 +311,9 @@ object IngestPipeline {
       val src = new java.io.File(StageRoot, "i2_src")
       writeCorpus(src, familiesFor(dir))
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
-      val meta = DicomLike.parseMeta(binary)
+      // parse once, cache (see i1): kv staging + seriesInfo both
+      // consume the same parse
+      val meta = DicomLike.parseMeta(binary).cache()
       meta.select(col("path"), col("length"),
           explode(col("meta")).as(Seq("key", "value")))
         .write.mode("overwrite").parquet(s"$StageRoot/i2_kv")
@@ -328,7 +336,8 @@ object IngestPipeline {
       val src = new java.io.File(StageRoot, "i3_src")
       writeCorpus(src)
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
-      val meta = DicomLike.parseMeta(binary)
+      // parse once, cache (see i1)
+      val meta = DicomLike.parseMeta(binary).cache()
       meta.select(col("path"), col("length"),
           explode(col("meta")).as(Seq("key", "value")))
         .write.mode("overwrite").parquet(s"$StageRoot/i3_kv")
@@ -393,7 +402,8 @@ object IngestPipeline {
       val src = new java.io.File(StageRoot, "i5_src")
       writeCorpus(src)
       val binary = s.read.format("binaryFile").load(src.getAbsolutePath)
-      val meta = DicomLike.parseMeta(binary)
+      // parse once, cache (see i1)
+      val meta = DicomLike.parseMeta(binary).cache()
       meta.select(col("path"), col("length"),
           explode(col("meta")).as(Seq("key", "value")))
         .write.mode("overwrite").parquet(s"$StageRoot/i5_kv")

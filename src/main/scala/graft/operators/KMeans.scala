@@ -39,9 +39,12 @@ object KMeans {
     * ships to executors inside the serialized plan exactly once. */
   private def distsTo(cents: Array[Array[Double]]): Column = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
-    transform(centLit, c =>
-      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, b) => a + b))
+    // native l2sq_at per centroid (callers register GraftFunctions):
+    // the interpreted aggregate(zip_with(...)) fold boxed every element
+    // twice per centroid — the fit/assign scan's dominant per-row cost
+    // (r17 optimization pass). Same left-to-right double accumulation,
+    // so every distance is the same IEEE double as the HOF form.
+    transform(centLit, c => call_function("l2sq_at", col("v"), c, lit(0)))
   }
 
   /** Nearest-centroid id for the `v` column. */
@@ -55,6 +58,7 @@ object KMeans {
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Array[Array[Double]] = {
+    graft.GraftFunctions.register(df.sparkSession)
     val d = df.select(col(idCol).as("id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
       .persist()
@@ -87,11 +91,13 @@ object KMeans {
 
   /** Assign every row its nearest-centroid id (the IVF cluster key). */
   def assign(df: DataFrame, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame =
+      cents: Array[Array[Double]]): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
     df.withColumn("v",
         expr(s"transform($vecCol, x -> cast(x as double))"))
       .withColumn("cid", cidFor(cents))
       .drop("v")
+  }
 
   /** Flat assignment switches to the hierarchical probe above this k:
     * below it the per-row flat fold is already trivial (and the graded
@@ -183,6 +189,7 @@ object KMeans {
       cents: Array[Array[Double]], nprobe1: Int = 1): DataFrame = {
     val k = cents.length
     if (k <= TwoLevelMinK) return assign(df, vecCol, cents)
+    graft.GraftFunctions.register(df.sparkSession)
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
     val (supers, childIdx) = groupCentroids(cents, g)
     val nonEmpty = childIdx.indices.filter(childIdx(_).nonEmpty)
@@ -191,10 +198,10 @@ object KMeans {
       nonEmpty.map(s => childIdx(s).map(cents(_).toSeq).toSeq))
     val childCidLit = typedLit(
       nonEmpty.map(s => childIdx(s).toSeq))
+    // native fused loop per candidate centroid — same IEEE op order as
+    // the HOF fold it replaces (see distsTo)
     def distsToM(m: Column): Column =
-      transform(m, c =>
-        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, b) => a + b))
+      transform(m, c => call_function("l2sq_at", col("v"), c, lit(0)))
     val np = math.max(1, math.min(nprobe1, nonEmpty.length))
     val base = df.withColumn("v",
         expr(s"transform($vecCol, x -> cast(x as double))"))
@@ -219,9 +226,7 @@ object KMeans {
             slice(superRank, 1, np),
             s => zip_with(
               transform(element_at(childVLit, s("i").cast("int")),
-                c => aggregate(
-                  zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-                  lit(0.0), (a, b) => a + b)),
+                c => call_function("l2sq_at", col("v"), c, lit(0))),
               element_at(childCidLit, s("i").cast("int")),
               (dd, cc) => struct(dd.as("d"), cc.as("cid"))))))
           .withColumn("cid",

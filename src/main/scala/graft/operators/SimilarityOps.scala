@@ -486,6 +486,7 @@ object SimilarityOps {
     // so every downstream sum/argmin is exact integer arithmetic —
     // no float accumulation order anywhere.
     "v6_ann_pq" -> ((s, dir) => {
+      graft.GraftFunctions.register(s)
       val e = withV(load(s, dir, "embeddings"))
         .select(col("vec_id"), col("v"))
       val books = e.filter(col("vec_id") < 16)
@@ -493,12 +494,15 @@ object SimilarityOps {
           "transform(sequence(0,7), b -> slice(v, b*8+1, 8))"))
           .as(Seq("b", "cw")))
       // (vec, subspace, codeword) → micro-int L2²; serves corpus
-      // encoding AND the query distance tables
+      // encoding AND the query distance tables. Native l2sq_at (fused
+      // codegen loop over the subspace window — no slice copy, no
+      // per-element lambda) replaces the interpreted
+      // aggregate(zip_with(slice(...))) chain: 128 HOF evaluations per
+      // vector were the dominant per-row cost (r17 optimization pass);
+      // same IEEE ops in the same order, so dm is bit-identical.
       val dist = e.join(broadcast(books))
         .select(col("vec_id"), col("b"), col("cid"),
-          expr("""cast(round(aggregate(zip_with(slice(v, b*8+1, 8), cw,
-                 |  (x, y) -> (x - y) * (x - y)), 0D,
-                 |  (acc, z) -> acc + z) * 1e6) as long)""".stripMargin)
+          expr("cast(round(l2sq_at(v, cw, b*8) * 1e6) as long)")
             .as("dm"))
       // argmin codeword per (vector, subspace) — min over (dm, cid)
       // structs so the groupBy keeps map-side partial aggregation

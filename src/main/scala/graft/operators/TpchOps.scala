@@ -52,11 +52,16 @@ object TpchOps {
     // Q2 shape: min-cost supplier per part — here "best" = highest
     // account balance among EUROPE suppliers that ever shipped the part.
     // The part sliver and the supplier dim broadcast; the only shuffle
-    // is the DISTINCT pair relation, and the per-part argmax is a
-    // window over that already-shuffled key (no second shuffle).
+    // is the window's partition-by-part exchange over the POST-FILTER
+    // sliver. No pre-distinct on the pair relation (r17 optimization,
+    // 2 Exchanges → 1): the old DISTINCT shuffled every fact pair
+    // before the selective part filter, and the row_number window then
+    // re-shuffled on p_partkey anyway. Duplicate (part, supplier) rows
+    // entering the window are full ties in every output column, so
+    // rk=1 picks an identical row — the result is provably unchanged.
     "q2_best_supplier" -> ((s, dir) => {
       val ps = load(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
       val p = load(s, dir, "part")
         .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
         .select(col("p_partkey"), col("p_brand"))
