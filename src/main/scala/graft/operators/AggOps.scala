@@ -122,7 +122,15 @@ object AggOps {
     // A3 — dup groups + per-group case analysis (Cenir_DB.py:215,223-252):
     // are all members "the same" (distinct partkeys == members)?
     "a3_dup_case_analysis" -> ((s, dir) => {
+      // repartition on the group key BEFORE the distinct aggregate
+      // (r17): (l_orderkey, l_partkey) pairs are ~99% unique, so the
+      // map-side partial-distinct absorbed nothing while running
+      // single-threaded on the one-row-group scan. The explicit
+      // exchange REPLACES the aggregate's own (groupBy reuses the
+      // hash layout — same exchange count, same bytes at any scale),
+      // and the distinct work lands after it, on all cores.
       load(s, dir, "lineitem")
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(
           count(lit(1)).as("nb"),

@@ -1395,9 +1395,18 @@ object DedupOps {
     // doc. Grams join on md5 hex (shared Spark/DuckDB hash) — at scale
     // the 32-byte key keeps the exploded corpus rows narrow.
     "d7_decontaminate" -> ((s, dir) => {
+      // repartition BEFORE the per-gram md5 loop (guide §2.5 — the
+      // unsplittable-input fix the shingle family already applies):
+      // the single-row-group parquet scan is one partition, and
+      // without the spread the ~0.5M md5(8-gram) calls below ran
+      // single-threaded inside the scan stage (r17 measurement: the
+      // whole query was scan-stage bound). On a multi-file lake the
+      // exchange is one slim (doc_id, words) pass; the hash work is
+      // the dominant term either way and must run on all cores.
       val grams = load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(1, size(w)-7), i ->
             |  md5(concat_ws(' ', slice(w, i, 8)))))""".stripMargin)).as("g"))
@@ -1516,6 +1525,10 @@ object DedupOps {
           slice(col("w"), 1, 30).as("w"))
       val docs = base.union(copies).filter(size(col("w")) >= 20)
         .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
+        // spread the per-window md5 loop (~180 windows/doc) off the
+        // 2-task union-of-scans before it runs — same guide §2.5
+        // guard as d7/the shingle family (r17)
+        .repartition(col("doc_id"))
       val wins = docs.select(col("doc_id"), col("n_words"),
           posexplode(expr(
             """transform(sequence(1, size(w)-19), i ->
@@ -1567,6 +1580,13 @@ object DedupOps {
           concat(array(lit("zq"), lit("zr"), lit("zs")), col("w"))
             .as("w"))
       val toks = base.union(copies)
+        // spread BEFORE the per-word explode + md5 anchor test: the
+        // 2-task union-of-scans otherwise runs ~1M md5Bucket calls
+        // single-threaded, and the per-doc window below needs
+        // ClusteredDistribution(doc_id) anyway — hash-partitioning the
+        // slim doc rows here parallelizes the hashing AND is the one
+        // exchange the window reuses (no extra shuffle; guide §2.4/2.5)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
         .withColumn("anchor",
           (graft.functions.Fns.md5Bucket(col("word"), 8) === 0)

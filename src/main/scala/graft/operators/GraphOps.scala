@@ -76,7 +76,6 @@ object GraphOps {
       val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("u"),
           (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
       // Pre-partition the persisted edge list on `src` ONCE (pinned to
       // the session's shuffle-partition count so the cached layout
       // matches what EnsureRequirements asks for): the degree groupBy
@@ -84,10 +83,18 @@ object GraphOps {
       // hash layout instead of re-shuffling the edge list per round —
       // at cluster scale that is the difference between 1 and 4 full
       // shuffles of the (large) edge side.
+      // The pair dedup rides the SAME exchange (r17, the compactStore
+      // idiom): HashPartitioning(src) satisfies dropDuplicates'
+      // ClusteredDistribution(src, dst) — subset key — so deduping
+      // AFTER the repartition deletes the separate distinct exchange
+      // the old form paid on (u, v) before the union. Edge set is
+      // identical: u/v parity (2k vs 2k+1) rules out self-pairs, and
+      // per-direction dedup ≡ pair dedup.
       val shuf = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
         .repartition(shuf, col("src"))
+        .dropDuplicates(Seq("src", "dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,13 +123,37 @@ object GraphOps {
         .select(col("o_orderkey"), col("o_custkey"))
       val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
-      val degc = cs.groupBy(col("c")).agg(count(lit(1)).as("d"))
-      val small = cs.join(degc.filter(col("d") <= 20), "c")
-        .select(col("c"), col("sk"))
-      val a = small.select(col("c"), col("sk").as("s1"))
-      val b = small.select(col("c").as("c2"), col("sk").as("s2"))
-      a.join(b, col("c") === col("c2") && col("s1") < col("s2"))
+      // ONE exchange on the container key does dedup + degree cap +
+      // postings collection (r17 optimization, guide §2.4): the old
+      // shape (distinct → degree groupBy → join-back → SELF-JOIN)
+      // planned the whole fact-join subtree FOUR times (no exchange
+      // reuse across the differently-aliased sides — 4 parquet scan
+      // pairs, 26 Exchanges in the captured plan). Here the window's
+      // sort ranks each container's DISTINCT entities in place:
+      // dense_rank counts distinct sk (duplicates share a rank), the
+      // lag test keeps one row per distinct sk, and the dr ≤ cap+1
+      // bound caps any hot container's buffered postings at 21
+      // elements BEFORE collect_list (the cappedBuckets discipline —
+      // a hub container never materializes its full list). Pairs then
+      // stream from each ≤20-element postings list exactly as
+      // DedupOps.bucketPairs does — value-ordered s1 < s2, so each
+      // unordered pair surfaces once per shared container — and the
+      // final count per pair is identical to the self-join's.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("sk"))
+      val caps = cs
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("prev", lag(col("sk"), 1).over(w))
+        .filter((col("prev").isNull || col("prev") =!= col("sk")) &&
+          col("dr") <= 21)
+        .groupBy(col("c"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .filter(size(col("sks")) <= 20 && size(col("sks")) >= 2)
+      caps
+        .select(col("sks"), posexplode(col("sks")).as(Seq("i", "s1")))
+        .select(col("i"), col("s1"),
+          posexplode(col("sks")).as(Seq("j", "s2")))
+        .filter(col("s1") < col("s2"))
         .groupBy(col("s1"), col("s2"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)

@@ -117,7 +117,12 @@ object MultimodalOps {
     // broadcast — the corpus-side cost is one scan plus a 4-way
     // fan-out, never a shuffle of the chunks.
     "m4_chunk_quantize" -> ((s, dir) => {
-      val feats = chunkFeatures(s, dir)
+      // cache the slim feature table: it feeds the centroid aggregate
+      // (the broadcast build) AND the scoring fan-out — uncached, the
+      // whole decode+featurize subtree executed twice per run (r17;
+      // the cache is built and dropped inside the query, never across
+      // runs — the bench clears caches between queries)
+      val feats = chunkFeatures(s, dir).cache()
       val cent = feats.groupBy(
           expr("(chunk_idx div 4) % 4").as("cid"))
         .agg(avg(col("sum_bytes")).as("c1"), avg(col("n_space")).as("c2"),
@@ -145,7 +150,12 @@ object MultimodalOps {
     * signed lead byte vs the code point) — the guard keeps the oracle
     * exact on any corpus, not just the ASCII fixture. */
   private def chunkFeatures(s: SparkSession, dir: String): DataFrame =
-    sampledChunks(load(s, dir, "documents"))
+    // repartition BEFORE the per-chunk feature math (guide §2.5, the
+    // d7 unsplittable-input fix): the per-character ascii fold + two
+    // regex scans per chunk (~20k chunks × 64 steps) otherwise run
+    // single-threaded inside the one-row-group parquet scan stage.
+    // Slim doc rows cross the exchange; the feature math dominates.
+    sampledChunks(load(s, dir, "documents").repartition(col("doc_id")))
       .withColumn("ca", expr("regexp_replace(c, '[^ -~]', '')"))
       .select(col("doc_id"), col("chunk_idx"),
         // empty-ca guard: Spark's sequence(1, 0) is DESCENDING

@@ -575,6 +575,14 @@ object TextOps {
     // fixed-size state, the DSIR pass shape.
     "t20_domain_affinity" -> ((s, dir) => {
       val d = load(s, dir, "documents")
+      // NO repartition spread here, deliberately (r17): the d7/d13
+      // unsplittable-input fix was tried on both token passes and
+      // REGRESSED t20 1.36 → 1.85 s — per-word md5 bucketing over
+      // short tokens is ~0.3 s of single-core work, less than the two
+      // exchanges the spread adds (the corpus is tokenized once per
+      // DSIR pass, and both passes would pay the shuffle). d7's
+      // 8-gram hashing is ~4× heavier per doc and won its exchange;
+      // this one does not.
       val target = d.filter(col("source") === "src0")
         .select(concat(col("text"),
           lit(" quantum flux qubit quantum")).as("text"))
