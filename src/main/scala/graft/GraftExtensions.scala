@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{BloomContains, CosineSim, DicomParse, DicomVoxelHash, L2SqAt, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate, WordTrigramHash64}
+import graft.functions.expressions.{BloomContains, ChunkAsciiStats, CosineSim, DicomParse, DicomVoxelHash, L2SqAt, LaneMatchCount, Md5Shingle60, MinHashSig, ShingleHash64, SimHash60, SortedIntersectCount, TextQualityGate, WordTrigramHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Session extension registering graft's native Catalyst expressions.
@@ -68,7 +68,11 @@ object GraftFunctions {
     (FunctionIdentifier("text_quality_gate"),
       new ExpressionInfo(classOf[TextQualityGate].getName,
         "text_quality_gate"),
-      (es: Seq[Expression]) => TextQualityGate(es.head)))
+      (es: Seq[Expression]) => TextQualityGate(es.head)),
+    (FunctionIdentifier("chunk_ascii_stats"),
+      new ExpressionInfo(classOf[ChunkAsciiStats].getName,
+        "chunk_ascii_stats"),
+      (es: Seq[Expression]) => ChunkAsciiStats(es.head)))
 
   /** Idempotent per-session registration (functions + the bucket-prune
     * optimizer rule — extraOptimizations is the live-session analog of

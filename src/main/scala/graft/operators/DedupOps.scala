@@ -170,10 +170,34 @@ object DedupOps {
     // race both branches through the cold cache and execute the
     // subtree twice
     val e = edges.persist()
-    e.count()
+    val m = e.count()
+    // Data-proportional round parallelism (guide §2, r17 verdict ask):
+    // the cached edge table inherits however many partitions its
+    // (arbitrarily expensive) producer left — 32+ for d12's
+    // checkpointed LSH chain — while the graph itself may be tiny, so
+    // every round paid task-launch overhead ∝ producer partitions, not
+    // data. Re-lay the undirected table at ~64k edges/task (floor 1,
+    // capped at its natural width so this only ever REDUCES): a
+    // billion-edge graph still gets thousands of tasks.
+    val undParts = math.max(1L, math.min(
+      e.rdd.getNumPartitions.toLong * 2, m * 2 / 65536 + 1)).toInt
     val und = e.select(col("src").as("a"), col("dst").as("b"))
       .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .coalesce(undParts)
       .persist() // probed once per round; don't rescan the edge source
+    // Labels are node-sized (≤ 2m rows). When the measured edge count
+    // bounds them to genuinely-broadcastable size, hint the build side
+    // EXPLICITLY (guide §3.1 — broadcast the side you KNOW fits; m is
+    // a measurement, not an estimate): the three per-round joins then
+    // plan as static broadcast-hash joins over ONE reused build
+    // (the projections canonicalize identically, so ReuseExchange
+    // collapses them) instead of three AQE runtime SMJ→BHJ rewrites
+    // with their own stage boundaries — at sf0.1 the per-round cost
+    // IS that fixed stage latency (CCDiag). Above the bound nothing
+    // is hinted: labels past ~1M nodes should sort-merge, and AQE
+    // keeps the per-round choice.
+    val asBuild: DataFrame => DataFrame =
+      if (m <= 1000000L) df => broadcast(df) else df => df
     // Seed labels with least(node, min neighbor) — round 1's neighbor
     // step for FREE: the naive node-list seed already pays a full
     // exchange on the node key (distinct IS a groupBy), so folding the
@@ -217,8 +241,8 @@ object DedupOps {
     while (!converged && i < maxIter) {
       // pointer jump: node's candidate label = label(label(node))
       val jump = labels.select(col("node"), col("label").as("mid"))
-        .join(labels.select(col("node").as("mid"),
-          col("label").as("jl")), "mid")
+        .join(asBuild(labels.select(col("node").as("mid"),
+          col("label").as("jl"))), "mid")
         .select(col("node"), col("jl").as("label"))
       // Edge messages, ONE pipeline over the edge table: per directed
       // edge (a,b) emit BOTH
@@ -237,10 +261,10 @@ object DedupOps {
       //    message kind; the map-side partial min-agg absorbs the 2×
       //    row fan-out before the shuffle.
       val msgs = und
-        .join(labels.select(col("node").as("a"),
-          col("label").as("la")), "a")
-        .join(labels.select(col("node").as("b"),
-          col("label").as("lb")), "b")
+        .join(asBuild(labels.select(col("node").as("a"),
+          col("label").as("la"))), "a")
+        .join(asBuild(labels.select(col("node").as("b"),
+          col("label").as("lb"))), "b")
         .select(explode(array(
           struct(col("b").as("node"), col("la").as("label")),
           struct(col("lb").as("node"), col("la").as("label")))).as("m"))
@@ -1395,18 +1419,21 @@ object DedupOps {
     // doc. Grams join on md5 hex (shared Spark/DuckDB hash) — at scale
     // the 32-byte key keeps the exploded corpus rows narrow.
     "d7_decontaminate" -> ((s, dir) => {
-      // repartition BEFORE the per-gram md5 loop (guide §2.5 — the
-      // unsplittable-input fix the shingle family already applies):
-      // the single-row-group parquet scan is one partition, and
-      // without the spread the ~0.5M md5(8-gram) calls below ran
-      // single-threaded inside the scan stage (r17 measurement: the
-      // whole query was scan-stage bound). On a multi-file lake the
-      // exchange is one slim (doc_id, words) pass; the hash work is
-      // the dominant term either way and must run on all cores.
-      val grams = load(s, dir, "documents")
+      // spread the per-gram md5 loop off a NARROW scan only (guide
+      // §2.5, gated since r18): locally the single-row-group parquet
+      // scan is one task and the ~0.5M md5(8-gram) calls below would
+      // run single-threaded (r17 measurement: the whole query was
+      // scan-stage bound), so the repartition applies. On a multi-file
+      // lake whose scan already fills the cores the repartition would
+      // be a pure full-corpus shuffle of (doc_id, words) — the whole
+      // tokenized text — with NO downstream consumer of that layout
+      // (the gram join keys on md5 hex), so it is skipped there.
+      val docs0 = load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
-        .repartition(col("doc_id"))
+      val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
+        docs0.repartition(col("doc_id")) else docs0
+      val grams = docs
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(1, size(w)-7), i ->
             |  md5(concat_ws(' ', slice(w, i, 8)))))""".stripMargin)).as("g"))
@@ -1523,12 +1550,19 @@ object DedupOps {
       val copies = base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 200000000L).as("doc_id"),
           slice(col("w"), 1, 30).as("w"))
-      val docs = base.union(copies).filter(size(col("w")) >= 20)
+      val docs0 = base.union(copies).filter(size(col("w")) >= 20)
         .select(col("doc_id"), size(col("w")).as("n_words"), col("w"))
-        // spread the per-window md5 loop (~180 windows/doc) off the
-        // 2-task union-of-scans before it runs — same guide §2.5
-        // guard as d7/the shingle family (r17)
-        .repartition(col("doc_id"))
+      // spread the per-window md5 loop (~180 windows/doc) off the
+      // 2-task union-of-scans — gated on scan narrowness like d7
+      // (guide §2.5, r18). NOTE this exchange is NOT reused
+      // downstream (the r17 comment claimed it was — contradicted by
+      // the captured plan, 4→6 exchange nodes): the cross-doc dup
+      // join keys on the window hash `h`, which destroys the doc_id
+      // layout before the per-doc window runs, so on an
+      // already-parallel scan the repartition would be pure added
+      // shuffle and is skipped.
+      val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
+        docs0.repartition(col("doc_id")) else docs0
       val wins = docs.select(col("doc_id"), col("n_words"),
           posexplode(expr(
             """transform(sequence(1, size(w)-19), i ->

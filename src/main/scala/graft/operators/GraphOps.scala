@@ -141,11 +141,16 @@ object GraphOps {
       // final count per pair is identical to the self-join's.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("c")).orderBy(col("sk"))
+      // null-safe lag test (r17 advice): `!(prev <=> sk)` keeps the
+      // first row of every run of equal values INCLUDING a null run,
+      // exactly matching .distinct() on a nullable key — the plain
+      // `prev.isNull || prev =!= sk` form would keep EVERY null row
+      // as "distinct". Benign on TPC-H non-null keys; guarded so the
+      // idiom is safe to copy.
       val caps = cs
         .withColumn("dr", dense_rank().over(w))
         .withColumn("prev", lag(col("sk"), 1).over(w))
-        .filter((col("prev").isNull || col("prev") =!= col("sk")) &&
-          col("dr") <= 21)
+        .filter(!(col("prev") <=> col("sk")) && col("dr") <= 21)
         .groupBy(col("c"))
         .agg(collect_list(col("sk")).as("sks"))
         .filter(size(col("sks")) <= 20 && size(col("sks")) >= 2)

@@ -119,9 +119,11 @@ object MultimodalOps {
     "m4_chunk_quantize" -> ((s, dir) => {
       // cache the slim feature table: it feeds the centroid aggregate
       // (the broadcast build) AND the scoring fan-out — uncached, the
-      // whole decode+featurize subtree executed twice per run (r17;
-      // the cache is built and dropped inside the query, never across
-      // runs — the bench clears caches between queries)
+      // whole decode+featurize subtree executed twice per run (r17).
+      // Lifecycle (r17 advice): nothing here unpersists — like
+      // d10/d13/d14's in-query caches this relies on the CALLER's
+      // spark.catalog.clearCache() between queries (Bench and RunOne
+      // both do); it is never a cross-run result cache.
       val feats = chunkFeatures(s, dir).cache()
       val cent = feats.groupBy(
           expr("(chunk_idx div 4) % 4").as("cid"))
@@ -148,26 +150,32 @@ object MultimodalOps {
     * (m4). Byte-sum restricted to printable ASCII: Spark's ascii()
     * and DuckDB's ord() agree only there (multibyte chars return the
     * signed lead byte vs the code point) — the guard keeps the oracle
-    * exact on any corpus, not just the ASCII fixture. */
-  private def chunkFeatures(s: SparkSession, dir: String): DataFrame =
-    // repartition BEFORE the per-chunk feature math (guide §2.5, the
-    // d7 unsplittable-input fix): the per-character ascii fold + two
-    // regex scans per chunk (~20k chunks × 64 steps) otherwise run
-    // single-threaded inside the one-row-group parquet scan stage.
-    // Slim doc rows cross the exchange; the feature math dominates.
-    sampledChunks(load(s, dir, "documents").repartition(col("doc_id")))
-      .withColumn("ca", expr("regexp_replace(c, '[^ -~]', '')"))
+    * exact on any corpus, not just the ASCII fixture. Since r18 the
+    * three stats come from ONE native fused byte loop
+    * (chunk_ascii_stats — the l2sq_at treatment, guide §4): the old
+    * form ran four string traversals per chunk, two of them regex and
+    * one an interpreted per-character HOF fold. Value parity with
+    * that chain is pinned by ChunkAsciiStatsSpec. */
+  private def chunkFeatures(s: SparkSession, dir: String): DataFrame = {
+    // spread the per-chunk feature math off a NARROW scan only (guide
+    // §2.5, gated since r18): locally the one-row-group parquet scan
+    // is a single task and the per-character ascii fold + two regex
+    // scans per chunk (~20k chunks × 64 steps) would run
+    // single-threaded, so the repartition applies. On a multi-file
+    // lake whose scan already fills the cores it would be a pure
+    // added full-text shuffle with no downstream consumer of the
+    // doc_id layout — skipped there (r17 verdict).
+    graft.GraftFunctions.register(s)
+    val docs0 = load(s, dir, "documents")
+    val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
+      docs0.repartition(col("doc_id")) else docs0
+    sampledChunks(docs)
+      .withColumn("st", expr("chunk_ascii_stats(c)"))
       .select(col("doc_id"), col("chunk_idx"),
-        // empty-ca guard: Spark's sequence(1, 0) is DESCENDING
-        // ([1,0]), and DuckDB's list_sum([]) is NULL — both sides
-        // pin the all-non-ASCII chunk to 0 explicitly
-        expr("""if(length(ca) = 0, 0,
-              |   aggregate(transform(sequence(1, length(ca)),
-              |               i -> ascii(substring(ca, i, 1))),
-              |             0, (a, b) -> a + b))""".stripMargin)
-          .as("sum_bytes"),
-        expr("length(c) - length(replace(c, ' ', ''))").as("n_space"),
-        expr("length(regexp_replace(c, '[^A-Z]', ''))").as("n_upper"))
+        col("st.sum_bytes").as("sum_bytes"),
+        col("st.n_space").as("n_space"),
+        col("st.n_upper").as("n_upper"))
+  }
 
   val oracle: Map[String, String] = Map(
     "m3_chunk_features" ->
