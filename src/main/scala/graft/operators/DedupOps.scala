@@ -761,12 +761,19 @@ object DedupOps {
     * join + intersect. Applied only when 10·t is integral (0.7, 0.8 —
     * every caller today), in exact integer form (10·x ≥ t10·y): the
     * rational gap between any candidate Jaccard and t dwarfs double
-    * rounding, so no true pair can be lost at the boundary. */
+    * rounding, so no true pair can be lost at the boundary.
+    * `preFilter = false` skips the two slim pre-joins entirely
+    * (result-identical — the bound is implied by the threshold test):
+    * right for callers whose candidate count is ALREADY measured
+    * small (lshVerifiedPairs' bypass branch), where two extra join
+    * stages are pure fixed latency. */
   private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-      threshold: Double, ordered: Boolean = true): DataFrame = {
+      threshold: Double, ordered: Boolean = true,
+      preFilter: Boolean = true): DataFrame = {
     val t10 = math.round(threshold * 10).toInt
     val pre =
-      if (math.abs(t10 / 10.0 - threshold) > 1e-12 || t10 <= 0) pairs
+      if (!preFilter || math.abs(t10 / 10.0 - threshold) > 1e-12 || t10 <= 0)
+        pairs
       else {
         val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
         pairs
@@ -947,8 +954,19 @@ object DedupOps {
         val nBanded = b.count()
         val unordered =
           if (nBanded <= bypassMaxBandedRows)
+            // preFilter = false (r18): the PPJoin length-bound
+            // pre-join is two slim joins whose only purpose is to
+            // keep length-mismatched pairs OUT of the payload joins —
+            // a bytes win when candidates are millions, but on this
+            // branch the measured banded-row count already bounds the
+            // corpus to bypass scale, where the two extra join stages
+            // (and their broadcast builds) are pure fixed latency
+            // against ~ns-scale intersects. Results identical either
+            // way: the bound is implied by the Jaccard threshold
+            // test. The strata path (taken above bypass scale) keeps
+            // the bound in its join conditions unchanged.
             verifyJaccard(bucketPairs(b, keys, maxBucket), sh,
-              threshold, ordered = false)
+              threshold, ordered = false, preFilter = false)
           else {
             val (df, strataCaches) =
               strataVerified(b, keys, sh, threshold, maxBucket,
