@@ -83,4 +83,36 @@ object Tables {
       _ => Integer.valueOf(load(spark, sfDir, table).rdd.getNumPartitions))
     parts.intValue < spark.sparkContext.defaultParallelism
   }
+
+  /** Table row count from parquet metadata (a count() over the scan is
+    * footer-statistics-only — no data pages are read), cached per path
+    * stamp like the schema. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, table: String): Long = {
+    val path = s"$sfDir/$table.parquet"
+    rowCountCache.computeIfAbsent(pathStamp(path),
+      _ => java.lang.Long.valueOf(load(spark, sfDir, table).count())).longValue
+  }
+
+  /** Data-proportional width for an explicit pre-compute spread
+    * (round brief / guide §2: derive partitioning from input size,
+    * never from the core count alone). An explicit
+    * `repartition(col(key))` pins the session's full shuffle width —
+    * at sf0.1 that is 32 one-to-few-hundred-row tasks whose launch
+    * overhead EXCEEDS the per-row hash work they carry (measured: a
+    * third of the suite runs faster at 8 cores than 32, and the
+    * spread queries are the worst of it — d14 0.42×, d13 0.57×).
+    * `rows / rowsPerTask` sizes each task to amortize scheduling
+    * (~512 rows ≈ 50–100k hash ops ≈ tens of ms against a ~5 ms task
+    * launch); the cap is the session's configured shuffle width — the
+    * cluster-tuned knob — so above ~512·width rows this IS the
+    * shuffle width and production behavior is unchanged. */
+  def spreadParts(spark: SparkSession, sfDir: String, table: String,
+      rowsPerTask: Long = 512L): Int = {
+    val shuf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byRows = rowCount(spark, sfDir, table) / rowsPerTask + 1
+    math.max(1L, math.min(shuf.toLong, byRows)).toInt
+  }
 }

@@ -513,7 +513,12 @@ object DedupOps {
     load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
-      .repartition(col("doc_id"))
+      // data-proportional spread width (r18, Tables.spreadParts): an
+      // unqualified repartition(col) pinned the full shuffle width —
+      // 32 few-hundred-row tasks at sf0.1 whose launch overhead
+      // exceeded the hash work; capped at the shuffle width, so at
+      // corpus scale this IS the session width.
+      .repartition(graft.Tables.spreadParts(s, dir, "documents"), col("doc_id"))
       // md5-based 60-bit hashes: the minhash permutation input (top 28
       // bits) must match the oracle's ('0x'||substr(md5(s),1,7))::BIGINT
       .withColumn("shingles", expr("md5_shingle60(text)"))
@@ -1183,7 +1188,7 @@ object DedupOps {
           concat_ws(" ", expr("slice(split(text, ' '), 4, size(split(text, ' ')))"))
             .as("text"))
       val all = base.union(cop).filter(length(col("text")) >= 8)
-        .repartition(col("doc_id"))
+        .repartition(graft.Tables.spreadParts(s, dir, "documents"), col("doc_id"))
         .withColumn("shingles", expr("md5_shingle60(text)"))
         .cache() // feeds banding, both verify sides, and the truth join
       val sh = all.select(col("doc_id"), col("shingles"))
@@ -1328,7 +1333,7 @@ object DedupOps {
         // unnest; drop them here too, or simhash60([]) = 0 would pair
         // every short doc with every other at Hamming 0
         .filter(length(col("text")) >= 8)
-        .repartition(col("doc_id"))
+        .repartition(graft.Tables.spreadParts(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           expr("simhash60(md5_shingle60(text))").as("sim"))
       val banded = sim.select(
@@ -1450,7 +1455,8 @@ object DedupOps {
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
       val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
-        docs0.repartition(col("doc_id")) else docs0
+        docs0.repartition(graft.Tables.spreadParts(s, dir, "documents"),
+          col("doc_id")) else docs0
       val grams = docs
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(1, size(w)-7), i ->
@@ -1481,7 +1487,7 @@ object DedupOps {
       // filter below is recall-exact under any consistent token order
       val tg = load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+        .repartition(graft.Tables.spreadParts(s, dir, "documents"), col("doc_id"))
         .withColumn("shingles", expr("word_trigram_hash64(text)"))
         .filter(size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"))
@@ -1580,7 +1586,8 @@ object DedupOps {
       // already-parallel scan the repartition would be pure added
       // shuffle and is skipped.
       val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
-        docs0.repartition(col("doc_id")) else docs0
+        docs0.repartition(graft.Tables.spreadParts(s, dir, "documents"),
+          col("doc_id")) else docs0
       val wins = docs.select(col("doc_id"), col("n_words"),
           posexplode(expr(
             """transform(sequence(1, size(w)-19), i ->
@@ -1637,8 +1644,9 @@ object DedupOps {
         // single-threaded, and the per-doc window below needs
         // ClusteredDistribution(doc_id) anyway — hash-partitioning the
         // slim doc rows here parallelizes the hashing AND is the one
-        // exchange the window reuses (no extra shuffle; guide §2.4/2.5)
-        .repartition(col("doc_id"))
+        // exchange the window reuses (no extra shuffle; guide §2.4/2.5).
+        // Width is data-proportional (r18, see Tables.spreadParts).
+        .repartition(graft.Tables.spreadParts(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
         .withColumn("anchor",
           (graft.functions.Fns.md5Bucket(col("word"), 8) === 0)

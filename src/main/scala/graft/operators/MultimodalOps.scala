@@ -168,7 +168,8 @@ object MultimodalOps {
     graft.GraftFunctions.register(s)
     val docs0 = load(s, dir, "documents")
     val docs = if (graft.Tables.narrowScan(s, dir, "documents"))
-      docs0.repartition(col("doc_id")) else docs0
+      docs0.repartition(graft.Tables.spreadParts(s, dir, "documents"),
+        col("doc_id")) else docs0
     sampledChunks(docs)
       .withColumn("st", expr("chunk_ascii_stats(c)"))
       .select(col("doc_id"), col("chunk_idx"),

@@ -166,7 +166,9 @@ object SimilarityOps {
         expr("transform(embedding, x -> x * cast(1.01 as float))")
           .as("embedding"))
       val all = base.union(scaled)
-        .repartition(col("vec_id"))
+        // data-proportional width (r18, Tables.spreadParts)
+        .repartition(graft.Tables.spreadParts(s, dir, "embeddings"),
+          col("vec_id"))
         // feeds banding and both verify sides — cache the slim table
         // instead of recomputing the union subtree three times. The
         // vectors stay FLOAT32 end to end: cosine_sim widens each
@@ -370,7 +372,9 @@ object SimilarityOps {
         expr("transform(embedding, x -> x * cast(1.01 as float))")
           .as("embedding"))
       val all = base.union(scaled)
-        .repartition(col("vec_id"))
+        // data-proportional width (r18, Tables.spreadParts)
+        .repartition(graft.Tables.spreadParts(s, dir, "embeddings"),
+          col("vec_id"))
         .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
         .select(col("vec_id"), col("v"))
         .cache()
